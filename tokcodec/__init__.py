@@ -1,0 +1,45 @@
+"""tokcodec — PySpark-native per-column lightweight-compression engine.
+
+Re-expresses the capabilities of bigfei/parquet-carpet (Java
+record<->Parquet serialization; see /root/repo/SURVEY.md) as a
+Spark-first columnar encode/decode engine: per-column codecs (dict,
+RLE, FSST, bit-pack, frame-of-reference) with a statistics-driven
+auto-selector, salted repartitioning, per-bucket lineage/metrics, and
+resumable encode — all vectorized Arrow batch execution, no per-row
+Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from tokcodec.decode import decode_blocks  # noqa: F401
+from tokcodec.encode import encode_table, with_bucket  # noqa: F401
+from tokcodec.io_tables import (  # noqa: F401
+    encoded_size_bytes,
+    parquet_size_bytes,
+    read_encoded,
+    write_encoded,
+)
+from tokcodec.schema import SEQ_SCHEMA  # noqa: F401
+from tokcodec.synth import synth_df  # noqa: F401
+
+
+def verify_roundtrip(original: DataFrame, decoded: DataFrame,
+                     key: str = "doc_id") -> dict:
+    """Bit-identical round-trip check (the reference's record-equality
+    round-trip tests, SURVEY.md §5.1, expressed as one join)."""
+    cols = [c for c in original.columns if c != key]
+    o = original.select(key, *[F.col(c).alias(f"o_{c}") for c in cols])
+    d = decoded.select(key, *[F.col(c).alias(f"d_{c}") for c in cols])
+    j = o.join(d, key, "full_outer")
+    mismatch = None
+    for c in cols:
+        bad = ~F.col(f"o_{c}").eqNullSafe(F.col(f"d_{c}"))
+        mismatch = bad if mismatch is None else (mismatch | bad)
+    res = j.agg(
+        F.count("*").alias("rows"),
+        F.sum(F.when(mismatch, 1).otherwise(0)).alias("mismatches"),
+    ).collect()[0]
+    return {"rows": res.rows, "mismatches": res.mismatches,
+            "ok": res.mismatches == 0}

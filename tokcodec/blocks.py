@@ -1,0 +1,166 @@
+"""Column-chunk block (de)serialization.
+
+One *block* = one (column, component) of one partition-bucket:
+  component "values"   — the column's scalar payload
+  component "lengths"  — list-column element counts per row (tokens)
+  component "validity" — bit-packed null mask, present only when the
+                         chunk has nulls (reference precedent: null
+                         handling is observable behavior, reference
+                         impl/read/ReadReflection.java:72-95)
+
+Lists are stored as (lengths, flattened values) — exactly the
+RLE/FOR-friendly decomposition of Parquet's 3-level list shaping that
+the reference emits row-by-row (reference
+impl/write/CollectionsWriters.java:58-148); here it is two whole-chunk
+numpy arrays instead.
+
+An optional general-purpose outer layer (zstd via pyarrow) is applied
+after the lightweight codec when it actually shrinks the payload —
+mirrors the reference's pluggable compression codec
+(CarpetWriter.java:160-226) where SNAPPY is applied after parquet's
+lightweight encodings.
+"""
+
+from __future__ import annotations
+
+import json
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from tokcodec.codecs.fsst import fsst_decode, fsst_encode
+from tokcodec.codecs.intcodecs import INT_CODECS, decode_ints, encode_ints
+from tokcodec.codecs.strcodecs import (
+    STR_CODECS,
+    arrow_to_strchunk,
+    strchunk_to_arrow,
+)
+from tokcodec.selector import select_int_codec, select_str_codec
+
+_ZSTD = pa.Codec("zstd", compression_level=3)
+OUTER_MIN_GAIN = 0.97  # apply outer layer only if < 97% of inner size
+
+
+def _outer_compress(payload: bytes, meta: dict) -> bytes:
+    if len(payload) >= 64:
+        z = _ZSTD.compress(payload).to_pybytes()
+        if len(z) < OUTER_MIN_GAIN * len(payload):
+            meta["outer"] = "zstd"
+            meta["raw_size"] = len(payload)
+            return z
+    return payload
+
+
+def _outer_decompress(payload: bytes, meta: dict) -> bytes:
+    if meta.get("outer") == "zstd":
+        return _ZSTD.decompress(payload, meta["raw_size"]).to_pybytes()
+    return payload
+
+
+def _block_row(bucket, column, component, codec, n_rows, payload, meta, orig_bytes):
+    return {
+        "run_id": "",   # filled by the encode stage
+        "bucket": int(bucket),
+        "chunk": 0,     # filled by the encode stage
+        "column": column,
+        "component": component,
+        "codec": codec,
+        "n_rows": int(n_rows),
+        "payload": payload,
+        "meta": json.dumps(meta, separators=(",", ":")),
+        "orig_bytes": int(orig_bytes),
+        "enc_bytes": int(len(payload)),
+        "checksum": int(zlib.crc32(payload)),
+    }
+
+
+# ----------------------------------------------------------- int chunks
+def encode_int_component(bucket, column, component, v: np.ndarray, itemsize: int,
+                         codec: str | None = None) -> dict:
+    v64 = np.ascontiguousarray(v, dtype=np.int64)
+    if codec is None:
+        codec, st = select_int_codec(v64, itemsize)
+    if codec == "plain":
+        # plain keeps the narrow dtype (no x2/x8 inflation)
+        narrow = v if v.dtype.itemsize <= itemsize else v64
+        payload, meta = encode_ints(np.ascontiguousarray(narrow), "plain")
+    else:
+        payload, meta = encode_ints(v64, codec)
+    payload = _outer_compress(payload, meta)
+    return _block_row(bucket, column, component, codec, len(v64), payload, meta,
+                      len(v64) * itemsize)
+
+
+def decode_int_component(row) -> np.ndarray:
+    meta = json.loads(row["meta"])
+    payload = _outer_decompress(row["payload"], meta)
+    return decode_ints(payload, row["codec"], meta, row["n_rows"])
+
+
+# -------------------------------------------------------- string chunks
+def encode_str_component(bucket, column, component, arr: pa.Array,
+                         codec: str | None = None) -> dict:
+    data, lengths = arrow_to_strchunk(arr)
+    if codec is None:
+        codec, st = select_str_codec(data, lengths, arr)
+    if codec == "fsst":
+        payload, meta = fsst_encode(data, lengths)
+    else:
+        payload, meta = STR_CODECS[codec][0](data, lengths)
+    payload = _outer_compress(payload, meta)
+    lenw = int(lengths.max()).bit_length() if len(lengths) else 0
+    orig = len(data) + (len(lengths) * lenw + 7) // 8
+    return _block_row(bucket, column, component, codec, len(lengths), payload, meta, orig)
+
+
+def decode_str_component(row) -> pa.Array:
+    meta = json.loads(row["meta"])
+    payload = _outer_decompress(row["payload"], meta)
+    if row["codec"] == "fsst":
+        data, lengths = fsst_decode(payload, meta, row["n_rows"])
+    else:
+        data, lengths = STR_CODECS[row["codec"]][1](payload, meta, row["n_rows"])
+    return strchunk_to_arrow(data, lengths)
+
+
+# --------------------------------------------------------- float chunks
+def split_encode(v: np.ndarray) -> tuple[bytes, dict]:
+    """byte-stream-split (reference C1: withByteStreamSplitEncoding,
+    CarpetWriter.java:352-361): transpose byte planes so the outer
+    compressor sees runs of exponent/sign bytes."""
+    item = v.dtype.itemsize
+    b = np.ascontiguousarray(v).view(np.uint8).reshape(-1, item).T
+    return np.ascontiguousarray(b).tobytes(), {"dtype": v.dtype.str}
+
+
+def split_decode(payload: bytes, meta: dict, n: int) -> np.ndarray:
+    dt = np.dtype(meta["dtype"])
+    planes = np.frombuffer(payload, dtype=np.uint8).reshape(dt.itemsize, n)
+    return np.ascontiguousarray(planes.T).reshape(-1).view(dt)
+
+
+def encode_float_component(bucket, column, component, v: np.ndarray) -> dict:
+    # pick plain vs split by which zstd-compresses a sample better
+    samp = v[: min(len(v), 1 << 14)]
+    zp = len(_ZSTD.compress(np.ascontiguousarray(samp).tobytes()).to_pybytes())
+    sp_payload, _ = split_encode(samp)
+    zs = len(_ZSTD.compress(sp_payload).to_pybytes())
+    if zs < zp:
+        payload, meta = split_encode(v)
+        codec = "split"
+    else:
+        payload = np.ascontiguousarray(v).tobytes()
+        meta = {"dtype": v.dtype.str}
+        codec = "plain_f"
+    payload = _outer_compress(payload, meta)
+    return _block_row(bucket, column, component, codec, len(v), payload, meta,
+                      len(v) * v.dtype.itemsize)
+
+
+def decode_float_component(row) -> np.ndarray:
+    meta = json.loads(row["meta"])
+    payload = _outer_decompress(row["payload"], meta)
+    if row["codec"] == "split":
+        return split_decode(payload, meta, row["n_rows"])
+    return np.frombuffer(payload, dtype=np.dtype(meta["dtype"]), count=row["n_rows"]).copy()

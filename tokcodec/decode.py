@@ -1,0 +1,122 @@
+"""Distributed decode stage (≙ reference read path, SURVEY.md §3.2).
+
+Projection pushdown works like the reference's ``SchemaFilter.project``
+(impl/read/SchemaFilter.java:56-156): only the requested columns'
+blocks are scanned — a plain Catalyst filter on the blocks table's
+``column`` field, which Parquet turns into row-group skipping; the
+payload bytes of unrequested columns are never read or decoded.
+
+Decode itself is dictionary-aware in the reference's sense
+(StringConverter.java:39-55): dict codecs materialize the dictionary
+once per block and ``take`` by index.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from tokcodec.blocks import (
+    decode_float_component,
+    decode_int_component,
+    decode_str_component,
+)
+from tokcodec.encode import METRICS_COLUMN
+from tokcodec.schema import spark_type_to_arrow
+
+
+def _cast_ints(v: np.ndarray, dt: T.DataType, target: pa.DataType) -> pa.Array:
+    arr = pa.array(v, type=pa.int64())
+    if isinstance(dt, T.BooleanType):
+        return arr.cast(pa.int8()).cast(pa.bool_())
+    if isinstance(dt, T.DateType):
+        return arr.cast(pa.int32()).cast(target)
+    return arr.cast(target)
+
+
+def _decode_field(rows: list[dict], dt: T.DataType, target: pa.DataType) -> pa.Array:
+    """rows: this column's block rows for one bucket, all chunks/components."""
+    by_comp: dict[str, list[dict]] = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp in by_comp.values():
+        comp.sort(key=lambda r: r["chunk"])
+
+    def decode_numeric(comp_rows, inner_dt, inner_target):
+        if isinstance(inner_dt, (T.FloatType, T.DoubleType)):
+            parts = [decode_float_component(r) for r in comp_rows]
+            return pa.array(np.concatenate(parts) if parts else
+                            np.zeros(0, dtype=np.float64)).cast(inner_target)
+        parts = [decode_int_component(r) for r in comp_rows]
+        v = np.concatenate(parts) if parts else np.zeros(0, dtype=np.int64)
+        return _cast_ints(v, inner_dt, inner_target)
+
+    if isinstance(dt, T.ArrayType):
+        lengths_parts = [decode_int_component(r) for r in by_comp["lengths"]]
+        lengths = (np.concatenate(lengths_parts) if lengths_parts
+                   else np.zeros(0, dtype=np.int64))
+        et = dt.elementType
+        etarget = spark_type_to_arrow(et)
+        if isinstance(et, T.StringType):
+            vparts = [decode_str_component(r) for r in by_comp["values"]]
+            values = pa.concat_arrays(vparts) if vparts else pa.array([], pa.string())
+        else:
+            values = decode_numeric(by_comp["values"], et, etarget)
+        offsets = np.zeros(len(lengths) + 1, dtype=np.int32)
+        np.cumsum(lengths, out=offsets[1:])
+        out = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), values.cast(etarget)
+        ).cast(target)
+    elif isinstance(dt, T.StringType):
+        vparts = [decode_str_component(r) for r in by_comp["values"]]
+        out = pa.concat_arrays(vparts) if vparts else pa.array([], pa.string())
+    else:
+        out = decode_numeric(by_comp["values"], dt, target)
+
+    if "validity" in by_comp:
+        import pyarrow.compute as pc
+
+        vparts = [decode_int_component(r) for r in by_comp["validity"]]
+        valid = np.concatenate(vparts).astype(bool)
+        out = pc.if_else(pa.array(valid), out, pa.scalar(None, type=out.type))
+    return out
+
+
+def make_decode_fn(schema: T.StructType):
+    """applyInArrow function: (key, blocks pa.Table) -> decoded pa.Table."""
+    fields = [(f.name, f.dataType) for f in schema.fields]
+    out_schema = pa.schema(
+        [(n, spark_type_to_arrow(dt)) for n, dt in fields]
+    )
+
+    def fn(key: tuple, table: pa.Table) -> pa.Table:
+        recs = table.to_pylist()
+        by_col: dict[str, list[dict]] = {}
+        for r in recs:
+            by_col.setdefault(r["column"], []).append(r)
+        arrays = []
+        for (name, dt), target in zip(fields, out_schema.types):
+            arrays.append(_decode_field(by_col[name], dt, target))
+        return pa.Table.from_arrays(arrays, schema=out_schema)
+
+    return fn
+
+
+def decode_blocks(blocks: DataFrame, schema: T.StructType,
+                  columns: list[str] | None = None) -> DataFrame:
+    """Blocks DataFrame -> decoded rows. ``columns`` = projection."""
+    if columns is not None:
+        schema = T.StructType([f for f in schema.fields if f.name in columns])
+        missing = set(columns) - {f.name for f in schema.fields}
+        if missing:
+            # reference behavior: fail on missing column by default
+            # (SchemaValidation.java:63-69)
+            raise ValueError(f"columns not in encoded table: {sorted(missing)}")
+    wanted = [f.name for f in schema.fields]
+    b = blocks.filter(
+        (F.col("column") != METRICS_COLUMN) & F.col("column").isin(wanted)
+    )
+    fn = make_decode_fn(schema)
+    return b.groupBy("bucket").applyInArrow(fn, schema=schema)

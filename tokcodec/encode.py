@@ -1,0 +1,203 @@
+"""Distributed encode stage (≙ reference write path, SURVEY.md §3.1).
+
+The reference writes one record at a time through per-field closures
+(CarpetWriter.java:99-114, CarpetRecordWriter.java:51-91). Here the
+unit of work is a *bucket*: rows are salted into ``n_buckets`` groups
+by ``xxhash64(source, doc_id)`` (defuses long-tail ``n_tok`` skew —
+BASELINE.json north_star), each group is encoded column-at-a-time over
+whole Arrow arrays inside ``applyInArrow`` — no per-row Python
+anywhere. Within a bucket, rows are split into chunks capped by row
+count *and* flattened-token count so encoder memory stays bounded at
+any scale and a single giant document cannot blow up a task.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from tokcodec.blocks import (
+    encode_float_component,
+    encode_int_component,
+    encode_str_component,
+)
+from tokcodec.schema import BLOCK_DDL
+
+BUCKET_COL = "__bucket"
+CHUNK_MAX_ROWS = 1 << 16        # 65,536 rows per chunk
+CHUNK_MAX_VALUES = 1 << 23      # 8M flattened list elements per chunk
+METRICS_COLUMN = "__bucket_metrics__"
+
+_INT_ITEMSIZE = {
+    T.BooleanType: 1, T.ByteType: 1, T.ShortType: 2, T.IntegerType: 4,
+    T.LongType: 8, T.DateType: 4, T.TimestampType: 8, T.TimestampNTZType: 8,
+}
+
+
+def with_bucket(df: DataFrame, n_buckets: int,
+                salt_cols: tuple[str, ...] = ("source", "doc_id")) -> DataFrame:
+    """Salted bucketing on a content hash — deterministic across runs
+    (the resume key) and uniform regardless of input order/skew."""
+    cols = [c for c in salt_cols if c in df.columns] or df.columns[:1]
+    return df.withColumn(
+        BUCKET_COL, F.pmod(F.xxhash64(*cols), F.lit(n_buckets)).cast("int")
+    )
+
+
+def _to_int64_np(arr: pa.Array) -> np.ndarray:
+    t = arr.type
+    if pa.types.is_boolean(t):
+        arr = arr.cast(pa.int8())
+    elif pa.types.is_date32(t):
+        arr = arr.cast(pa.int32())
+    elif pa.types.is_timestamp(t):
+        arr = arr.cast(pa.int64())
+    if arr.null_count:
+        arr = arr.fill_null(0)
+    return arr.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def _encode_column(bucket: int, name: str, arr: pa.Array, dt: T.DataType) -> list[dict]:
+    """One Arrow column chunk -> block rows (values/lengths/validity)."""
+    import pyarrow.compute as pc
+
+    rows: list[dict] = []
+    if arr.null_count:
+        valid = arr.is_valid().to_numpy(zero_copy_only=False).astype(np.int64)
+        rows.append(
+            encode_int_component(bucket, name, "validity", valid, 1, codec="bitpack")
+        )
+    if isinstance(dt, T.ArrayType):
+        lengths = pc.list_value_length(arr)
+        if lengths.null_count:
+            lengths = lengths.fill_null(0)
+        lengths = lengths.to_numpy(zero_copy_only=False).astype(np.int64)
+        rows.append(encode_int_component(bucket, name, "lengths", lengths, 4))
+        values = arr.flatten()
+        et = dt.elementType
+        if isinstance(et, T.StringType):
+            rows.append(encode_str_component(bucket, name, "values", values))
+        elif isinstance(et, (T.FloatType, T.DoubleType)):
+            v = values.to_numpy(zero_copy_only=False)
+            rows.append(encode_float_component(bucket, name, "values", v))
+        else:
+            v = _to_int64_np(values)
+            rows.append(
+                encode_int_component(
+                    bucket, name, "values", v, _INT_ITEMSIZE.get(type(et), 8)
+                )
+            )
+    elif isinstance(dt, T.StringType):
+        rows.append(encode_str_component(bucket, name, "values", arr))
+    elif isinstance(dt, (T.FloatType, T.DoubleType)):
+        if arr.null_count:
+            arr = arr.fill_null(0.0)
+        v = arr.to_numpy(zero_copy_only=False)
+        rows.append(encode_float_component(bucket, name, "values", v))
+    elif type(dt) in _INT_ITEMSIZE:
+        v = _to_int64_np(arr)
+        rows.append(
+            encode_int_component(bucket, name, "values", v, _INT_ITEMSIZE[type(dt)])
+        )
+    else:
+        raise NotImplementedError(f"column {name}: unsupported type {dt}")
+    return rows
+
+
+def _chunk_bounds(n_rows: int, list_lengths: np.ndarray | None) -> list[tuple[int, int]]:
+    """Row slice boundaries honoring both row and flattened-value caps."""
+    if n_rows == 0:
+        return []
+    if list_lengths is None:
+        cuts = list(range(0, n_rows, CHUNK_MAX_ROWS)) + [n_rows]
+        return list(zip(cuts[:-1], cuts[1:]))
+    csum = np.concatenate([[0], np.cumsum(list_lengths, dtype=np.int64)])
+    bounds = []
+    lo = 0
+    while lo < n_rows:
+        hi = min(lo + CHUNK_MAX_ROWS, n_rows)
+        # shrink hi until the value budget fits (always keep >= 1 row)
+        hi_budget = int(np.searchsorted(csum, csum[lo] + CHUNK_MAX_VALUES, side="right")) - 1
+        hi = max(lo + 1, min(hi, hi_budget))
+        bounds.append((lo, hi))
+        lo = hi
+    return bounds
+
+
+def make_encode_fn(schema: T.StructType, run_id: str):
+    """Returns the applyInArrow function: (key, pa.Table) -> pa.Table
+    of BLOCK_DDL rows for one bucket."""
+    fields = [(f.name, f.dataType) for f in schema.fields if f.name != BUCKET_COL]
+    list_col = next(
+        (f.name for f in schema.fields if isinstance(f.dataType, T.ArrayType)), None
+    )
+    out_schema = pa.schema(
+        [
+            ("run_id", pa.string()), ("bucket", pa.int32()), ("chunk", pa.int32()),
+            ("column", pa.string()), ("component", pa.string()),
+            ("codec", pa.string()), ("n_rows", pa.int64()),
+            ("payload", pa.binary()), ("meta", pa.string()),
+            ("orig_bytes", pa.int64()), ("enc_bytes", pa.int64()),
+            ("checksum", pa.int64()),
+        ]
+    )
+
+    def fn(key: tuple, table: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t0 = time.monotonic()
+        bucket = key[0]
+        bucket = int(bucket.as_py() if hasattr(bucket, "as_py") else bucket)
+        n = table.num_rows
+        lens = None
+        if list_col is not None:
+            la = table.column(list_col).combine_chunks()
+            ll = pc.list_value_length(la)
+            if ll.null_count:
+                ll = ll.fill_null(0)
+            lens = ll.to_numpy(zero_copy_only=False).astype(np.int64)
+        rows: list[dict] = []
+        codec_log: dict[str, str] = {}
+        for ci, (lo, hi) in enumerate(_chunk_bounds(n, lens)):
+            sl = table.slice(lo, hi - lo)
+            for name, dt in fields:
+                arr = sl.column(name).combine_chunks()
+                for r in _encode_column(bucket, name, arr, dt):
+                    r["run_id"] = run_id
+                    r["chunk"] = ci
+                    rows.append(r)
+                    if r["component"] == "values":
+                        codec_log[name] = r["codec"]
+        wall_ms = (time.monotonic() - t0) * 1000.0
+        rows.append(
+            {
+                "run_id": run_id, "bucket": bucket, "chunk": -1,
+                "column": METRICS_COLUMN, "component": "metrics",
+                "codec": json.dumps(codec_log, separators=(",", ":")),
+                "n_rows": n, "payload": b"",
+                "meta": json.dumps({"wall_ms": wall_ms}),
+                "orig_bytes": sum(r["orig_bytes"] for r in rows),
+                "enc_bytes": sum(r["enc_bytes"] for r in rows),
+                "checksum": 0,
+            }
+        )
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    return fn
+
+
+def encode_table(df: DataFrame, n_buckets: int, run_id: str = "run0") -> DataFrame:
+    """DataFrame of SEQ-shaped rows -> DataFrame of encoded blocks.
+
+    One shuffle (the salted repartition), then embarrassingly parallel
+    per-bucket encode. At cluster scale, size ``n_buckets`` so a bucket
+    is a few hundred MB (e.g. 100 TB -> ~400k buckets).
+    """
+    b = with_bucket(df, n_buckets)
+    fn = make_encode_fn(df.schema, run_id)
+    return b.groupBy(BUCKET_COL).applyInArrow(fn, schema=BLOCK_DDL)

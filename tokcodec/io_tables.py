@@ -1,0 +1,134 @@
+"""Encoded-table storage layer (≙ reference S1/S2 sinks/sources).
+
+Layout (Iceberg-like directory table — Iceberg jars are not in this
+sandbox, so the same commit protocol is implemented on plain parquet
+directories; swap ``.write.parquet`` for ``.writeTo(iceberg_table)``
+on a real cluster):
+
+    <path>/blocks/    parquet, compression=none (payloads carry their
+                      own compression — measuring ours, not snappy's)
+    <path>/lineage/   parquet commit records, append-only
+    <path>/_manifest.json   schema + bucket count (schema-on-read,
+                      ≙ reference footer schema)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from tokcodec.decode import decode_blocks
+from tokcodec.encode import BUCKET_COL, encode_table, make_encode_fn, with_bucket
+from tokcodec.lineage import committed, lineage_from_blocks
+from tokcodec.schema import BLOCK_DDL, manifest_schema, schema_manifest
+
+
+def _paths(path: str) -> tuple[str, str, str]:
+    return os.path.join(path, "blocks"), os.path.join(path, "lineage"), os.path.join(
+        path, "_manifest.json"
+    )
+
+
+def write_encoded(
+    df: DataFrame,
+    path: str,
+    n_buckets: int,
+    run_id: str | None = None,
+    resume: bool = False,
+    fail_after_buckets: int | None = None,
+) -> dict:
+    """Encode ``df`` into ``path``. With ``resume=True``, buckets whose
+    lineage commit already exists are skipped (anti-join against the
+    checkpoint). ``fail_after_buckets`` encodes only the first k pending
+    buckets — the fault-injection hook for resumability tests."""
+    spark = df.sparkSession
+    blocks_p, lineage_p, manifest_p = _paths(path)
+    run_id = run_id or uuid.uuid4().hex[:12]
+
+    b = with_bucket(df, n_buckets)
+    done: list[int] = []
+    if resume and os.path.exists(lineage_p):
+        lin = spark.read.parquet(lineage_p)
+        done = [r.bucket for r in committed(lin).select("bucket").collect()]
+        if done:
+            b = b.filter(~F.col(BUCKET_COL).isin(done))
+    pending = None
+    if fail_after_buckets is not None:
+        pending = sorted(
+            r[BUCKET_COL]
+            for r in b.select(BUCKET_COL).distinct().collect()
+        )[:fail_after_buckets]
+        b = b.filter(F.col(BUCKET_COL).isin(pending))
+
+    fn = make_encode_fn(df.schema, run_id)
+    blocks = b.groupBy(BUCKET_COL).applyInArrow(fn, schema=BLOCK_DDL)
+    (
+        blocks.write.mode("append")
+        .option("compression", "none")
+        .parquet(blocks_p)
+    )
+    # commit point: lineage written only after blocks are durable
+    new_blocks = spark.read.parquet(blocks_p).filter(F.col("run_id") == run_id)
+    lineage_from_blocks(new_blocks).write.mode("append").parquet(lineage_p)
+    with open(manifest_p, "w") as f:
+        f.write(schema_manifest(df.schema, n_buckets, run_id))
+
+    lin = spark.read.parquet(lineage_p)
+    agg = (
+        committed(lin)
+        .agg(
+            F.count("*").alias("buckets"),
+            F.sum("n_rows").alias("rows"),
+            F.sum("orig_bytes").alias("orig_bytes"),
+            F.sum("enc_bytes").alias("enc_bytes"),
+        )
+        .collect()[0]
+    )
+    return {
+        "run_id": run_id,
+        "buckets": agg.buckets,
+        "rows": agg.rows,
+        "orig_bytes": agg.orig_bytes,
+        "enc_bytes": agg.enc_bytes,
+        "skipped_buckets": len(done),
+        "ratio": (agg.enc_bytes / agg.orig_bytes) if agg.orig_bytes else None,
+    }
+
+
+def read_encoded(
+    spark: SparkSession, path: str, columns: list[str] | None = None
+) -> DataFrame:
+    """Decode an encoded table; ``columns`` is projection pushdown —
+    only those columns' blocks are scanned and decoded (reference P3)."""
+    blocks_p, lineage_p, manifest_p = _paths(path)
+    with open(manifest_p) as f:
+        manifest = json.load(f)
+    schema = manifest_schema(manifest)
+    blocks = spark.read.parquet(blocks_p)
+    lin = committed(spark.read.parquet(lineage_p)).select("bucket", "run_id")
+    # small table: one row per bucket — broadcast the semi join
+    blocks = blocks.join(F.broadcast(lin), ["bucket", "run_id"], "left_semi")
+    return decode_blocks(blocks, schema, columns)
+
+
+def encoded_size_bytes(path: str) -> int:
+    blocks_p, _, _ = _paths(path)
+    total = 0
+    for root, _dirs, files in os.walk(blocks_p):
+        for fn in files:
+            if not fn.startswith("_") and not fn.startswith("."):
+                total += os.path.getsize(os.path.join(root, fn))
+    return total
+
+
+def parquet_size_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            if not fn.startswith("_") and not fn.startswith("."):
+                total += os.path.getsize(os.path.join(root, fn))
+    return total

@@ -1,0 +1,79 @@
+"""Static schemas for the engine (≙ reference JavaRecord2Schema: the
+schema is fixed by declaration at write time, validated at read time;
+reference impl/write/JavaRecord2Schema.java:88-126)."""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+from pyspark.sql import types as T
+
+# canonical input table (BASELINE.json input_hint)
+SEQ_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("tokens", T.ArrayType(T.IntegerType(), False), False),
+        T.StructField("n_tok", T.IntegerType(), False),
+        T.StructField("source", T.StringType(), False),
+    ]
+)
+
+# one row per (bucket, chunk, column, component) encoded block.
+# chunks bound encoder memory and isolate skewed giant rows; all
+# components of one (bucket, chunk) align positionally. run_id makes
+# re-runs after partial failure unambiguous (decode only reads the
+# run committed in lineage for each bucket).
+BLOCK_DDL = (
+    "run_id string, bucket int, chunk int, column string, component string, "
+    "codec string, n_rows bigint, payload binary, meta string, "
+    "orig_bytes bigint, enc_bytes bigint, checksum bigint"
+)
+
+# per-bucket lineage/metrics (BASELINE.json north_star: codec chosen,
+# ratio, bytes in/out, checkpoint offset)
+LINEAGE_DDL = (
+    "run_id string, bucket int, status string, n_rows bigint, "
+    "orig_bytes bigint, enc_bytes bigint, ratio double, "
+    "codecs string, checksum bigint, offset bigint, wall_ms double, "
+    "ts double"
+)
+
+
+def spark_type_to_arrow(dt: T.DataType) -> pa.DataType:
+    m = {
+        T.BooleanType: pa.bool_(),
+        T.ByteType: pa.int8(),
+        T.ShortType: pa.int16(),
+        T.IntegerType: pa.int32(),
+        T.LongType: pa.int64(),
+        T.FloatType: pa.float32(),
+        T.DoubleType: pa.float64(),
+        T.StringType: pa.string(),
+        T.DateType: pa.date32(),
+        T.TimestampType: pa.timestamp("us", tz="UTC"),
+        T.TimestampNTZType: pa.timestamp("us"),
+        T.BinaryType: pa.binary(),
+    }
+    if type(dt) in m:
+        return m[type(dt)]
+    if isinstance(dt, T.ArrayType):
+        # Spark's Arrow schema names the child "element" and carries
+        # containsNull — must match exactly for applyInArrow results
+        return pa.list_(
+            pa.field("element", spark_type_to_arrow(dt.elementType),
+                     nullable=dt.containsNull)
+        )
+    raise NotImplementedError(f"unsupported type {dt}")
+
+
+def schema_manifest(schema: T.StructType, n_buckets: int, run_id: str) -> str:
+    return json.dumps(
+        {"ddl": schema.simpleString(), "json": schema.jsonValue(),
+         "n_buckets": n_buckets, "run_id": run_id},
+        separators=(",", ":"),
+    )
+
+
+def manifest_schema(manifest: dict) -> T.StructType:
+    return T.StructType.fromJson(manifest["json"])
