@@ -108,12 +108,13 @@ def decode_blocks(blocks: DataFrame, schema: T.StructType,
                   columns: list[str] | None = None) -> DataFrame:
     """Blocks DataFrame -> decoded rows. ``columns`` = projection."""
     if columns is not None:
-        schema = T.StructType([f for f in schema.fields if f.name in columns])
-        missing = set(columns) - {f.name for f in schema.fields}
+        by_name = {f.name: f for f in schema.fields}
+        missing = set(columns) - set(by_name)
         if missing:
             # reference behavior: fail on missing column by default
             # (SchemaValidation.java:63-69)
             raise ValueError(f"columns not in encoded table: {sorted(missing)}")
+        schema = T.StructType([by_name[c] for c in columns])
     wanted = [f.name for f in schema.fields]
     b = blocks.filter(
         (F.col("column") != METRICS_COLUMN) & F.col("column").isin(wanted)
