@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): headline queries + engine
+encode/decode throughput at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "encode_tokens_per_sec": ..., "decode_tokens_per_sec": ...,
+   "compression_ratio_vs_snappy": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# synthetic sequences rows scale with sf (sf0.1 -> 200k rows, ~40M tokens)
+_SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
+SYNTH_ROWS = int(os.environ.get("SPARK_GRAFT_SYNTH_ROWS", str(int(2_000_000 * _SF))))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from tokcodec.io_tables import (
+        encoded_size_bytes,
+        parquet_size_bytes,
+        read_encoded,
+        write_encoded,
+    )
+    from tokcodec.session import get_spark
+    from tokcodec.synth import synth_df
+
+    spark = get_spark(
+        master=f"local[{CPUS}]", app_name="tokcodec-bench",
+        shuffle_partitions=max(CPUS, 32),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    workdir = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="tokcodec_bench_", dir=workdir)
+    timings: dict[str, float] = {}
+
+    # ---------------- engine throughput on the canonical sequences table
+    df = synth_df(spark, SYNTH_ROWS, seed=42, partitions=CPUS * 2).cache()
+    total_tokens = df.agg(F.sum("n_tok")).collect()[0][0]
+    n_buckets = CPUS * 4
+
+    # warm up the Python workers (one-time process spawn + imports —
+    # amortized to zero on a long-lived cluster, so excluded from the
+    # steady-state throughput measurement), then one small end-to-end
+    # encode to JIT the JVM-side plan
+    from tokcodec.encode import encode_table
+    from tokcodec.session import warm_python_workers
+
+    warm_python_workers(spark)
+    warm = synth_df(spark, CPUS * 256, seed=1, partitions=CPUS)
+    encode_table(warm, n_buckets=CPUS * 4, run_id="warmup").count()
+
+    # best-of-2 to damp shared-sandbox noise (steady-state throughput
+    # is the quantity of interest)
+    enc_times, dec_times = [], []
+    for rep in range(2):
+        enc_path = os.path.join(work, f"enc{rep}")
+        t0 = time.monotonic()
+        write_encoded(df, enc_path, n_buckets=n_buckets, run_id="bench")
+        enc_times.append(time.monotonic() - t0)
+        t0 = time.monotonic()
+        dec = read_encoded(spark, enc_path)
+        n_dec = dec.agg(
+            F.count("*"), F.sum("n_tok"),
+            F.sum(F.expr("aggregate(tokens, 0L, (a, x) -> a + x)")),
+        ).collect()[0]
+        dec_times.append(time.monotonic() - t0)
+        assert n_dec[0] == SYNTH_ROWS and n_dec[1] == total_tokens
+    enc_path = os.path.join(work, "enc0")
+    t_encode = min(enc_times)
+    t_decode = min(dec_times)
+    timings["encode_sequences"] = round(t_encode, 3)
+    timings["decode_sequences"] = round(t_decode, 3)
+
+    ref_path = os.path.join(work, "ref_parquet")
+    df.write.mode("overwrite").option("compression", "snappy").parquet(ref_path)
+    ratio = encoded_size_bytes(enc_path) / max(parquet_size_bytes(ref_path), 1)
+
+    # ------------------------------------------------- headline queries
+    headline = [
+        "roundtrip_source_agg",
+        "roundtrip_global_checksum",
+        "lineitem_pricing_summary",
+        "join_topcustomers",
+        "window_top_order",
+        "events_hourly",
+        "dedup_exact",
+        "emb_cosine_topk",
+        "minhash_neardup_pairs",
+        "simhash_hamming_hist",
+    ]
+    qs = entrymod.queries()
+    for name in headline:
+        t0 = time.monotonic()
+        qs[name](spark, SF_DIR).collect()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = sum(timings.values())
+    out = {
+        "metric": "headline_queries_plus_encode_decode_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _SF,
+        "synth_rows": SYNTH_ROWS,
+        "synth_tokens": int(total_tokens),
+        "encode_tokens_per_sec": int(total_tokens / t_encode),
+        "decode_tokens_per_sec": int(total_tokens / t_decode),
+        "compression_ratio_vs_snappy": round(ratio, 4),
+        "cpus": CPUS,
+    }
+    shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

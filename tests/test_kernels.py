@@ -14,15 +14,41 @@ from tokcodec.kernels import (
 )
 
 
-@pytest.mark.parametrize("width", [1, 3, 7, 8, 12, 16, 20, 31, 32, 33, 64])
+SUPPORTED = [1, 2, 3, 4, 5, 6, 7, 8, 12, 16, 20, 24, 28, 32, 40, 48, 56, 64]
+
+
+@pytest.mark.parametrize("width", SUPPORTED)
 def test_pack_unpack_roundtrip(width):
     rng = np.random.default_rng(7)
     hi = (1 << width) - 1
     v = rng.integers(0, hi, size=10_001, dtype=np.uint64, endpoint=True)
     buf = pack_bits(v, width)
-    assert len(buf) == (len(v) * width + 7) // 8
     out = unpack_bits(buf, width, len(v))
     np.testing.assert_array_equal(v, out)
+
+
+def test_snap_width_covers_all():
+    from tokcodec.kernels import snap_width
+
+    for w in range(0, 65):
+        s = snap_width(w)
+        assert s >= w and s in ([0] + SUPPORTED), (w, s)
+    # snapping waste is bounded
+    assert snap_width(9) == 12 and snap_width(13) == 16
+    assert snap_width(17) == 20 and snap_width(25) == 28
+    assert snap_width(31) == 32 and snap_width(33) == 40
+
+
+@pytest.mark.parametrize("width", SUPPORTED)
+def test_pack_roundtrip_odd_lengths(width):
+    # pair-combined widths pad odd lengths; verify all small n
+    rng = np.random.default_rng(3)
+    for n in (0, 1, 2, 3, 7):
+        v = rng.integers(0, (1 << width) - 1, size=n, dtype=np.uint64,
+                         endpoint=True)
+        np.testing.assert_array_equal(
+            unpack_bits(pack_bits(v, width), width, n), v
+        )
 
 
 def test_pack_empty_and_zero_width():

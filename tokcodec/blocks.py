@@ -38,17 +38,26 @@ from tokcodec.codecs.strcodecs import (
 )
 from tokcodec.selector import select_int_codec, select_str_codec
 
-_ZSTD = pa.Codec("zstd", compression_level=3)
-OUTER_MIN_GAIN = 0.97  # apply outer layer only if < 97% of inner size
+# level 1: measured same ratio as level 3 on packed payloads at 2.3x
+# the speed (the lightweight codecs already removed the easy slack)
+_ZSTD = pa.Codec("zstd", compression_level=1)
+OUTER_MIN_GAIN = 0.97   # apply outer layer only if < 97% of inner size
+_GATE_SAMPLE = 1 << 18  # for big payloads, trial-compress a sample first
 
 
 def _outer_compress(payload: bytes, meta: dict) -> bytes:
-    if len(payload) >= 64:
-        z = _ZSTD.compress(payload).to_pybytes()
-        if len(z) < OUTER_MIN_GAIN * len(payload):
-            meta["outer"] = "zstd"
-            meta["raw_size"] = len(payload)
-            return z
+    if len(payload) < 64:
+        return payload
+    if len(payload) > 4 * _GATE_SAMPLE:
+        # cheap gate: if a sample doesn't compress, skip the full pass
+        zs = _ZSTD.compress(payload[:_GATE_SAMPLE]).to_pybytes()
+        if len(zs) > 0.93 * _GATE_SAMPLE:
+            return payload
+    z = _ZSTD.compress(payload).to_pybytes()
+    if len(z) < OUTER_MIN_GAIN * len(payload):
+        meta["outer"] = "zstd"
+        meta["raw_size"] = len(payload)
+        return z
     return payload
 
 
@@ -78,34 +87,33 @@ def _block_row(bucket, column, component, codec, n_rows, payload, meta, orig_byt
 # ----------------------------------------------------------- int chunks
 def encode_int_component(bucket, column, component, v: np.ndarray, itemsize: int,
                          codec: str | None = None) -> dict:
-    v64 = np.ascontiguousarray(v, dtype=np.int64)
+    """v: numpy int array in the column's native storage dtype."""
+    v = np.ascontiguousarray(v)
     if codec is None:
-        codec, st = select_int_codec(v64, itemsize)
-    if codec == "plain":
-        # plain keeps the narrow dtype (no x2/x8 inflation)
-        narrow = v if v.dtype.itemsize <= itemsize else v64
-        payload, meta = encode_ints(np.ascontiguousarray(narrow), "plain")
-    else:
-        payload, meta = encode_ints(v64, codec)
+        codec, st = select_int_codec(v, itemsize)
+    payload, meta = encode_ints(v, codec)
     payload = _outer_compress(payload, meta)
-    return _block_row(bucket, column, component, codec, len(v64), payload, meta,
-                      len(v64) * itemsize)
+    return _block_row(bucket, column, component, codec, len(v), payload, meta,
+                      len(v) * itemsize)
 
 
-def decode_int_component(row) -> np.ndarray:
+def decode_int_component(row, out_dtype=np.int64) -> np.ndarray:
     meta = json.loads(row["meta"])
     payload = _outer_decompress(row["payload"], meta)
-    return decode_ints(payload, row["codec"], meta, row["n_rows"])
+    return decode_ints(payload, row["codec"], meta, row["n_rows"],
+                       out_dtype=out_dtype)
 
 
 # -------------------------------------------------------- string chunks
 def encode_str_component(bucket, column, component, arr: pa.Array,
                          codec: str | None = None) -> dict:
     data, lengths = arrow_to_strchunk(arr)
+    table = None
     if codec is None:
         codec, st = select_str_codec(data, lengths, arr)
+        table = st.pop("_fsst_table", None)
     if codec == "fsst":
-        payload, meta = fsst_encode(data, lengths)
+        payload, meta = fsst_encode(data, lengths, table=table)
     else:
         payload, meta = STR_CODECS[codec][0](data, lengths)
     payload = _outer_compress(payload, meta)

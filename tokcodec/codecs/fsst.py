@@ -252,10 +252,12 @@ def train_table(buf: np.ndarray, seg_ends: np.ndarray) -> SymbolTable:
 
 
 # ------------------------------------------------------------ codec API
-def fsst_encode(data: bytes, lengths: np.ndarray) -> tuple[bytes, dict]:
+def fsst_encode(data: bytes, lengths: np.ndarray,
+                table: SymbolTable | None = None) -> tuple[bytes, dict]:
     buf = np.frombuffer(data, dtype=np.uint8)
     seg_ends = _segment_ends(np.asarray(lengths, dtype=np.int64))
-    table = train_table(buf, seg_ends)
+    if table is None:
+        table = train_table(buf, seg_ends)
     codes, literals = fsst_compress(buf, seg_ends, table)
     symdata, symlens = table.serialize()
     lp, lm = bitpack_encode(np.asarray(lengths, dtype=np.int64))

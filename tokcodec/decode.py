@@ -27,12 +27,19 @@ from tokcodec.encode import METRICS_COLUMN
 from tokcodec.schema import spark_type_to_arrow
 
 
+_NP_DTYPE = {
+    T.BooleanType: np.int8, T.ByteType: np.int8, T.ShortType: np.int16,
+    T.IntegerType: np.int32, T.LongType: np.int64, T.DateType: np.int32,
+    T.TimestampType: np.int64, T.TimestampNTZType: np.int64,
+}
+
+
 def _cast_ints(v: np.ndarray, dt: T.DataType, target: pa.DataType) -> pa.Array:
-    arr = pa.array(v, type=pa.int64())
+    # v is already in the narrowest numpy dtype for dt (decode stays in
+    # narrow lanes); remaining casts are cheap metadata-level ones
+    arr = pa.array(v)
     if isinstance(dt, T.BooleanType):
-        return arr.cast(pa.int8()).cast(pa.bool_())
-    if isinstance(dt, T.DateType):
-        return arr.cast(pa.int32()).cast(target)
+        return arr.cast(pa.bool_())
     return arr.cast(target)
 
 
@@ -49,9 +56,10 @@ def _decode_field(rows: list[dict], dt: T.DataType, target: pa.DataType) -> pa.A
             parts = [decode_float_component(r) for r in comp_rows]
             return pa.array(np.concatenate(parts) if parts else
                             np.zeros(0, dtype=np.float64)).cast(inner_target)
-        parts = [decode_int_component(r) for r in comp_rows]
-        v = np.concatenate(parts) if parts else np.zeros(0, dtype=np.int64)
-        return _cast_ints(v, inner_dt, inner_target)
+        nd = _NP_DTYPE.get(type(inner_dt), np.int64)
+        parts = [decode_int_component(r, out_dtype=nd) for r in comp_rows]
+        v = np.concatenate(parts) if parts else np.zeros(0, dtype=nd)
+        return _cast_ints(v.astype(nd, copy=False), inner_dt, inner_target)
 
     if isinstance(dt, T.ArrayType):
         lengths_parts = [decode_int_component(r) for r in by_comp["lengths"]]

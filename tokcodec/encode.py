@@ -49,7 +49,9 @@ def with_bucket(df: DataFrame, n_buckets: int,
     )
 
 
-def _to_int64_np(arr: pa.Array) -> np.ndarray:
+def _to_native_np(arr: pa.Array) -> np.ndarray:
+    """Arrow -> numpy in the narrowest storage dtype (zero-copy for
+    null-free fixed-width arrays — the tokens hot path)."""
     t = arr.type
     if pa.types.is_boolean(t):
         arr = arr.cast(pa.int8())
@@ -59,7 +61,7 @@ def _to_int64_np(arr: pa.Array) -> np.ndarray:
         arr = arr.cast(pa.int64())
     if arr.null_count:
         arr = arr.fill_null(0)
-    return arr.to_numpy(zero_copy_only=False).astype(np.int64)
+    return arr.to_numpy(zero_copy_only=False)
 
 
 def _encode_column(bucket: int, name: str, arr: pa.Array, dt: T.DataType) -> list[dict]:
@@ -76,7 +78,7 @@ def _encode_column(bucket: int, name: str, arr: pa.Array, dt: T.DataType) -> lis
         lengths = pc.list_value_length(arr)
         if lengths.null_count:
             lengths = lengths.fill_null(0)
-        lengths = lengths.to_numpy(zero_copy_only=False).astype(np.int64)
+        lengths = lengths.to_numpy(zero_copy_only=False)
         rows.append(encode_int_component(bucket, name, "lengths", lengths, 4))
         values = arr.flatten()
         et = dt.elementType
@@ -86,7 +88,7 @@ def _encode_column(bucket: int, name: str, arr: pa.Array, dt: T.DataType) -> lis
             v = values.to_numpy(zero_copy_only=False)
             rows.append(encode_float_component(bucket, name, "values", v))
         else:
-            v = _to_int64_np(values)
+            v = _to_native_np(values)
             rows.append(
                 encode_int_component(
                     bucket, name, "values", v, _INT_ITEMSIZE.get(type(et), 8)
@@ -100,7 +102,7 @@ def _encode_column(bucket: int, name: str, arr: pa.Array, dt: T.DataType) -> lis
         v = arr.to_numpy(zero_copy_only=False)
         rows.append(encode_float_component(bucket, name, "values", v))
     elif type(dt) in _INT_ITEMSIZE:
-        v = _to_int64_np(arr)
+        v = _to_native_np(arr)
         rows.append(
             encode_int_component(bucket, name, "values", v, _INT_ITEMSIZE[type(dt)])
         )

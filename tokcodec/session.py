@@ -7,6 +7,33 @@ import os
 from pyspark.sql import SparkSession
 
 
+def warm_python_workers(spark: SparkSession, waves: int = 2) -> None:
+    """Force-spawn the full Python worker pool (one-time fork + heavy
+    imports per worker — amortized to zero on a long-lived cluster).
+
+    Uses mapInArrow over an explicitly partitioned range: no shuffle,
+    so AQE cannot coalesce it below one task per core (a tiny grouped
+    warmup job would be coalesced to ~1 task and warm ~1 worker).
+    """
+    import pyarrow as pa
+
+    cpus = spark.sparkContext.defaultParallelism
+
+    def _warm(it):
+        # the imports every encode/decode task needs
+        import numpy  # noqa: F401
+
+        from tokcodec import blocks, decode, encode  # noqa: F401
+
+        for batch in it:
+            yield batch
+
+    for _ in range(waves):
+        spark.range(0, cpus * 2, 1, cpus * 2).mapInArrow(
+            _warm, "id long"
+        ).count()
+
+
 def get_spark(
     master: str | None = None,
     app_name: str = "tokcodec",
@@ -17,7 +44,10 @@ def get_spark(
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 32)
-    return (
+    # shuffle/spill on RAM-backed storage when available (the sandbox
+    # disk is slow shared virtio; a real cluster would use local NVMe)
+    local_dir = "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else None
+    builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -26,5 +56,8 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
+    return builder.getOrCreate()

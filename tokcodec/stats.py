@@ -4,25 +4,27 @@ The reference always delegates this decision to parquet-java's writer
 (dictionary fallback heuristics behind the knobs at reference
 CarpetWriter.java:335-385); per the north rule we compute explicit
 stats per (column, partition-bucket) chunk and pick the codec
-ourselves. Stats are also persisted to the lineage table (C5 in
-SURVEY.md §2.1: the reference's column-statistics knobs become
-always-on here because the selector needs them).
+ourselves. Stats are persisted to lineage (C5 in SURVEY.md §2.1).
+
+Bandwidth discipline: stats run in the column's native dtype and make
+the minimum number of full passes — at 32 cores the encoder is
+memory-bound, and every extra pass over a token chunk costs real
+scaling efficiency. Cardinality is estimated from a sample (exact
+uniqueness is only computed by dict_encode itself if dict wins).
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from tokcodec.kernels import bits_needed, run_ends
+from tokcodec.kernels import bits_needed
 
-# above this chunk size, cardinality is estimated on a sample first and
-# the exact np.unique pass only runs when dict encoding could plausibly win
 CARD_SAMPLE = 1 << 16
-DICT_MAX_CARD_FRACTION = 0.5
+DICT_CARD_GATE = 4096  # sample card above this: dict can't win on ints
 
 
 def int_chunk_stats(v: np.ndarray) -> dict:
-    """v: int64 array. Returns the selector's feature dict."""
+    """v: numpy int array in its native dtype."""
     n = len(v)
     if n == 0:
         return {
@@ -31,39 +33,48 @@ def int_chunk_stats(v: np.ndarray) -> dict:
             "width_delta": 0, "run_width_for": 0,
         }
     vmin, vmax = int(v.min()), int(v.max())
-    ends = run_ends(v)
-    n_runs = len(ends)
-    lengths = np.diff(np.concatenate([[0], ends]))
-    d = np.diff(v) if n > 1 else np.zeros(0, dtype=np.int64)
-    srted = bool((d >= 0).all()) if len(d) else True
-    # zigzag delta width (what the delta codec would use)
-    if len(d):
-        max_abs = int(np.abs(d).max())
-        width_delta = bits_needed(2 * max_abs + 1)
-    else:
-        width_delta = 0
-    # cardinality: sample-gated exact count
-    if n > CARD_SAMPLE:
-        samp = v[:: max(1, n // CARD_SAMPLE)]
-        samp_card = len(np.unique(samp))
-        if samp_card > DICT_MAX_CARD_FRACTION * len(samp):
-            card = n  # dict hopeless; report worst case
+    rng = vmax - vmin
+    # diffs in native dtype when the span allows (no int64 upcast pass)
+    if n > 1:
+        if rng <= 2**31 - 1 and v.dtype.itemsize <= 4:
+            d = np.diff(v)
         else:
-            card = int(len(np.unique(v)))
+            d = np.diff(v.astype(np.int64, copy=False))
+        nz = d != 0
+        n_runs = int(np.count_nonzero(nz)) + 1
+        srted = bool((d >= 0).all())
+        width_delta = bits_needed(2 * int(np.abs(d).max()) + 1)
     else:
-        card = int(len(np.unique(v)))
-    run_vals = v[np.concatenate([[0], ends[:-1]])]
+        nz = np.zeros(0, dtype=bool)
+        n_runs, srted, width_delta = 1, True, 0
+    # exact run-length histogram only when RLE is plausible
+    if n_runs <= n // 4 + 1:
+        idx = np.flatnonzero(nz)
+        ends = np.concatenate([idx + 1, [n]])
+        max_run_len = int(np.diff(np.concatenate([[0], ends])).max())
+    else:
+        max_run_len = n  # conservative; RLE won't be picked anyway
+    # sampled cardinality (exact when the chunk fits in one sample)
+    stride = max(1, n // CARD_SAMPLE)
+    samp = v[::stride]
+    samp_card = int(len(np.unique(samp)))
+    if stride == 1:
+        card = samp_card
+    elif samp_card <= DICT_CARD_GATE:
+        card = int(samp_card * 1.1) + 1  # low-card: sample ≈ population
+    else:
+        card = n  # high-card: dict hopeless, skip exact count
     return {
         "n": n,
         "min": vmin,
         "max": vmax,
-        "n_runs": int(n_runs),
+        "n_runs": n_runs,
         "card": card,
         "sorted": srted,
-        "max_run_len": int(lengths.max()),
-        "width_for": bits_needed(vmax - vmin),
+        "max_run_len": max_run_len,
+        "width_for": bits_needed(rng),
         "width_delta": width_delta,
-        "run_width_for": bits_needed(int(run_vals.max()) - int(run_vals.min())),
+        "run_width_for": bits_needed(rng),  # upper bound for run values
     }
 
 
