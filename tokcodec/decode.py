@@ -129,3 +129,78 @@ def decode_blocks(blocks: DataFrame, schema: T.StructType,
     )
     fn = make_decode_fn(schema)
     return b.groupBy("bucket").applyInArrow(fn, schema=schema)
+
+
+def _default_array(dt: T.DataType, n: int, nullable: bool) -> pa.Array:
+    """Reference null/missing policy: missing or null for a primitive
+    becomes the type default 0/0.0/false/"" (ReadReflection.java:72-95,
+    schema-mismatch docs); nullable fields get nulls."""
+    target = spark_type_to_arrow(dt)
+    if nullable:
+        return pa.nulls(n, target)
+    if isinstance(dt, T.StringType):
+        return pa.array([""] * n, target)
+    if isinstance(dt, T.ArrayType):
+        offs = pa.array(np.zeros(n + 1, dtype=np.int32), pa.int32())
+        return pa.ListArray.from_arrays(
+            offs, pa.array([], spark_type_to_arrow(dt.elementType))
+        ).cast(target)
+    return pa.array(np.zeros(n, dtype=np.int64)).cast(target)
+
+
+def decode_blocks_as(blocks: DataFrame, file_schema: T.StructType,
+                     read_schema: T.StructType,
+                     aliases: dict[str, str] | None = None,
+                     fail_on_missing_column: bool = True,
+                     fail_on_narrowing: bool = False) -> DataFrame:
+    """Schema-on-read decode with the reference's mismatch policy
+    (SchemaValidation.java:63-124 + ColumnToFieldMapper):
+
+    - each read field resolves to a file column by alias > exact >
+      snake_case (reference P4);
+    - a missing column raises unless ``fail_on_missing_column=False``,
+      in which case the type default / null is materialized;
+    - numeric narrowing (stored int64 -> requested int32) truncates by
+      default; with ``fail_on_narrowing=True`` an overflowing value
+      raises (reference validatePrimitiveCompatibility semantics).
+    """
+    from tokcodec.naming import map_fields
+
+    file_by_name = {f.name: f for f in file_schema.fields}
+    mapping = map_fields(
+        list(file_by_name), [f.name for f in read_schema.fields],
+        aliases=aliases, fail_on_missing=fail_on_missing_column,
+    )
+    plan = []  # (out_field, file_field_or_None)
+    for rf in read_schema.fields:
+        col = mapping[rf.name]
+        plan.append((rf, file_by_name[col] if col is not None else None))
+
+    present = [ff.name for _, ff in plan if ff is not None]
+    b = blocks.filter(
+        (F.col("column") != METRICS_COLUMN) & F.col("column").isin(present)
+    )
+    out_schema = pa.schema(
+        [(rf.name, spark_type_to_arrow(rf.dataType)) for rf, _ in plan]
+    )
+
+    def fn(key: tuple, table: pa.Table) -> pa.Table:
+        recs = table.to_pylist()
+        by_col: dict[str, list[dict]] = {}
+        for r in recs:
+            by_col.setdefault(r["column"], []).append(r)
+        n = sum(r["n_rows"] for r in next(iter(by_col.values()))
+                if r["component"] == "values")
+        arrays = []
+        for (rf, ff), target in zip(plan, out_schema.types):
+            if ff is None:
+                arrays.append(_default_array(rf.dataType, n, rf.nullable))
+                continue
+            ftarget = spark_type_to_arrow(ff.dataType)
+            arr = _decode_field(by_col[ff.name], ff.dataType, ftarget)
+            if arr.type != target:
+                arr = arr.cast(target, safe=bool(fail_on_narrowing))
+            arrays.append(arr)
+        return pa.Table.from_arrays(arrays, schema=out_schema)
+
+    return b.groupBy("bucket").applyInArrow(fn, schema=read_schema)

@@ -115,6 +115,30 @@ def read_encoded(
     return decode_blocks(blocks, schema, columns)
 
 
+def read_encoded_as(
+    spark: SparkSession, path: str, read_schema,
+    aliases: dict[str, str] | None = None,
+    fail_on_missing_column: bool = True,
+    fail_on_narrowing: bool = False,
+) -> DataFrame:
+    """Schema-on-read decode with the reference's name-mapping and
+    mismatch policy (reference P4/P5; see decode.decode_blocks_as)."""
+    from tokcodec.decode import decode_blocks_as
+
+    blocks_p, lineage_p, manifest_p = _paths(path)
+    with open(manifest_p) as f:
+        manifest = json.load(f)
+    file_schema = manifest_schema(manifest)
+    blocks = spark.read.parquet(blocks_p)
+    lin = committed(spark.read.parquet(lineage_p)).select("bucket", "run_id")
+    blocks = blocks.join(F.broadcast(lin), ["bucket", "run_id"], "left_semi")
+    return decode_blocks_as(
+        blocks, file_schema, read_schema, aliases=aliases,
+        fail_on_missing_column=fail_on_missing_column,
+        fail_on_narrowing=fail_on_narrowing,
+    )
+
+
 def encoded_size_bytes(path: str) -> int:
     blocks_p, _, _ = _paths(path)
     total = 0

@@ -20,11 +20,20 @@ import numpy as np
 from tokcodec.kernels import bits_needed
 
 CARD_SAMPLE = 1 << 16
-DICT_CARD_GATE = 4096  # sample card above this: dict can't win on ints
+DICT_CARD_GATE = 4096   # sample card above this: dict can't win on ints
+STATS_WINDOW = 1 << 18  # run/delta stats from a window on huge chunks
 
 
 def int_chunk_stats(v: np.ndarray) -> dict:
-    """v: numpy int array in its native dtype."""
+    """v: numpy int array in its native dtype.
+
+    min/max are exact (codecs need them); run/sortedness/delta stats
+    come from a contiguous window on huge chunks — they only steer
+    *selection*, and each codec derives its real parameters from the
+    full data at encode time, so a sampling miss costs bytes, never
+    correctness. This keeps stats ~O(window) instead of 3+ full passes
+    per chunk (the encoder is memory-bound at full core count).
+    """
     n = len(v)
     if n == 0:
         return {
@@ -34,14 +43,16 @@ def int_chunk_stats(v: np.ndarray) -> dict:
         }
     vmin, vmax = int(v.min()), int(v.max())
     rng = vmax - vmin
-    # diffs in native dtype when the span allows (no int64 upcast pass)
-    if n > 1:
+    w = v if n <= STATS_WINDOW else v[(n - STATS_WINDOW) // 2:][:STATS_WINDOW]
+    nw = len(w)
+    scale = n / nw
+    if nw > 1:
         if rng <= 2**31 - 1 and v.dtype.itemsize <= 4:
-            d = np.diff(v)
+            d = np.diff(w)
         else:
-            d = np.diff(v.astype(np.int64, copy=False))
+            d = np.diff(w.astype(np.int64, copy=False))
         nz = d != 0
-        n_runs = int(np.count_nonzero(nz)) + 1
+        n_runs = int((np.count_nonzero(nz) + 1) * scale)
         srted = bool((d >= 0).all())
         width_delta = bits_needed(2 * int(np.abs(d).max()) + 1)
     else:
@@ -50,8 +61,8 @@ def int_chunk_stats(v: np.ndarray) -> dict:
     # exact run-length histogram only when RLE is plausible
     if n_runs <= n // 4 + 1:
         idx = np.flatnonzero(nz)
-        ends = np.concatenate([idx + 1, [n]])
-        max_run_len = int(np.diff(np.concatenate([[0], ends])).max())
+        ends = np.concatenate([idx + 1, [nw]])
+        max_run_len = int(np.diff(np.concatenate([[0], ends])).max() * scale)
     else:
         max_run_len = n  # conservative; RLE won't be picked anyway
     # sampled cardinality (exact when the chunk fits in one sample)
@@ -68,10 +79,10 @@ def int_chunk_stats(v: np.ndarray) -> dict:
         "n": n,
         "min": vmin,
         "max": vmax,
-        "n_runs": n_runs,
+        "n_runs": max(n_runs, 1),
         "card": card,
         "sorted": srted,
-        "max_run_len": max_run_len,
+        "max_run_len": max(max_run_len, 1),
         "width_for": bits_needed(rng),
         "width_delta": width_delta,
         "run_width_for": bits_needed(rng),  # upper bound for run values
