@@ -29,9 +29,20 @@ def verify_roundtrip(original: DataFrame, decoded: DataFrame,
                      key: str = "doc_id") -> dict:
     """Bit-identical round-trip check (the reference's record-equality
     round-trip tests, SURVEY.md §5.1, expressed as one join)."""
+    from pyspark.sql import types as T
+
     cols = [c for c in original.columns if c != key]
-    o = original.select(key, *[F.col(c).alias(f"o_{c}") for c in cols])
-    d = decoded.select(key, *[F.col(c).alias(f"d_{c}") for c in cols])
+
+    def comparable(df, c, alias):
+        col = F.col(c)
+        # maps aren't orderable for <=>; compare their entry arrays
+        # (decode preserves entry order, so this is exact)
+        if isinstance(df.schema[c].dataType, T.MapType):
+            col = F.map_entries(col)
+        return col.alias(alias)
+
+    o = original.select(key, *[comparable(original, c, f"o_{c}") for c in cols])
+    d = decoded.select(key, *[comparable(decoded, c, f"d_{c}") for c in cols])
     j = o.join(d, key, "full_outer")
     mismatch = None
     for c in cols:

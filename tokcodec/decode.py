@@ -43,15 +43,21 @@ def _cast_ints(v: np.ndarray, dt: T.DataType, target: pa.DataType) -> pa.Array:
     return arr.cast(target)
 
 
-def _decode_field(rows: list[dict], dt: T.DataType, target: pa.DataType) -> pa.Array:
-    """rows: this column's block rows for one bucket, all chunks/components."""
-    by_comp: dict[str, list[dict]] = {}
-    for r in rows:
-        by_comp.setdefault(r["component"], []).append(r)
-    for comp in by_comp.values():
-        comp.sort(key=lambda r: r["chunk"])
+def _apply_validity(out: pa.Array, valid: np.ndarray) -> pa.Array:
+    """Null out rows where valid==False via take-with-null-indices —
+    works uniformly for every type incl. nested."""
+    idx = np.arange(len(out), dtype=np.int64)
+    idx_arr = pa.array(idx, pa.int64(), mask=~valid)
+    return out.take(idx_arr)
 
-    def decode_numeric(comp_rows, inner_dt, inner_target):
+
+def _decode_node(by_comp: dict[str, list[dict]], prefix: str,
+                 dt: T.DataType, n: int) -> pa.Array:
+    """Recursive mirror of encode._encode_node over component paths."""
+    from tokcodec.encode import _map_as_list
+
+    def decode_numeric(comp_rows, inner_dt):
+        inner_target = spark_type_to_arrow(inner_dt)
         if isinstance(inner_dt, (T.FloatType, T.DoubleType)):
             parts = [decode_float_component(r) for r in comp_rows]
             return pa.array(np.concatenate(parts) if parts else
@@ -61,35 +67,70 @@ def _decode_field(rows: list[dict], dt: T.DataType, target: pa.DataType) -> pa.A
         v = np.concatenate(parts) if parts else np.zeros(0, dtype=nd)
         return _cast_ints(v.astype(nd, copy=False), inner_dt, inner_target)
 
-    if isinstance(dt, T.ArrayType):
-        lengths_parts = [decode_int_component(r) for r in by_comp["lengths"]]
+    def decode_leaf(component, inner_dt):
+        comp_rows = by_comp.get(component, [])
+        if isinstance(inner_dt, T.StringType):
+            vparts = [decode_str_component(r) for r in comp_rows]
+            return (pa.concat_arrays(vparts) if vparts
+                    else pa.array([], pa.string()))
+        return decode_numeric(comp_rows, inner_dt)
+
+    is_map = isinstance(dt, T.MapType)
+    node_dt = _map_as_list(dt) if is_map else dt
+
+    if isinstance(node_dt, T.ArrayType):
+        lengths_parts = [decode_int_component(r)
+                         for r in by_comp.get(prefix + "lengths", [])]
         lengths = (np.concatenate(lengths_parts) if lengths_parts
                    else np.zeros(0, dtype=np.int64))
-        et = dt.elementType
-        etarget = spark_type_to_arrow(et)
-        if isinstance(et, T.StringType):
-            vparts = [decode_str_component(r) for r in by_comp["values"]]
-            values = pa.concat_arrays(vparts) if vparts else pa.array([], pa.string())
+        et = node_dt.elementType
+        n_values = int(lengths.sum())
+        if isinstance(et, (T.StructType, T.ArrayType, T.MapType)):
+            values = _decode_node(by_comp, prefix + "values/", et, n_values)
         else:
-            values = decode_numeric(by_comp["values"], et, etarget)
+            values = decode_leaf(prefix + "values", et)
         offsets = np.zeros(len(lengths) + 1, dtype=np.int32)
         np.cumsum(lengths, out=offsets[1:])
-        out = pa.ListArray.from_arrays(
-            pa.array(offsets, pa.int32()), values.cast(etarget)
-        ).cast(target)
-    elif isinstance(dt, T.StringType):
-        vparts = [decode_str_component(r) for r in by_comp["values"]]
-        out = pa.concat_arrays(vparts) if vparts else pa.array([], pa.string())
+        offs_arr = pa.array(offsets, pa.int32())
+        if is_map:
+            svals = values
+            out = pa.MapArray.from_arrays(
+                offs_arr, svals.field(0), svals.field(1)
+            ).cast(spark_type_to_arrow(dt))
+        else:
+            out = pa.ListArray.from_arrays(
+                offs_arr, values.cast(spark_type_to_arrow(et))
+            ).cast(spark_type_to_arrow(dt))
+    elif isinstance(node_dt, T.StructType):
+        children = [
+            _decode_node(by_comp, f"{prefix}f:{f.name}/", f.dataType, n)
+            for f in node_dt.fields
+        ]
+        out = pa.StructArray.from_arrays(
+            children, fields=list(spark_type_to_arrow(node_dt))
+        )
     else:
-        out = decode_numeric(by_comp["values"], dt, target)
+        out = decode_leaf(prefix + "values", node_dt)
 
-    if "validity" in by_comp:
-        import pyarrow.compute as pc
-
-        vparts = [decode_int_component(r) for r in by_comp["validity"]]
+    vcomp = by_comp.get(prefix + "validity")
+    if vcomp:
+        vparts = [decode_int_component(r) for r in vcomp]
         valid = np.concatenate(vparts).astype(bool)
-        out = pc.if_else(pa.array(valid), out, pa.scalar(None, type=out.type))
+        out = _apply_validity(out, valid)
     return out
+
+
+def _decode_field(rows: list[dict], dt: T.DataType, target: pa.DataType) -> pa.Array:
+    """rows: this column's block rows for one bucket, all chunks/components."""
+    by_comp: dict[str, list[dict]] = {}
+    n = 0
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp, lst in by_comp.items():
+        lst.sort(key=lambda r: r["chunk"])
+        if "/" not in comp:  # top-level component: rows per chunk sum to n
+            n = max(n, sum(r["n_rows"] for r in lst))
+    return _decode_node(by_comp, "", dt, n)
 
 
 def make_decode_fn(schema: T.StructType):

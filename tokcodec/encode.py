@@ -26,7 +26,7 @@ from tokcodec.blocks import (
     encode_int_component,
     encode_str_component,
 )
-from tokcodec.schema import BLOCK_DDL
+from tokcodec.schema import BLOCK_DDL, spark_type_to_arrow
 
 BUCKET_COL = "__bucket"
 CHUNK_MAX_ROWS = 1 << 16        # 65,536 rows per chunk
@@ -64,51 +64,86 @@ def _to_native_np(arr: pa.Array) -> np.ndarray:
     return arr.to_numpy(zero_copy_only=False)
 
 
-def _encode_column(bucket: int, name: str, arr: pa.Array, dt: T.DataType) -> list[dict]:
-    """One Arrow column chunk -> block rows (values/lengths/validity)."""
+def _map_as_list(dt: T.MapType) -> T.ArrayType:
+    """Maps are stored as list<struct<key,value>> (Parquet's own
+    key_value shaping — reference E4, CollectionsWriters map writers)."""
+    return T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("key", dt.keyType, False),
+                T.StructField("value", dt.valueType, dt.valueContainsNull),
+            ]
+        ),
+        False,
+    )
+
+
+def _encode_node(bucket: int, name: str, prefix: str, arr: pa.Array,
+                 dt: T.DataType) -> list[dict]:
+    """Recursive component-path encoder. Component paths:
+    scalar -> '<p>values'; list -> '<p>lengths' + element under
+    '<p>values[/...]' (flat lists keep the legacy '<p>values' leaf);
+    struct -> '<p>f:<field>/...'; map -> stored as list<struct>.
+    Nullability at every level -> '<p>validity' (reference nested
+    shaping E3/E4, repetition levels re-expressed as per-level
+    lengths + validity bitmaps)."""
     import pyarrow.compute as pc
 
+    if isinstance(dt, T.MapType):
+        # the cast list carries the same validity; recurse without
+        # emitting a duplicate validity component at this path
+        larr = arr.cast(spark_type_to_arrow(_map_as_list(dt)))
+        return _encode_node(bucket, name, prefix, larr, _map_as_list(dt))
     rows: list[dict] = []
     if arr.null_count:
-        valid = arr.is_valid().to_numpy(zero_copy_only=False).astype(np.int64)
+        valid = arr.is_valid().to_numpy(zero_copy_only=False).astype(np.int8)
         rows.append(
-            encode_int_component(bucket, name, "validity", valid, 1, codec="bitpack")
+            encode_int_component(bucket, name, prefix + "validity", valid, 1,
+                                 codec="bitpack")
         )
     if isinstance(dt, T.ArrayType):
         lengths = pc.list_value_length(arr)
         if lengths.null_count:
             lengths = lengths.fill_null(0)
         lengths = lengths.to_numpy(zero_copy_only=False)
-        rows.append(encode_int_component(bucket, name, "lengths", lengths, 4))
+        rows.append(
+            encode_int_component(bucket, name, prefix + "lengths", lengths, 4)
+        )
         values = arr.flatten()
         et = dt.elementType
-        if isinstance(et, T.StringType):
-            rows.append(encode_str_component(bucket, name, "values", values))
-        elif isinstance(et, (T.FloatType, T.DoubleType)):
-            v = values.to_numpy(zero_copy_only=False)
-            rows.append(encode_float_component(bucket, name, "values", v))
+        if isinstance(et, (T.StructType, T.ArrayType, T.MapType)):
+            rows += _encode_node(bucket, name, prefix + "values/", values, et)
         else:
-            v = _to_native_np(values)
-            rows.append(
-                encode_int_component(
-                    bucket, name, "values", v, _INT_ITEMSIZE.get(type(et), 8)
-                )
-            )
-    elif isinstance(dt, T.StringType):
-        rows.append(encode_str_component(bucket, name, "values", arr))
-    elif isinstance(dt, (T.FloatType, T.DoubleType)):
+            rows += _encode_leaf(bucket, name, prefix + "values", values, et)
+        return rows
+    if isinstance(dt, T.StructType):
+        children = arr.flatten()  # offset-correct on sliced arrays
+        for f, child in zip(dt.fields, children):
+            rows += _encode_node(bucket, name, f"{prefix}f:{f.name}/", child,
+                                 f.dataType)
+        return rows
+    return rows + _encode_leaf(bucket, name, prefix + "values", arr, dt)
+
+
+def _encode_leaf(bucket: int, name: str, component: str, arr: pa.Array,
+                 dt: T.DataType) -> list[dict]:
+    if isinstance(dt, T.StringType):
+        return [encode_str_component(bucket, name, component, arr)]
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
         if arr.null_count:
             arr = arr.fill_null(0.0)
         v = arr.to_numpy(zero_copy_only=False)
-        rows.append(encode_float_component(bucket, name, "values", v))
-    elif type(dt) in _INT_ITEMSIZE:
+        return [encode_float_component(bucket, name, component, v)]
+    if type(dt) in _INT_ITEMSIZE:
         v = _to_native_np(arr)
-        rows.append(
-            encode_int_component(bucket, name, "values", v, _INT_ITEMSIZE[type(dt)])
-        )
-    else:
-        raise NotImplementedError(f"column {name}: unsupported type {dt}")
-    return rows
+        return [encode_int_component(bucket, name, component, v,
+                                     _INT_ITEMSIZE[type(dt)])]
+    raise NotImplementedError(f"column {name}: unsupported leaf type {dt}")
+
+
+def _encode_column(bucket: int, name: str, arr: pa.Array, dt: T.DataType) -> list[dict]:
+    """One Arrow column chunk -> block rows (component tree)."""
+    return _encode_node(bucket, name, "", arr, dt)
 
 
 def _chunk_bounds(n_rows: int, list_lengths: np.ndarray | None) -> list[tuple[int, int]]:
@@ -193,13 +228,59 @@ def make_encode_fn(schema: T.StructType, run_id: str):
     return fn
 
 
-def encode_table(df: DataFrame, n_buckets: int, run_id: str = "run0") -> DataFrame:
+def make_encode_map_fn(schema: T.StructType, run_id: str):
+    """mapInArrow variant: one partition may hold several whole buckets
+    (repartition(n, bucket) colocates each bucket in exactly one
+    partition); group by bucket here instead of paying applyInArrow's
+    JVM-side per-partition row sort — measurably the 4N-level
+    bottleneck on wide token rows."""
+    inner = make_encode_fn(schema, run_id)
+
+    def fn(batches):
+        import pyarrow as pa
+
+        batches = list(batches)
+        if not batches:
+            return  # empty partition (bucket-hash collision elsewhere)
+        tbl = pa.Table.from_batches(batches)
+        if tbl.num_rows == 0:
+            return
+        buckets = tbl.column(BUCKET_COL)
+        tbl = tbl.combine_chunks()
+        import pyarrow.compute as pc
+
+        for b in pc.unique(buckets).to_pylist():
+            sub = tbl.filter(pc.equal(tbl.column(BUCKET_COL), b))
+            out = inner((b,), sub.drop_columns([BUCKET_COL]))
+            yield from out.to_batches()
+
+    return fn
+
+
+def encode_table(df: DataFrame, n_buckets: int, run_id: str = "run0",
+                 mode: str = "group") -> DataFrame:
     """DataFrame of SEQ-shaped rows -> DataFrame of encoded blocks.
 
     One shuffle (the salted repartition), then embarrassingly parallel
     per-bucket encode. At cluster scale, size ``n_buckets`` so a bucket
     is a few hundred MB (e.g. 100 TB -> ~400k buckets).
+
+    mode 'group' (default): groupBy(bucket).applyInArrow. mode 'map':
+    repartition(n_buckets, bucket) + mapInArrow — identical bucket->task
+    placement and resume semantics, no JVM-side group sort; kept as an
+    alternative (A/B showed parity within sandbox noise).
     """
     b = with_bucket(df, n_buckets)
-    fn = make_encode_fn(df.schema, run_id)
-    return b.groupBy(BUCKET_COL).applyInArrow(fn, schema=BLOCK_DDL)
+    return encode_bucketed(b, df.schema, n_buckets, run_id, mode)
+
+
+def encode_bucketed(b: DataFrame, schema: T.StructType, n_buckets: int,
+                    run_id: str, mode: str = "group") -> DataFrame:
+    """Encode an already-bucketed DataFrame (has BUCKET_COL)."""
+    if mode == "group":
+        fn = make_encode_fn(schema, run_id)
+        return b.groupBy(BUCKET_COL).applyInArrow(fn, schema=BLOCK_DDL)
+    fn = make_encode_map_fn(schema, run_id)
+    return b.repartition(n_buckets, F.col(BUCKET_COL)).mapInArrow(
+        fn, schema=BLOCK_DDL
+    )

@@ -22,7 +22,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from tokcodec.decode import decode_blocks
-from tokcodec.encode import BUCKET_COL, encode_table, make_encode_fn, with_bucket
+from tokcodec.encode import BUCKET_COL, with_bucket
 from tokcodec.lineage import committed, lineage_from_blocks
 from tokcodec.schema import BLOCK_DDL, manifest_schema, schema_manifest
 
@@ -64,8 +64,9 @@ def write_encoded(
         )[:fail_after_buckets]
         b = b.filter(F.col(BUCKET_COL).isin(pending))
 
-    fn = make_encode_fn(df.schema, run_id)
-    blocks = b.groupBy(BUCKET_COL).applyInArrow(fn, schema=BLOCK_DDL)
+    from tokcodec.encode import encode_bucketed
+
+    blocks = encode_bucketed(b, df.schema, n_buckets, run_id)
     (
         blocks.write.mode("append")
         .option("compression", "none")

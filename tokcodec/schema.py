@@ -64,6 +64,17 @@ def spark_type_to_arrow(dt: T.DataType) -> pa.DataType:
             pa.field("element", spark_type_to_arrow(dt.elementType),
                      nullable=dt.containsNull)
         )
+    if isinstance(dt, T.StructType):
+        return pa.struct(
+            [pa.field(f.name, spark_type_to_arrow(f.dataType),
+                      nullable=f.nullable) for f in dt.fields]
+        )
+    if isinstance(dt, T.MapType):
+        return pa.map_(
+            spark_type_to_arrow(dt.keyType),
+            pa.field("value", spark_type_to_arrow(dt.valueType),
+                     nullable=dt.valueContainsNull),
+        )
     raise NotImplementedError(f"unsupported type {dt}")
 
 
