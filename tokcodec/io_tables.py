@@ -40,6 +40,7 @@ def write_encoded(
     run_id: str | None = None,
     resume: bool = False,
     fail_after_buckets: int | None = None,
+    epoch: int = 0,
 ) -> dict:
     """Encode ``df`` into ``path``. With ``resume=True``, buckets whose
     lineage commit already exists are skipped (anti-join against the
@@ -53,7 +54,8 @@ def write_encoded(
     done: list[int] = []
     if resume and os.path.exists(lineage_p):
         lin = spark.read.parquet(lineage_p)
-        done = [r.bucket for r in committed(lin).select("bucket").collect()]
+        done = [r.bucket for r in
+                committed(lin, epoch=epoch).select("bucket").collect()]
         if done:
             b = b.filter(~F.col(BUCKET_COL).isin(done))
     pending = None
@@ -74,7 +76,7 @@ def write_encoded(
     )
     # commit point: lineage written only after blocks are durable
     new_blocks = spark.read.parquet(blocks_p).filter(F.col("run_id") == run_id)
-    lineage_from_blocks(new_blocks).write.mode("append").parquet(lineage_p)
+    lineage_from_blocks(new_blocks, epoch=epoch).write.mode("append").parquet(lineage_p)
     with open(manifest_p, "w") as f:
         f.write(schema_manifest(df.schema, n_buckets, run_id))
 

@@ -9,6 +9,11 @@ between the two leaves orphan blocks that decode ignores (it reads only
 (bucket, run_id) pairs present in lineage) and resume re-encodes —
 exactly-once without distributed transactions.
 
+``epoch`` distinguishes dataset generations: batch (re-)encodes use
+epoch 0 and the latest committed run wins per bucket; streaming appends
+use the micro-batch id as epoch, so a redelivered batch is idempotent
+(winner per (bucket, epoch)) while distinct batches union on read.
+
 The reference's analogue is the file-level extra metadata + footer
 commit of a Parquet file (CarpetWriter.java:606-621; footer written at
 close, CarpetWriter.java:147-150).
@@ -21,7 +26,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from tokcodec.encode import METRICS_COLUMN
 
 
-def lineage_from_blocks(blocks: DataFrame) -> DataFrame:
+def lineage_from_blocks(blocks: DataFrame, epoch: int = 0) -> DataFrame:
     """Aggregate block rows into one committed lineage row per bucket."""
     is_m = F.col("column") == METRICS_COLUMN
     return (
@@ -36,6 +41,7 @@ def lineage_from_blocks(blocks: DataFrame) -> DataFrame:
             F.max(F.when(is_m, F.get_json_object("meta", "$.wall_ms").cast("double")))
             .alias("wall_ms"),
         )
+        .withColumn("epoch", F.lit(int(epoch)).cast("bigint"))
         .withColumn(
             "ratio",
             F.when(F.col("orig_bytes") > 0,
@@ -44,20 +50,25 @@ def lineage_from_blocks(blocks: DataFrame) -> DataFrame:
         .withColumn("offset", F.col("bucket").cast("bigint"))
         .withColumn("ts", F.unix_timestamp(F.current_timestamp()).cast("double"))
         .select(
-            "run_id", "bucket", "status", "n_rows", "orig_bytes", "enc_bytes",
-            "ratio", "codecs", "checksum", "offset", "wall_ms", "ts",
+            "run_id", "bucket", "epoch", "status", "n_rows", "orig_bytes",
+            "enc_bytes", "ratio", "codecs", "checksum", "offset", "wall_ms",
+            "ts",
         )
     )
 
 
-def committed(lineage: DataFrame) -> DataFrame:
-    """Winning (bucket, run_id) per bucket: the latest committed run.
-    Used both by decode (which blocks to read) and resume (which
-    buckets to skip)."""
-    w = Window.partitionBy("bucket").orderBy(F.desc("ts"), F.desc("run_id"))
+def committed(lineage: DataFrame, epoch: int | None = None) -> DataFrame:
+    """Winning (bucket, run_id) rows: per (bucket, epoch), the latest
+    committed run. ``epoch`` filters to one generation (resume); None
+    returns winners across all epochs (decode reads their union)."""
+    lin = lineage.filter(F.col("status") == "committed")
+    if epoch is not None:
+        lin = lin.filter(F.col("epoch") == int(epoch))
+    w = Window.partitionBy("bucket", "epoch").orderBy(
+        F.desc("ts"), F.desc("run_id")
+    )
     return (
-        lineage.filter(F.col("status") == "committed")
-        .withColumn("__rn", F.row_number().over(w))
+        lin.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )

@@ -32,8 +32,11 @@ BLOCK_DDL = (
 
 # per-bucket lineage/metrics (BASELINE.json north_star: codec chosen,
 # ratio, bytes in/out, checkpoint offset)
+# epoch: 0 for batch (re-)encodes — one winning run per bucket; a
+# streaming micro-batch id for appends — winner per (bucket, epoch),
+# so redelivered batches are idempotent while distinct batches union.
 LINEAGE_DDL = (
-    "run_id string, bucket int, status string, n_rows bigint, "
+    "run_id string, bucket int, epoch bigint, status string, n_rows bigint, "
     "orig_bytes bigint, enc_bytes bigint, ratio double, "
     "codecs string, checksum bigint, offset bigint, wall_ms double, "
     "ts double"
