@@ -59,6 +59,21 @@ def test_missing_column_defaults_when_allowed(spark, enc_path):
     assert row.n == 2000 and row.nulls == 2000 and row.zeros == 0
 
 
+def test_missing_default_next_to_list_column(spark, enc_path):
+    # row count must come from the list column's lengths component,
+    # not its flattened element count
+    rs = T.StructType([
+        T.StructField("tokens", T.ArrayType(T.IntegerType(), False), False),
+        T.StructField("missing", T.LongType(), True),
+    ])
+    out = read_encoded_as(spark, enc_path, rs, fail_on_missing_column=False)
+    row = out.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("missing").isNull(), 1).otherwise(0)).alias("nulls"),
+    ).collect()[0]
+    assert row.n == 2000 and row.nulls == 2000
+
+
 def test_widening_int_to_long(spark, enc_path):
     rs = T.StructType([T.StructField("n_tok", T.LongType(), False)])
     out = read_encoded_as(spark, enc_path, rs)

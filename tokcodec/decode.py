@@ -43,6 +43,28 @@ def _cast_ints(v: np.ndarray, dt: T.DataType, target: pa.DataType) -> pa.Array:
     return arr.cast(target)
 
 
+def _column_row_count(rows: list[dict]) -> int:
+    """Row count of a column from its block rows. A component is 1:1
+    with rows iff its path never descends through a list's 'values/'
+    segment (struct 'f:*' segments keep row cardinality; lengths /
+    validity / scalar values at such a path count rows)."""
+    comps = {r["component"] for r in rows}
+
+    def counts_rows(c: str) -> bool:
+        parts = c.split("/")
+        if not all(p.startswith("f:") for p in parts[:-1]):
+            return False  # below a list's values/: element cardinality
+        if parts[-1] == "values":
+            # a sibling 'lengths' means this is a list's element values
+            return "/".join(parts[:-1] + ["lengths"]) not in comps
+        return parts[-1] in ("lengths", "validity")
+
+    for c in sorted(comps):
+        if counts_rows(c):
+            return sum(r["n_rows"] for r in rows if r["component"] == c)
+    return 0
+
+
 def _apply_validity(out: pa.Array, valid: np.ndarray) -> pa.Array:
     """Null out rows where valid==False via take-with-null-indices —
     works uniformly for every type incl. nested."""
@@ -230,8 +252,7 @@ def decode_blocks_as(blocks: DataFrame, file_schema: T.StructType,
         by_col: dict[str, list[dict]] = {}
         for r in recs:
             by_col.setdefault(r["column"], []).append(r)
-        n = sum(r["n_rows"] for r in next(iter(by_col.values()))
-                if r["component"] == "values")
+        n = _column_row_count(next(iter(by_col.values())))
         arrays = []
         for (rf, ff), target in zip(plan, out_schema.types):
             if ff is None:
