@@ -67,7 +67,7 @@ for _ in range(2):  # plan codegen + JIT warm (needs 2-3 executions)
 wdir = "/dev/shm" if os.path.isdir("/dev/shm") else None
 work = tempfile.mkdtemp(prefix=f"scale{{cores}}_", dir=wdir)
 dts = []
-for rep in range(6):  # min-of-6: sandbox has exogenous stalls
+for rep in range(8):  # min-of-8: sandbox has exogenous stalls
     t0 = time.monotonic()
     write_encoded(df, os.path.join(work, f"enc{{rep}}"), n_buckets=32,
                   run_id="scale")

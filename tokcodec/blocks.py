@@ -30,7 +30,7 @@ import numpy as np
 import pyarrow as pa
 
 from tokcodec.codecs.fsst import fsst_decode, fsst_encode
-from tokcodec.codecs.intcodecs import INT_CODECS, decode_ints, encode_ints
+from tokcodec.codecs.intcodecs import decode_ints, encode_ints
 from tokcodec.codecs.strcodecs import (
     STR_CODECS,
     arrow_to_strchunk,

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import json
 import os
-import time
+
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from tokcodec.decode import decode_blocks
 from tokcodec.encode import BUCKET_COL, with_bucket
 from tokcodec.lineage import committed, lineage_from_blocks
-from tokcodec.schema import BLOCK_DDL, manifest_schema, schema_manifest
+from tokcodec.schema import manifest_schema, schema_manifest
 
 
 def _paths(path: str) -> tuple[str, str, str]:
