@@ -164,40 +164,11 @@ def main() -> None:
         "enc_bytes": hi["enc_bytes"],
     }
     print(json.dumps(result))
-    md = os.path.join(REPO, "BENCH", "BASELINE.md")
-    os.makedirs(os.path.dirname(md), exist_ok=True)
-    header = not os.path.exists(md)
-    with open(md, "a") as f:
-        if header:
-            f.write(
-                "# BENCH/BASELINE — measured scaling results\n\n"
-                "Same encode job, same input (32 pinned partitions, 32\n"
-                "buckets), two parallelism levels standing in for N and 4N\n"
-                "executors (sandbox has no real cluster — driver\n"
-                "instruction). This box's DRAM is shared between levels:\n"
-                "a 32-proc memcpy gets only ~1.36x the bandwidth of 8\n"
-                "procs, so raw efficiency is hardware-capped at ~0.34 for\n"
-                "any memory-touching job; a real N->4N executor cluster\n"
-                "adds DRAM with each host. bw-normalized efficiency =\n"
-                "(thr32/thr8) / (copyBW32/copyBW8); >= 0.8 means the\n"
-                "engine adds no scaling bottleneck beyond shared-DRAM\n"
-                "physics. Per-bucket encode wall-ms (p50) flat across\n"
-                "levels confirms no contention inside engine code.\n\n"
-                "| when | rows | tokens | tok/s local[8] | tok/s local[32] "
-                "| raw eff | bw scaling | norm eff | bucket p50 ms 8/32 "
-                "| pass |\n|---|---|---|---|---|---|---|---|---|---|\n"
-            )
-        f.write(
-            f"| {time.strftime('%Y-%m-%d %H:%M:%S')} | {rows} "
-            f"| {result['tokens']} | {result['local8_tokens_per_sec']} "
-            f"| {result['local32_tokens_per_sec']} "
-            f"| {result['raw_efficiency_8_to_32']} "
-            f"| {result['hardware_bw_scaling_8_to_32']} "
-            f"| {result['bw_normalized_efficiency']} "
-            f"| {round(result['bucket_wall_ms_p50']['local8'])}/"
-            f"{round(result['bucket_wall_ms_p50']['local32'])} "
-            f"| {'YES' if result['pass_normalized'] else 'NO'} |\n"
-        )
+    log = os.path.join(REPO, "BENCH", "runs.log.jsonl")
+    os.makedirs(os.path.dirname(log), exist_ok=True)
+    with open(log, "a") as f:
+        f.write(json.dumps({"when": time.strftime("%Y-%m-%d %H:%M:%S"),
+                            **result}) + "\n")
 
 
 if __name__ == "__main__":

@@ -19,8 +19,10 @@ from tokcodec.io_tables import (  # noqa: F401
     encoded_size_bytes,
     parquet_size_bytes,
     read_encoded,
+    read_encoded_as,
     write_encoded,
 )
+from tokcodec.naming import camel_to_snake, map_fields, snake_to_camel  # noqa: F401
 from tokcodec.schema import SEQ_SCHEMA  # noqa: F401
 from tokcodec.synth import synth_df  # noqa: F401
 

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from tokcodec.decode import decode_blocks
 from tokcodec.encode import BUCKET_COL, with_bucket
 from tokcodec.lineage import committed, lineage_from_blocks
-from tokcodec.schema import manifest_schema, schema_manifest
+from tokcodec.schema import BLOCK_DDL, LINEAGE_DDL, manifest_schema, schema_manifest
 
 
 def _paths(path: str) -> tuple[str, str, str]:
@@ -53,7 +53,7 @@ def write_encoded(
     b = with_bucket(df, n_buckets)
     done: list[int] = []
     if resume and os.path.exists(lineage_p):
-        lin = spark.read.parquet(lineage_p)
+        lin = spark.read.schema(LINEAGE_DDL).parquet(lineage_p)
         done = [r.bucket for r in
                 committed(lin, epoch=epoch).select("bucket").collect()]
         if done:
@@ -71,16 +71,23 @@ def write_encoded(
     blocks = encode_bucketed(b, df.schema, n_buckets, run_id)
     (
         blocks.write.mode("append")
+        # one directory per column: projection on read = partition
+        # pruning; unrequested columns' payload files are never opened
+        # (reference P3's "only pages of requested columns are read")
+        .partitionBy("column")
         .option("compression", "none")
         .parquet(blocks_p)
     )
     # commit point: lineage written only after blocks are durable
-    new_blocks = spark.read.parquet(blocks_p).filter(F.col("run_id") == run_id)
+    # (explicit schema: an empty run writes no data files to infer from)
+    new_blocks = spark.read.schema(BLOCK_DDL).parquet(blocks_p).filter(
+        F.col("run_id") == run_id
+    )
     lineage_from_blocks(new_blocks, epoch=epoch).write.mode("append").parquet(lineage_p)
     with open(manifest_p, "w") as f:
         f.write(schema_manifest(df.schema, n_buckets, run_id))
 
-    lin = spark.read.parquet(lineage_p)
+    lin = spark.read.schema(LINEAGE_DDL).parquet(lineage_p)
     agg = (
         committed(lin)
         .agg(
@@ -93,8 +100,8 @@ def write_encoded(
     )
     return {
         "run_id": run_id,
-        "buckets": agg.buckets,
-        "rows": agg.rows,
+        "buckets": agg.buckets or 0,
+        "rows": agg.rows or 0,
         "orig_bytes": agg.orig_bytes,
         "enc_bytes": agg.enc_bytes,
         "skipped_buckets": len(done),
@@ -111,8 +118,9 @@ def read_encoded(
     with open(manifest_p) as f:
         manifest = json.load(f)
     schema = manifest_schema(manifest)
-    blocks = spark.read.parquet(blocks_p)
-    lin = committed(spark.read.parquet(lineage_p)).select("bucket", "run_id")
+    blocks = spark.read.schema(BLOCK_DDL).parquet(blocks_p)
+    lin = committed(spark.read.schema(LINEAGE_DDL).parquet(lineage_p)) \
+        .select("bucket", "run_id")
     # small table: one row per bucket — broadcast the semi join
     blocks = blocks.join(F.broadcast(lin), ["bucket", "run_id"], "left_semi")
     return decode_blocks(blocks, schema, columns)
@@ -132,8 +140,9 @@ def read_encoded_as(
     with open(manifest_p) as f:
         manifest = json.load(f)
     file_schema = manifest_schema(manifest)
-    blocks = spark.read.parquet(blocks_p)
-    lin = committed(spark.read.parquet(lineage_p)).select("bucket", "run_id")
+    blocks = spark.read.schema(BLOCK_DDL).parquet(blocks_p)
+    lin = committed(spark.read.schema(LINEAGE_DDL).parquet(lineage_p)) \
+        .select("bucket", "run_id")
     blocks = blocks.join(F.broadcast(lin), ["bucket", "run_id"], "left_semi")
     return decode_blocks_as(
         blocks, file_schema, read_schema, aliases=aliases,
