@@ -334,7 +334,114 @@ def q_emb_label_stats(spark, sf_dir):
     )
 
 
+def q_roundtrip_embeddings_topk(spark, sf_dir):
+    """float-array round-trip under a real workload: encode the
+    embeddings table through the engine, decode, brute-force cosine
+    top-k over the DECODED vectors. Bit-identical floats <=> identical
+    ranking vs the oracle over the raw table."""
+    from tokcodec.io_tables import read_encoded, write_encoded
+
+    key = os.path.abspath(sf_dir) + "#emb"
+    if key not in _DECODED_CACHE:
+        e = _t(spark, sf_dir, "embeddings")
+        path = os.path.join(
+            tempfile.gettempdir(), "tokcodec_entry_emb",
+            os.path.abspath(sf_dir).replace(os.sep, "_"),
+        )
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        write_encoded(e, path, n_buckets=4, run_id="emb")
+        _DECODED_CACHE[key] = read_encoded(spark, path)
+    e = _DECODED_CACHE[key]
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    dot = "aggregate(zip_with(embedding, q, (a, b) -> cast(a as double) * b), 0D, (s, x) -> s + x)"
+    nrm = "sqrt(aggregate(embedding, 0D, (s, x) -> s + cast(x as double) * x))"
+    qnrm = "sqrt(aggregate(q, 0D, (s, x) -> s + cast(x as double) * x))"
+    return (
+        e.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != 0)
+        .withColumn("sim", F.expr(f"({dot}) / (({nrm}) * ({qnrm}))"))
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(15)
+        .select("vec_id", "label")
+    )
+
+
+def q_cube_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn("yr", F.year("o_orderdate"))
+        .cube("o_orderpriority", "yr")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+
+
+def q_intersect_parts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") >= 30).select("l_partkey")
+    b = li.filter(F.col("l_discount") >= 0.05).select("l_partkey")
+    return a.intersect(b).groupBy().agg(F.count("*").alias("n_parts"))
+
+
+def q_docs_stopword_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    stop = F.size(F.expr(
+        "filter(split(text, ' '), w -> w in ('the','a','of','and','to'))"
+    ))
+    return (
+        d.withColumn("n_words", F.size(words))
+        .withColumn("n_stop", stop)
+        .groupBy("lang")
+        .agg(
+            F.sum(F.col("n_stop").cast("long")).alias("sum_stop"),
+            F.sum(F.col("n_words").cast("long")).alias("sum_words"),
+            F.sum(F.when(F.col("n_stop") * 100 >= F.col("n_words") * 20, 1)
+                  .otherwise(0)).alias("n_high_stop"),
+        )
+    )
+
+
+def q_docs_ngram_overlap(spark, sf_dir):
+    """n-gram Jaccard near-dup scoring between adjacent doc pairs
+    (integer counts — hash-stable across engines)."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr("array_distinct(split(text, ' '))").alias("ws"),
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") + 1 == F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.size(F.expr("array_intersect(a.ws, b.ws)")).alias("n_common"),
+            F.size(F.expr("array_union(a.ws, b.ws)")).alias("n_union"),
+        )
+        .filter(F.col("doc_id") % 7 == 0)
+    )
+
+
 # ------------------------------------------- non-SQL (rows-only) queries
+def q_media_feature_stats(spark, sf_dir):
+    """Multimodal plumbing: synth media blobs -> engine round-trip ->
+    stubbed feature extraction -> per-kind stats (rows-only; the fake
+    decode is deterministic but not SQL-expressible)."""
+    from tokcodec.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, 500, seed=11)
+    feats = extract_features(media)
+    return feats.groupBy("kind").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.expr(
+            "aggregate(feature, 0D, (s, x) -> s + cast(x as double) * x)"
+        )), 4).alias("sum_sq_norm"),
+    )
+
+
+
 def q_minhash_neardup_pairs(spark, sf_dir):
     """MinHash+LSH near-duplicate candidate pairs over documents:
     3-word shingles -> 16 minhashes -> 4 bands -> bucket join."""
@@ -489,10 +596,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_fingerprint": q_docs_fingerprint,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_label_stats": q_emb_label_stats,
+        "roundtrip_embeddings_topk": q_roundtrip_embeddings_topk,
+        "cube_orders": q_cube_orders,
+        "intersect_parts": q_intersect_parts,
+        "docs_stopword_quality": q_docs_stopword_quality,
+        "docs_ngram_overlap": q_docs_ngram_overlap,
         "minhash_neardup_pairs": q_minhash_neardup_pairs,
         "simhash_hamming_hist": q_simhash_hamming_hist,
         "ann_ivf_topk": q_ann_ivf_topk,
         "encode_lineage_metrics": q_encode_lineage_metrics,
+        "media_feature_stats": q_media_feature_stats,
     }
 
 
@@ -628,4 +741,46 @@ LIMIT 10""",
         "emb_label_stats": """
 SELECT label, COUNT(*) AS n, MAX(len(embedding)) AS dim
 FROM embeddings GROUP BY label""",
+        "roundtrip_embeddings_topk": """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label
+FROM embeddings, q
+WHERE vec_id != 0
+ORDER BY list_dot_product(
+           list_transform(embedding, x -> CAST(x AS DOUBLE)),
+           list_transform(qv, x -> CAST(x AS DOUBLE)))
+         / (sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                  list_transform(embedding, x -> CAST(x AS DOUBLE))))
+            * sqrt(list_dot_product(list_transform(qv, x -> CAST(x AS DOUBLE)),
+                                    list_transform(qv, x -> CAST(x AS DOUBLE))))) DESC,
+         vec_id
+LIMIT 15""",
+        "cube_orders": """
+SELECT o_orderpriority, EXTRACT(year FROM o_orderdate) AS yr,
+       COUNT(*) AS n,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+FROM orders GROUP BY CUBE(o_orderpriority, yr)""",
+        "intersect_parts": """
+WITH a AS (SELECT l_partkey FROM lineitem WHERE l_quantity >= 30),
+     b AS (SELECT l_partkey FROM lineitem WHERE l_discount >= 0.05),
+     i AS (SELECT l_partkey FROM a INTERSECT SELECT l_partkey FROM b)
+SELECT COUNT(*) AS n_parts FROM i""",
+        "docs_stopword_quality": """
+SELECT lang,
+       SUM(len(list_filter(str_split(text, ' '),
+               w -> w IN ('the','a','of','and','to')))) AS sum_stop,
+       SUM(len(str_split(text, ' '))) AS sum_words,
+       SUM(CASE WHEN len(list_filter(str_split(text, ' '),
+                w -> w IN ('the','a','of','and','to'))) * 100
+                >= len(str_split(text, ' ')) * 20 THEN 1 ELSE 0 END)
+         AS n_high_stop
+FROM documents GROUP BY lang""",
+        "docs_ngram_overlap": """
+WITH d AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS ws
+           FROM documents)
+SELECT a.doc_id AS doc_id,
+       CAST(len(list_intersect(a.ws, b.ws)) AS INTEGER) AS n_common,
+       CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS INTEGER) AS n_union
+FROM d a JOIN d b ON a.doc_id + 1 = b.doc_id
+WHERE a.doc_id % 7 = 0""",
     }

