@@ -72,3 +72,32 @@ def test_nested_with_empty_and_null_collections(spark):
     blocks = encode_table(df, n_buckets=2)
     dec = decode_blocks(blocks, df.schema)
     assert verify_roundtrip(df, dec, key="id")["ok"]
+
+def test_decimal_roundtrip(spark):
+    from decimal import Decimal
+
+    rows = [(f"d{i}", Decimal(i * 7 - 500) / Decimal(100),
+             None if i % 9 == 0 else Decimal(i) * Decimal("0.001"))
+            for i in range(2000)]
+    df = spark.createDataFrame(
+        rows, "id string, price decimal(12,2), rate decimal(18,6)"
+    )
+    from tokcodec.encode import encode_table
+    from tokcodec.decode import decode_blocks
+    from tokcodec import verify_roundtrip
+
+    blocks = encode_table(df, n_buckets=3)
+    dec = decode_blocks(blocks, df.schema)
+    res = verify_roundtrip(df, dec, key="id")
+    assert res["ok"], res
+    assert dec.schema == df.schema
+
+
+def test_decimal_precision_19_rejected(spark):
+    from decimal import Decimal
+
+    df = spark.createDataFrame([("a", Decimal(1))], "id string, v decimal(19,0)")
+    from tokcodec.encode import encode_table
+
+    with pytest.raises(Exception, match="precision > 18|NotImplementedError"):
+        encode_table(df, n_buckets=1).count()

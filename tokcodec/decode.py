@@ -37,6 +37,15 @@ _NP_DTYPE = {
 def _cast_ints(v: np.ndarray, dt: T.DataType, target: pa.DataType) -> pa.Array:
     # v is already in the narrowest numpy dtype for dt (decode stays in
     # narrow lanes); remaining casts are cheap metadata-level ones
+    if isinstance(dt, T.DecimalType):
+        # unscaled int64 -> decimal128 buffer (sign-extend to 128 bits)
+        v = v.astype(np.int64, copy=False)
+        words = np.empty((len(v), 2), dtype=np.int64)
+        words[:, 0] = v
+        words[:, 1] = np.where(v < 0, -1, 0)
+        return pa.Array.from_buffers(
+            target, len(v), [None, pa.py_buffer(words.tobytes())]
+        )
     arr = pa.array(v)
     if isinstance(dt, T.BooleanType):
         return arr.cast(pa.bool_())

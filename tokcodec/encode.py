@@ -125,8 +125,25 @@ def _encode_node(bucket: int, name: str, prefix: str, arr: pa.Array,
     return rows + _encode_leaf(bucket, name, prefix + "values", arr, dt)
 
 
+def _decimal_unscaled(arr: pa.Array) -> np.ndarray:
+    """decimal128 -> unscaled int64 (valid for precision <= 18 — the
+    reference stores those as INT64 too, BigDecimalWrite.java:49-73).
+    The 128-bit little-endian storage's low word carries the value."""
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    if arr.null_count:
+        arr = arr.fill_null(0)
+    buf = arr.buffers()[1]
+    words = np.frombuffer(buf, dtype=np.int64)
+    return words[2 * arr.offset::2][: len(arr)].copy()
+
+
 def _encode_leaf(bucket: int, name: str, component: str, arr: pa.Array,
                  dt: T.DataType) -> list[dict]:
+    if isinstance(dt, T.DecimalType):
+        if dt.precision > 18:
+            raise NotImplementedError("decimal precision > 18 (v0 limit)")
+        v = _decimal_unscaled(arr)
+        return [encode_int_component(bucket, name, component, v, 8)]
     if isinstance(dt, (T.StringType, T.BinaryType)):
         # binary (opaque multimodal blobs) shares the string layout
         return [encode_str_component(bucket, name, component, arr)]

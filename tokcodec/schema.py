@@ -60,6 +60,8 @@ def spark_type_to_arrow(dt: T.DataType) -> pa.DataType:
     }
     if type(dt) in m:
         return m[type(dt)]
+    if isinstance(dt, T.DecimalType):
+        return pa.decimal128(dt.precision, dt.scale)
     if isinstance(dt, T.ArrayType):
         # Spark's Arrow schema names the child "element" and carries
         # containsNull — must match exactly for applyInArrow results
