@@ -89,9 +89,16 @@ def encode_int_component(bucket, column, component, v: np.ndarray, itemsize: int
                          codec: str | None = None) -> dict:
     """v: numpy int array in the column's native storage dtype."""
     v = np.ascontiguousarray(v)
+    st = None
     if codec is None:
         codec, st = select_int_codec(v, itemsize)
     payload, meta = encode_ints(v, codec)
+    if len(v) and component.endswith("values"):
+        # zone map for chunk skipping (PAPERS.md: Global Range
+        # Encoding partition elimination; ≙ parquet column min/max
+        # stats the reference toggles via C5)
+        meta["lo"] = st["min"] if st else int(v.min())
+        meta["hi"] = st["max"] if st else int(v.max())
     payload = _outer_compress(payload, meta)
     return _block_row(bucket, column, component, codec, len(v), payload, meta,
                       len(v) * itemsize)

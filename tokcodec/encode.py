@@ -164,29 +164,43 @@ def _encode_column(bucket: int, name: str, arr: pa.Array, dt: T.DataType) -> lis
     return _encode_node(bucket, name, "", arr, dt)
 
 
-def _chunk_bounds(n_rows: int, list_lengths: np.ndarray | None) -> list[tuple[int, int]]:
-    """Row slice boundaries honoring both row and flattened-value caps."""
+def _chunk_bounds(n_rows: int, list_lengths: np.ndarray | None,
+                  max_rows: int = CHUNK_MAX_ROWS,
+                  max_values: int = CHUNK_MAX_VALUES) -> list[tuple[int, int]]:
+    """Row slice boundaries honoring both row and flattened-value caps
+    (≙ reference C2 row-group/page geometry knobs: withRowGroupSize /
+    withPageRowCountLimit, CarpetWriter.java:246-317)."""
     if n_rows == 0:
         return []
     if list_lengths is None:
-        cuts = list(range(0, n_rows, CHUNK_MAX_ROWS)) + [n_rows]
+        cuts = list(range(0, n_rows, max_rows)) + [n_rows]
         return list(zip(cuts[:-1], cuts[1:]))
     csum = np.concatenate([[0], np.cumsum(list_lengths, dtype=np.int64)])
     bounds = []
     lo = 0
     while lo < n_rows:
-        hi = min(lo + CHUNK_MAX_ROWS, n_rows)
+        hi = min(lo + max_rows, n_rows)
         # shrink hi until the value budget fits (always keep >= 1 row)
-        hi_budget = int(np.searchsorted(csum, csum[lo] + CHUNK_MAX_VALUES, side="right")) - 1
+        hi_budget = int(np.searchsorted(csum, csum[lo] + max_values, side="right")) - 1
         hi = max(lo + 1, min(hi, hi_budget))
         bounds.append((lo, hi))
         lo = hi
     return bounds
 
 
-def make_encode_fn(schema: T.StructType, run_id: str):
+def make_encode_fn(schema: T.StructType, run_id: str,
+                   cluster_by: str | None = None,
+                   chunk_max_rows: int = CHUNK_MAX_ROWS,
+                   chunk_max_values: int = CHUNK_MAX_VALUES):
     """Returns the applyInArrow function: (key, pa.Table) -> pa.Table
-    of BLOCK_DDL rows for one bucket."""
+    of BLOCK_DDL rows for one bucket.
+
+    ``cluster_by``: sort the bucket's rows by this column before
+    chunking — the SIGMOD 2020 column-permutation idea: clustering
+    lengthens runs (RLE) and makes per-chunk zone maps selective
+    (chunk skipping). Row order inside the encoded table is an
+    implementation detail (decode output order is undefined anyway).
+    """
     fields = [(f.name, f.dataType) for f in schema.fields if f.name != BUCKET_COL]
     list_col = next(
         (f.name for f in schema.fields if isinstance(f.dataType, T.ArrayType)), None
@@ -208,6 +222,9 @@ def make_encode_fn(schema: T.StructType, run_id: str):
         t0 = time.monotonic()
         bucket = key[0]
         bucket = int(bucket.as_py() if hasattr(bucket, "as_py") else bucket)
+        if cluster_by is not None and table.num_rows:
+            idx = pc.sort_indices(table, sort_keys=[(cluster_by, "ascending")])
+            table = table.take(idx)
         n = table.num_rows
         lens = None
         if list_col is not None:
@@ -218,7 +235,8 @@ def make_encode_fn(schema: T.StructType, run_id: str):
             lens = ll.to_numpy(zero_copy_only=False).astype(np.int64)
         rows: list[dict] = []
         codec_log: dict[str, str] = {}
-        for ci, (lo, hi) in enumerate(_chunk_bounds(n, lens)):
+        for ci, (lo, hi) in enumerate(
+                _chunk_bounds(n, lens, chunk_max_rows, chunk_max_values)):
             sl = table.slice(lo, hi - lo)
             for name, dt in fields:
                 arr = sl.column(name).combine_chunks()
@@ -246,13 +264,18 @@ def make_encode_fn(schema: T.StructType, run_id: str):
     return fn
 
 
-def make_encode_map_fn(schema: T.StructType, run_id: str):
+def make_encode_map_fn(schema: T.StructType, run_id: str,
+                       cluster_by: str | None = None,
+                       chunk_max_rows: int = CHUNK_MAX_ROWS,
+                       chunk_max_values: int = CHUNK_MAX_VALUES):
     """mapInArrow variant: one partition may hold several whole buckets
     (repartition(n, bucket) colocates each bucket in exactly one
     partition); group by bucket here instead of paying applyInArrow's
     JVM-side per-partition row sort — measurably the 4N-level
     bottleneck on wide token rows."""
-    inner = make_encode_fn(schema, run_id)
+    inner = make_encode_fn(schema, run_id, cluster_by=cluster_by,
+                           chunk_max_rows=chunk_max_rows,
+                           chunk_max_values=chunk_max_values)
 
     def fn(batches):
         import pyarrow as pa
@@ -276,7 +299,9 @@ def make_encode_map_fn(schema: T.StructType, run_id: str):
 
 
 def encode_table(df: DataFrame, n_buckets: int, run_id: str = "run0",
-                 mode: str = "group") -> DataFrame:
+                 mode: str = "group", cluster_by: str | None = None,
+                 chunk_max_rows: int = CHUNK_MAX_ROWS,
+                 chunk_max_values: int = CHUNK_MAX_VALUES) -> DataFrame:
     """DataFrame of SEQ-shaped rows -> DataFrame of encoded blocks.
 
     One shuffle (the salted repartition), then embarrassingly parallel
@@ -289,16 +314,24 @@ def encode_table(df: DataFrame, n_buckets: int, run_id: str = "run0",
     alternative (A/B showed parity within sandbox noise).
     """
     b = with_bucket(df, n_buckets)
-    return encode_bucketed(b, df.schema, n_buckets, run_id, mode)
+    return encode_bucketed(b, df.schema, n_buckets, run_id, mode, cluster_by,
+                           chunk_max_rows, chunk_max_values)
 
 
 def encode_bucketed(b: DataFrame, schema: T.StructType, n_buckets: int,
-                    run_id: str, mode: str = "group") -> DataFrame:
+                    run_id: str, mode: str = "group",
+                    cluster_by: str | None = None,
+                    chunk_max_rows: int = CHUNK_MAX_ROWS,
+                    chunk_max_values: int = CHUNK_MAX_VALUES) -> DataFrame:
     """Encode an already-bucketed DataFrame (has BUCKET_COL)."""
     if mode == "group":
-        fn = make_encode_fn(schema, run_id)
+        fn = make_encode_fn(schema, run_id, cluster_by=cluster_by,
+                            chunk_max_rows=chunk_max_rows,
+                            chunk_max_values=chunk_max_values)
         return b.groupBy(BUCKET_COL).applyInArrow(fn, schema=BLOCK_DDL)
-    fn = make_encode_map_fn(schema, run_id)
+    fn = make_encode_map_fn(schema, run_id, cluster_by=cluster_by,
+                            chunk_max_rows=chunk_max_rows,
+                            chunk_max_values=chunk_max_values)
     return b.repartition(n_buckets, F.col(BUCKET_COL)).mapInArrow(
         fn, schema=BLOCK_DDL
     )

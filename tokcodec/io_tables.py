@@ -41,6 +41,9 @@ def write_encoded(
     resume: bool = False,
     fail_after_buckets: int | None = None,
     epoch: int = 0,
+    cluster_by: str | None = None,
+    chunk_max_rows: int | None = None,
+    chunk_max_values: int | None = None,
 ) -> dict:
     """Encode ``df`` into ``path``. With ``resume=True``, buckets whose
     lineage commit already exists are skipped (anti-join against the
@@ -68,7 +71,13 @@ def write_encoded(
 
     from tokcodec.encode import encode_bucketed
 
-    blocks = encode_bucketed(b, df.schema, n_buckets, run_id)
+    from tokcodec.encode import CHUNK_MAX_ROWS, CHUNK_MAX_VALUES
+
+    blocks = encode_bucketed(
+        b, df.schema, n_buckets, run_id, cluster_by=cluster_by,
+        chunk_max_rows=chunk_max_rows or CHUNK_MAX_ROWS,
+        chunk_max_values=chunk_max_values or CHUNK_MAX_VALUES,
+    )
     (
         blocks.write.mode("append")
         # one directory per column: projection on read = partition
@@ -110,10 +119,17 @@ def write_encoded(
 
 
 def read_encoded(
-    spark: SparkSession, path: str, columns: list[str] | None = None
+    spark: SparkSession, path: str, columns: list[str] | None = None,
+    range_filter: tuple[str, int, int] | None = None,
 ) -> DataFrame:
     """Decode an encoded table; ``columns`` is projection pushdown —
-    only those columns' blocks are scanned and decoded (reference P3)."""
+    only those columns' blocks are scanned and decoded (reference P3).
+
+    ``range_filter=(int_column, lo, hi)`` enables zone-map chunk
+    skipping (the encoded-block analogue of parquet row-group pruning):
+    whole (bucket, chunk)s whose stored [lo, hi] range misses the
+    predicate are never decoded; an exact residual filter is applied
+    to the survivors. Filter semantics: lo <= col <= hi."""
     blocks_p, lineage_p, manifest_p = _paths(path)
     with open(manifest_p) as f:
         manifest = json.load(f)
@@ -123,7 +139,20 @@ def read_encoded(
         .select("bucket", "run_id")
     # small table: one row per bucket — broadcast the semi join
     blocks = blocks.join(F.broadcast(lin), ["bucket", "run_id"], "left_semi")
-    return decode_blocks(blocks, schema, columns)
+    if range_filter is None:
+        return decode_blocks(blocks, schema, columns)
+    col, lo, hi = range_filter
+    # zone-map pass: chunks whose stats overlap [lo, hi]. The zone map
+    # lives in the stats column's block meta; all components of a
+    # surviving (bucket, chunk) are kept so row alignment holds.
+    zones = blocks.filter(
+        (F.col("column") == col) & (F.col("component") == "values")
+        & (F.get_json_object("meta", "$.hi").cast("long") >= int(lo))
+        & (F.get_json_object("meta", "$.lo").cast("long") <= int(hi))
+    ).select("bucket", "chunk").distinct()
+    pruned = blocks.join(F.broadcast(zones), ["bucket", "chunk"], "left_semi")
+    out = decode_blocks(pruned, schema, columns)
+    return out.filter((F.col(col) >= int(lo)) & (F.col(col) <= int(hi)))
 
 
 def read_encoded_as(
