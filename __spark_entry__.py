@@ -404,6 +404,28 @@ def q_docs_stopword_quality(spark, sf_dir):
     )
 
 
+def q_range_join_events(spark, sf_dir):
+    """Range (non-equi) join: each error event matched to signups by
+    the same user within the following hour."""
+    e = _t(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("t0")
+    )
+    sig = e.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("t1")
+    )
+    return (
+        err.join(
+            sig,
+            (F.col("u") == F.col("user_id"))
+            & (F.col("t1") > F.col("t0"))
+            & (F.col("t1") <= F.col("t0") + F.expr("interval 1 hour")),
+        )
+        .groupBy("u")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
 def q_docs_ngram_overlap(spark, sf_dir):
     """n-gram Jaccard near-dup scoring between adjacent doc pairs
     (integer counts — hash-stable across engines)."""
@@ -448,20 +470,16 @@ def q_minhash_neardup_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
-    words = d.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
-    )
-    sh = (
-        words.withColumn(
-            "sh",
-            F.concat_ws(
-                " ", "w",
-                F.lead("w", 1).over(Window.partitionBy("doc_id").orderBy("pos")),
-                F.lead("w", 2).over(Window.partitionBy("doc_id").orderBy("pos")),
-            ),
-        )
-        .filter(F.col("sh").contains(" "))
-        .select("doc_id", "sh")
+    # array-based shingling: no window functions, no extra shuffle —
+    # one JVM-side transform over the word array per row
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, greatest(size(split(text, ' ')) - 3, 0) - 1),"
+                " i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
+            )
+        ).alias("sh"),
     )
     hashes = [
         F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(16)
@@ -499,24 +517,43 @@ def q_simhash_hamming_hist(spark, sf_dir):
     """64-bit SimHash per document; histogram of hamming weight — a
     cheap distributional check of the fingerprint implementation."""
     d = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("long").alias("doc_id"), "text"
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr("transform(split(text, ' '), w -> xxhash64(w))").alias("hs"),
     )
-    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    wh = words.withColumn("h", F.xxhash64("w"))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(64)
-    ]
-    sig = wh.groupBy("doc_id").agg(*bit_sums)
-    simhash = None
-    for i in range(64):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0))
-        term = F.shiftleft(bit.cast("long"), i)
-        simhash = term if simhash is None else (simhash + term)
-    sig = sig.select("doc_id", simhash.alias("simhash"))
+    # word hashes JVM-side; the 64-bit majority vote is a vectorized
+    # numpy fold over whole Arrow batches (no explode, no shuffle,
+    # no per-row Python)
+    def fold(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            hs = tbl.column("hs").combine_chunks()
+            flat = hs.flatten().to_numpy(zero_copy_only=False).view(np.uint64)
+            lens = pa.compute.list_value_length(hs).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            offs = np.concatenate([[0], np.cumsum(lens)])
+            shifts = np.arange(64, dtype=np.uint64)
+            bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
+            if len(flat):
+                # reduceat needs indices < len; empty rows are zeroed after
+                idx = np.minimum(offs[:-1], len(flat) - 1)
+                votes = np.add.reduceat(bits * 2 - 1, idx)
+            else:
+                votes = np.zeros((len(lens), 64), dtype=np.int32)
+            votes[lens == 0] = 0
+            sim = ((votes > 0).astype(np.uint64) << shifts).sum(
+                axis=1, dtype=np.uint64
+            )
+            yield pa.RecordBatch.from_arrays(
+                [tbl.column("doc_id").combine_chunks(),
+                 pa.array(sim.view(np.int64))],
+                names=["doc_id", "simhash"],
+            )
+
+    sig = d.mapInArrow(fold, "doc_id long, simhash long")
     return (
         sig.withColumn("weight", F.bit_count("simhash"))
         .groupBy("weight")
@@ -601,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersect_parts": q_intersect_parts,
         "docs_stopword_quality": q_docs_stopword_quality,
         "docs_ngram_overlap": q_docs_ngram_overlap,
+        "range_join_events": q_range_join_events,
         "minhash_neardup_pairs": q_minhash_neardup_pairs,
         "simhash_hamming_hist": q_simhash_hamming_hist,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -775,6 +813,15 @@ SELECT lang,
                 >= len(str_split(text, ' ')) * 20 THEN 1 ELSE 0 END)
          AS n_high_stop
 FROM documents GROUP BY lang""",
+        "range_join_events": """
+WITH err AS (SELECT user_id AS u, ts AS t0 FROM events
+             WHERE event_type = 'error'),
+     sig AS (SELECT user_id, ts AS t1 FROM events
+             WHERE event_type = 'signup')
+SELECT u, COUNT(*) AS n_pairs
+FROM err JOIN sig ON u = user_id
+  AND t1 > t0 AND t1 <= t0 + INTERVAL 1 HOUR
+GROUP BY u""",
         "docs_ngram_overlap": """
 WITH d AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS ws
            FROM documents)
