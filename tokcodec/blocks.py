@@ -104,6 +104,19 @@ def encode_int_component(bucket, column, component, v: np.ndarray, itemsize: int
                       len(v) * itemsize)
 
 
+class BlockCorruption(ValueError):
+    """Stored crc32 does not match the payload (torn write / bitrot)."""
+
+
+def verify_block_checksum(row) -> None:
+    if int(zlib.crc32(row["payload"])) != int(row["checksum"]):
+        raise BlockCorruption(
+            f"checksum mismatch: column={row['column']} "
+            f"component={row['component']} bucket={row['bucket']} "
+            f"chunk={row['chunk']}"
+        )
+
+
 def decode_int_component(row, out_dtype=np.int64) -> np.ndarray:
     meta = json.loads(row["meta"])
     payload = _outer_decompress(row["payload"], meta)

@@ -165,7 +165,7 @@ def _decode_field(rows: list[dict], dt: T.DataType, target: pa.DataType) -> pa.A
     return _decode_node(by_comp, "", dt, n)
 
 
-def make_decode_fn(schema: T.StructType):
+def make_decode_fn(schema: T.StructType, verify_checksums: bool = False):
     """applyInArrow function: (key, blocks pa.Table) -> decoded pa.Table."""
     fields = [(f.name, f.dataType) for f in schema.fields]
     out_schema = pa.schema(
@@ -173,9 +173,13 @@ def make_decode_fn(schema: T.StructType):
     )
 
     def fn(key: tuple, table: pa.Table) -> pa.Table:
+        from tokcodec.blocks import verify_block_checksum
+
         recs = table.to_pylist()
         by_col: dict[str, list[dict]] = {}
         for r in recs:
+            if verify_checksums:
+                verify_block_checksum(r)
             by_col.setdefault(r["column"], []).append(r)
         arrays = []
         for (name, dt), target in zip(fields, out_schema.types):
@@ -186,8 +190,12 @@ def make_decode_fn(schema: T.StructType):
 
 
 def decode_blocks(blocks: DataFrame, schema: T.StructType,
-                  columns: list[str] | None = None) -> DataFrame:
-    """Blocks DataFrame -> decoded rows. ``columns`` = projection."""
+                  columns: list[str] | None = None,
+                  verify_checksums: bool = False) -> DataFrame:
+    """Blocks DataFrame -> decoded rows. ``columns`` = projection.
+    ``verify_checksums`` recomputes each block's crc32 before decode
+    (the reference's page-checksum knob, CarpetWriter.java:392-406,
+    always recorded here and verified on demand)."""
     if columns is not None:
         by_name = {f.name: f for f in schema.fields}
         missing = set(columns) - set(by_name)
@@ -200,7 +208,7 @@ def decode_blocks(blocks: DataFrame, schema: T.StructType,
     b = blocks.filter(
         (F.col("column") != METRICS_COLUMN) & F.col("column").isin(wanted)
     )
-    fn = make_decode_fn(schema)
+    fn = make_decode_fn(schema, verify_checksums=verify_checksums)
     return b.groupBy("bucket").applyInArrow(fn, schema=schema)
 
 

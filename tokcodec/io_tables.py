@@ -118,9 +118,18 @@ def write_encoded(
     }
 
 
+def suggest_buckets(total_bytes: int,
+                    target_bucket_bytes: int = 256 << 20) -> int:
+    """Bucket count so one bucket ~ target size (default 256MB): at
+    100TB input -> ~400k buckets; executors stay memory-safe and the
+    ~ms-level per-task runner overhead stays negligible."""
+    return max(1, int(total_bytes / target_bucket_bytes))
+
+
 def read_encoded(
     spark: SparkSession, path: str, columns: list[str] | None = None,
     range_filter: tuple[str, int, int] | None = None,
+    verify_checksums: bool = False,
 ) -> DataFrame:
     """Decode an encoded table; ``columns`` is projection pushdown —
     only those columns' blocks are scanned and decoded (reference P3).
@@ -140,7 +149,8 @@ def read_encoded(
     # small table: one row per bucket — broadcast the semi join
     blocks = blocks.join(F.broadcast(lin), ["bucket", "run_id"], "left_semi")
     if range_filter is None:
-        return decode_blocks(blocks, schema, columns)
+        return decode_blocks(blocks, schema, columns,
+                             verify_checksums=verify_checksums)
     col, lo, hi = range_filter
     # zone-map pass: chunks whose stats overlap [lo, hi]. The zone map
     # lives in the stats column's block meta; all components of a
