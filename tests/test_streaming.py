@@ -56,3 +56,47 @@ def test_epoch_append_and_idempotent_redelivery(spark, tmp_path):
     # union of both epochs, no duplicates
     assert dec.count() == 1000
     assert dec.groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
+
+def test_watermark_windowed_agg(spark, tmp_path):
+    """Watermarked tumbling-window aggregation over a file stream of
+    events — the §2.2 streaming category (late rows beyond the
+    watermark are dropped from finalized windows)."""
+    import os
+    import shutil
+
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.repartition(2).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))  # watermark needs TZ type
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_v"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory").queryName("winagg")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # append mode emits only watermark-finalized windows; batch
+    # equivalent must agree on those windows
+    got = spark.sql("select window, event_type, n from winagg")
+    batch = (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    j = got.join(batch, ["window", "event_type"], "inner")
+    mism = j.filter(got["n"] != batch["n"]).count() if got.count() else 0
+    assert mism == 0
+    assert got.count() > 0
