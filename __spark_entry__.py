@@ -54,6 +54,10 @@ def _decoded_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # DuckDB timestamps are UTC-naive; pin the session TZ so
+    # date_format/year/windows agree with the oracle regardless of the
+    # driver session's default
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
