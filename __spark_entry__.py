@@ -567,24 +567,48 @@ def q_simhash_hamming_hist(spark, sf_dir):
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF-style ANN: coarse-quantize by the sign of the first 4 dims
-    (16 cells), probe the query's cell plus all cells at hamming
-    distance 1, exact cosine within probed cells."""
+    """IVF ANN: k-means-style coarse centroids trained on a driver-side
+    sample (one Lloyd refinement, fixed seed), broadcast as a literal;
+    assignment + probing are pure JVM expressions. Probe the 4 nearest
+    cells of the query, exact cosine within probed cells."""
+    import numpy as np
+
     e = _t(spark, sf_dir, "embeddings")
-    cell = None
-    for i in range(4):
-        bit = F.when(F.element_at("embedding", i + 1) > 0, 1).otherwise(0)
-        cell = bit if cell is None else F.shiftleft(F.lit(2), 0) * cell + bit
-    e = e.withColumn("cell", cell.cast("int"))
-    q = e.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qv"), F.col("cell").alias("qcell")
+    samp = np.array(
+        [r.embedding for r in e.limit(256).collect()], dtype=np.float64
     )
+    rng = np.random.default_rng(0)
+    k = 8
+    cents = samp[rng.choice(len(samp), k, replace=False)]
+    for _ in range(3):  # Lloyd iterations on the sample
+        d2 = ((samp[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            m = samp[assign == c]
+            if len(m):
+                cents[c] = m.mean(axis=0)
+    cent_lit = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in cents
+    ])
+    dist_c = (
+        "transform(cents, c -> aggregate(zip_with(embedding, c, "
+        "(a, b) -> (cast(a as double) - b) * (cast(a as double) - b)), "
+        "0D, (s, x) -> s + x))"
+    )
+    e = e.withColumn("cents", cent_lit).withColumn(
+        "cell", F.expr(f"array_position({dist_c}, array_min({dist_c})) - 1")
+        .cast("int")
+    ).drop("cents")
+    # probe set: the 4 cells whose centroids are nearest to the query
+    qv_np = np.array(
+        e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0],
+        dtype=np.float64,
+    )
+    qd = ((cents - qv_np[None, :]) ** 2).sum(axis=1)
+    probe_cells = [int(c) for c in np.argsort(qd)[:4]]
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     probed = e.crossJoin(F.broadcast(q)).filter(
-        (F.col("vec_id") != 0)
-        & (
-            (F.col("cell") == F.col("qcell"))
-            | (F.expr("bit_count(cell ^ qcell)") == 1)
-        )
+        (F.col("vec_id") != 0) & F.col("cell").isin(probe_cells)
     )
     dot = "aggregate(zip_with(embedding, qv, (a, b) -> cast(a as double) * b), 0D, (s, x) -> s + x)"
     nrm = "sqrt(aggregate(embedding, 0D, (s, x) -> s + cast(x as double) * x))"
