@@ -49,7 +49,9 @@ def _decoded_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         shutil.rmtree(path, ignore_errors=True)
         write_encoded(seq, path, n_buckets=8, run_id="entry")
-        _DECODED_CACHE[key] = read_encoded(spark, path)
+        # materialize once: every roundtrip_* query reuses the decoded
+        # rows instead of re-running the full decode per query
+        _DECODED_CACHE[key] = read_encoded(spark, path).persist()
     return _DECODED_CACHE[key]
 
 
@@ -121,10 +123,15 @@ def q_roundtrip_projection_topn(spark, sf_dir):
 
 def q_roundtrip_tokens_exact(spark, sf_dir):
     # exact token arrays for a deterministic slice of docs — the
-    # strictest SQL-comparable equality (arrays hashed verbatim)
+    # strictest SQL-comparable equality. The array is joined to one
+    # string (the driver's canonicalizer can't sort/hash raw list
+    # cells), so every token value and its position is still verbatim
+    # in the hash.
     dec = _decoded_sequences(spark, sf_dir)
     return dec.filter(F.col("doc_id").cast("long") % 97 == 0).select(
-        "doc_id", "tokens", "n_tok"
+        "doc_id",
+        F.array_join(F.col("tokens").cast("array<string>"), ",").alias("toks"),
+        "n_tok",
     )
 
 
@@ -356,7 +363,7 @@ def q_roundtrip_embeddings_topk(spark, sf_dir):
 
         shutil.rmtree(path, ignore_errors=True)
         write_encoded(e, path, n_buckets=4, run_id="emb")
-        _DECODED_CACHE[key] = read_encoded(spark, path)
+        _DECODED_CACHE[key] = read_encoded(spark, path).persist()
     e = _DECODED_CACHE[key]
     qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
     dot = "aggregate(zip_with(embedding, q, (a, b) -> cast(a as double) * b), 0D, (s, x) -> s + x)"
@@ -685,31 +692,34 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_source_agg": f"""{_SEQ_CTE}
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(len(tokens)) AS sum_tok,
-       SUM({tok_sum}) AS tok_sum,
-       SUM({tok_sumsq}) AS tok_sumsq,
+       CAST(SUM(len(tokens)) AS BIGINT) AS sum_tok,
+       CAST(SUM({tok_sum}) AS BIGINT) AS tok_sum,
+       CAST(SUM({tok_sumsq}) AS BIGINT) AS tok_sumsq,
        MIN(list_aggregate(tokens, 'min')) AS tok_min,
        MAX(list_aggregate(tokens, 'max')) AS tok_max
 FROM seq GROUP BY source""",
         "roundtrip_global_checksum": f"""{_SEQ_CTE}
 SELECT COUNT(*) AS n_rows,
        COUNT(DISTINCT doc_id) AS n_docs,
-       SUM(len(tokens)) AS sum_tok,
-       SUM({tok_sum}) AS tok_sum,
-       SUM(length(doc_id)) AS id_chars
+       CAST(SUM(len(tokens)) AS BIGINT) AS sum_tok,
+       CAST(SUM({tok_sum}) AS BIGINT) AS tok_sum,
+       CAST(SUM(length(doc_id)) AS BIGINT) AS id_chars
 FROM seq""",
         "roundtrip_projection_topn": f"""{_SEQ_CTE}
 SELECT doc_id, CAST(len(tokens) AS INTEGER) AS n_tok
 FROM seq ORDER BY n_tok DESC, doc_id LIMIT 20""",
         "roundtrip_tokens_exact": f"""{_SEQ_CTE}
-SELECT doc_id, tokens, CAST(len(tokens) AS INTEGER) AS n_tok
+SELECT doc_id, array_to_string(tokens, ',') AS toks,
+       CAST(len(tokens) AS INTEGER) AS n_tok
 FROM seq WHERE CAST(doc_id AS BIGINT) % 97 = 0""",
         "lineitem_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-           * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)) AS sum_disc_scaled,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_base_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS sum_disc_scaled,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2005-09-02'
@@ -717,7 +727,8 @@ GROUP BY l_returnflag, l_linestatus""",
         "join_topcustomers": """
 SELECT n_name, c_mktsegment,
        COUNT(*) AS n_orders,
-       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS rev_cents
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -742,7 +753,7 @@ FROM (
 WHERE rn = 1 AND o_custkey % 10 = 0""",
         "rollup_flags": """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
        COUNT(*) AS n
 FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
         "setop_except": """
@@ -763,23 +774,24 @@ FROM orders GROUP BY ym, pfx""",
         "events_hourly": """
 SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
        COUNT(*) AS n,
-       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY hour, event_type HAVING COUNT(*) >= 2""",
         "events_json_extract": """
 SELECT event_type,
-       SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT))
+            AS BIGINT) AS sum_k,
        MAX(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS max_k,
        COUNT(*) AS n
 FROM events GROUP BY event_type""",
         "docs_lang_quality": """
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(n_chars) AS sum_chars,
-       SUM(len(str_split(text, ' '))) AS sum_words,
-       SUM(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS n_long
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS sum_words,
+       CAST(SUM(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_long
 FROM documents GROUP BY lang""",
         "docs_token_count": """
 SELECT source, COUNT(*) AS n_docs,
-       SUM(len(str_split(text, ' '))) AS sum_words,
+       CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS sum_words,
        MAX(CAST(len(str_split(text, ' ')) AS INTEGER)) AS max_words
 FROM documents GROUP BY source""",
         "dedup_exact": """
@@ -822,9 +834,9 @@ ORDER BY list_dot_product(
          vec_id
 LIMIT 15""",
         "cube_orders": """
-SELECT o_orderpriority, EXTRACT(year FROM o_orderdate) AS yr,
+SELECT o_orderpriority, CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
        COUNT(*) AS n,
-       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
 FROM orders GROUP BY CUBE(o_orderpriority, yr)""",
         "intersect_parts": """
 WITH a AS (SELECT l_partkey FROM lineitem WHERE l_quantity >= 30),
@@ -833,12 +845,12 @@ WITH a AS (SELECT l_partkey FROM lineitem WHERE l_quantity >= 30),
 SELECT COUNT(*) AS n_parts FROM i""",
         "docs_stopword_quality": """
 SELECT lang,
-       SUM(len(list_filter(str_split(text, ' '),
-               w -> w IN ('the','a','of','and','to')))) AS sum_stop,
-       SUM(len(str_split(text, ' '))) AS sum_words,
-       SUM(CASE WHEN len(list_filter(str_split(text, ' '),
+       CAST(SUM(len(list_filter(str_split(text, ' '),
+               w -> w IN ('the','a','of','and','to')))) AS BIGINT) AS sum_stop,
+       CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS sum_words,
+       CAST(SUM(CASE WHEN len(list_filter(str_split(text, ' '),
                 w -> w IN ('the','a','of','and','to'))) * 100
-                >= len(str_split(text, ' ')) * 20 THEN 1 ELSE 0 END)
+                >= len(str_split(text, ' ')) * 20 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_high_stop
 FROM documents GROUP BY lang""",
         "range_join_events": """
