@@ -22,7 +22,7 @@ from tokcodec.codecs.intcodecs import (
     rle_decode,
     rle_encode,
 )
-from tokcodec.kernels import pack_frames, unpack_frames
+from tokcodec.kernels import pack_frames, safe_offsets32, unpack_frames
 
 
 def arrow_to_strchunk(arr: pa.Array) -> tuple[bytes, np.ndarray]:
@@ -48,8 +48,7 @@ def arrow_to_strchunk(arr: pa.Array) -> tuple[bytes, np.ndarray]:
 
 def strchunk_to_arrow(data: bytes, lengths: np.ndarray,
                       binary: bool = False) -> pa.Array:
-    offsets = np.zeros(len(lengths) + 1, dtype=np.int32)
-    np.cumsum(lengths, out=offsets[1:])
+    offsets = safe_offsets32(np.asarray(lengths, dtype=np.int64))
     return pa.Array.from_buffers(
         pa.binary() if binary else pa.string(),
         len(lengths),

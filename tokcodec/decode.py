@@ -24,6 +24,7 @@ from tokcodec.blocks import (
     decode_str_component,
 )
 from tokcodec.encode import METRICS_COLUMN
+from tokcodec.kernels import safe_offsets32
 from tokcodec.schema import spark_type_to_arrow
 
 
@@ -52,11 +53,21 @@ def _cast_ints(v: np.ndarray, dt: T.DataType, target: pa.DataType) -> pa.Array:
     return arr.cast(target)
 
 
+def _ckey(r: dict) -> tuple:
+    """Deterministic total chunk order shared by ALL components of a
+    bucket. Multi-epoch appends give one bucket blocks from several
+    run_ids with colliding chunk numbers; sorting by chunk alone left
+    the tie to file-scan order, which could differ between columns
+    (silent row misalignment)."""
+    return (r["run_id"], r["chunk"])
+
+
 def _column_row_count(rows: list[dict]) -> int:
     """Row count of a column from its block rows. A component is 1:1
     with rows iff its path never descends through a list's 'values/'
-    segment (struct 'f:*' segments keep row cardinality; lengths /
-    validity / scalar values at such a path count rows)."""
+    segment (struct 'f:*' segments keep row cardinality). Validity is
+    NOT a candidate: it is only emitted for chunks that contain nulls,
+    so summing it undercounts."""
     comps = {r["component"] for r in rows}
 
     def counts_rows(c: str) -> bool:
@@ -66,12 +77,51 @@ def _column_row_count(rows: list[dict]) -> int:
         if parts[-1] == "values":
             # a sibling 'lengths' means this is a list's element values
             return "/".join(parts[:-1] + ["lengths"]) not in comps
-        return parts[-1] in ("lengths", "validity")
+        return parts[-1] == "lengths"
 
     for c in sorted(comps):
         if counts_rows(c):
             return sum(r["n_rows"] for r in rows if r["component"] == c)
     return 0
+
+
+def _anchor_rows(by_comp: dict[str, list[dict]], prefix: str,
+                 dt: T.DataType) -> list[dict]:
+    """Block rows of a component that exists in EVERY chunk at this
+    node's cardinality (lengths for lists, values for scalars, first
+    field's anchor for structs) — the per-chunk row counts validity
+    expansion aligns against."""
+    from tokcodec.encode import _map_as_list
+
+    if isinstance(dt, T.MapType):
+        dt = _map_as_list(dt)
+    if isinstance(dt, T.ArrayType):
+        return by_comp.get(prefix + "lengths", [])
+    if isinstance(dt, T.StructType):
+        f = dt.fields[0]
+        return _anchor_rows(by_comp, f"{prefix}f:{f.name}/", f.dataType)
+    return by_comp.get(prefix + "values", [])
+
+
+def _gather_validity(by_comp: dict[str, list[dict]], vpath: str,
+                     anchor_rows: list[dict]) -> np.ndarray | None:
+    """Assemble the validity mask across chunks. Validity is emitted
+    per-chunk only when that chunk has nulls; chunks without a validity
+    block are expanded with all-valid fill of the anchor's row count
+    (round-1 ADVICE: naive concatenation misaligned or crashed when
+    only some chunks contained nulls)."""
+    vrows = by_comp.get(vpath)
+    if not vrows:
+        return None
+    vby = {_ckey(r): r for r in vrows}
+    parts = []
+    for a in anchor_rows:
+        r = vby.get(_ckey(a))
+        if r is not None:
+            parts.append(decode_int_component(r).astype(bool))
+        else:
+            parts.append(np.ones(a["n_rows"], dtype=bool))
+    return np.concatenate(parts) if parts else np.zeros(0, dtype=bool)
 
 
 def _apply_validity(out: pa.Array, valid: np.ndarray) -> pa.Array:
@@ -121,9 +171,13 @@ def _decode_node(by_comp: dict[str, list[dict]], prefix: str,
             values = _decode_node(by_comp, prefix + "values/", et, n_values)
         else:
             values = decode_leaf(prefix + "values", et)
-        offsets = np.zeros(len(lengths) + 1, dtype=np.int32)
-        np.cumsum(lengths, out=offsets[1:])
-        offs_arr = pa.array(offsets, pa.int32())
+            evalid = _gather_validity(
+                by_comp, prefix + "values/validity",
+                by_comp.get(prefix + "values", []),
+            )
+            if evalid is not None:
+                values = _apply_validity(values, evalid)
+        offs_arr = pa.array(safe_offsets32(lengths), pa.int32())
         if is_map:
             svals = values
             out = pa.MapArray.from_arrays(
@@ -144,10 +198,9 @@ def _decode_node(by_comp: dict[str, list[dict]], prefix: str,
     else:
         out = decode_leaf(prefix + "values", node_dt)
 
-    vcomp = by_comp.get(prefix + "validity")
-    if vcomp:
-        vparts = [decode_int_component(r) for r in vcomp]
-        valid = np.concatenate(vparts).astype(bool)
+    valid = _gather_validity(by_comp, prefix + "validity",
+                             _anchor_rows(by_comp, prefix, dt))
+    if valid is not None:
         out = _apply_validity(out, valid)
     return out
 
@@ -159,7 +212,7 @@ def _decode_field(rows: list[dict], dt: T.DataType, target: pa.DataType) -> pa.A
     for r in rows:
         by_comp.setdefault(r["component"], []).append(r)
     for comp, lst in by_comp.items():
-        lst.sort(key=lambda r: r["chunk"])
+        lst.sort(key=_ckey)
         if "/" not in comp:  # top-level component: rows per chunk sum to n
             n = max(n, sum(r["n_rows"] for r in lst))
     return _decode_node(by_comp, "", dt, n)

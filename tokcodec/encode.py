@@ -114,6 +114,18 @@ def _encode_node(bucket: int, name: str, prefix: str, arr: pa.Array,
         if isinstance(et, (T.StructType, T.ArrayType, T.MapType)):
             rows += _encode_node(bucket, name, prefix + "values/", values, et)
         else:
+            # null elements INSIDE the list need their own validity —
+            # _encode_leaf fills nulls with type defaults, so without
+            # this [1, None, 3] would round-trip as [1, 0, 3]
+            if values.null_count:
+                evalid = values.is_valid().to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int8)
+                rows.append(
+                    encode_int_component(bucket, name,
+                                         prefix + "values/validity",
+                                         evalid, 1, codec="bitpack")
+                )
             rows += _encode_leaf(bucket, name, prefix + "values", values, et)
         return rows
     if isinstance(dt, T.StructType):

@@ -161,7 +161,8 @@ def read_encoded(
         & (F.get_json_object("meta", "$.lo").cast("long") <= int(hi))
     ).select("bucket", "chunk").distinct()
     pruned = blocks.join(F.broadcast(zones), ["bucket", "chunk"], "left_semi")
-    out = decode_blocks(pruned, schema, columns)
+    out = decode_blocks(pruned, schema, columns,
+                        verify_checksums=verify_checksums)
     return out.filter((F.col(col) >= int(lo)) & (F.col(col) <= int(hi)))
 
 

@@ -27,6 +27,22 @@ def bits_needed(max_value: int) -> int:
     return int(max_value).bit_length()
 
 
+def safe_offsets32(lengths: np.ndarray) -> np.ndarray:
+    """Lengths -> int32 Arrow offsets, computed in int64 so an
+    overflowing total is a clear error instead of silent wraparound
+    (Arrow string/list arrays carry int32 offsets; a decode group whose
+    flattened payload exceeds 2^31-1 values/bytes needs more buckets or
+    smaller chunks)."""
+    offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    if len(offsets) and offsets[-1] > np.iinfo(np.int32).max:
+        raise ValueError(
+            f"offsets exceed int32: {int(offsets[-1])} flattened values in "
+            "one decode group — raise n_buckets or lower chunk_max_values"
+        )
+    return offsets.astype(np.int32)
+
+
 # Supported pack widths. Arbitrary-bit packing via a bit matrix creates
 # up to 64x temporaries and saturates memory bandwidth at 32 cores
 # (measured: 8->32 procs gave only 1.46x); snapping to these widths
