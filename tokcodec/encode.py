@@ -268,7 +268,9 @@ def make_encode_fn(schema: T.StructType, run_id: str,
                 "meta": json.dumps({"wall_ms": wall_ms}),
                 "orig_bytes": sum(r["orig_bytes"] for r in rows),
                 "enc_bytes": sum(r["enc_bytes"] for r in rows),
-                "checksum": 0,
+                # bucket checksum = sum of block crc32s, so the commit
+                # record is derivable from this one row
+                "checksum": sum(r["checksum"] for r in rows),
             }
         )
         return pa.Table.from_pylist(rows, schema=out_schema)

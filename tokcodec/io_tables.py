@@ -88,11 +88,18 @@ def write_encoded(
         .parquet(blocks_p)
     )
     # commit point: lineage written only after blocks are durable
-    # (explicit schema: an empty run writes no data files to infer from)
-    new_blocks = spark.read.schema(BLOCK_DDL).parquet(blocks_p).filter(
-        F.col("run_id") == run_id
+    # (explicit schema: an empty run writes no data files to infer from).
+    # Read back ONLY the metrics partition (blocks are partitioned by
+    # column -> directory pruning): the commit touches a handful of tiny
+    # rows per bucket, never the payload files of this or earlier runs.
+    from tokcodec.encode import METRICS_COLUMN
+
+    new_metrics = (
+        spark.read.schema(BLOCK_DDL).parquet(blocks_p)
+        .filter((F.col("column") == METRICS_COLUMN)
+                & (F.col("run_id") == run_id))
     )
-    lineage_from_blocks(new_blocks, epoch=epoch).write.mode("append").parquet(lineage_p)
+    lineage_from_blocks(new_metrics, epoch=epoch).write.mode("append").parquet(lineage_p)
     with open(manifest_p, "w") as f:
         f.write(schema_manifest(df.schema, n_buckets, run_id))
 

