@@ -477,33 +477,38 @@ def q_media_feature_stats(spark, sf_dir):
 
 def q_minhash_neardup_pairs(spark, sf_dir):
     """MinHash+LSH near-duplicate candidate pairs over documents:
-    3-word shingles -> 16 minhashes -> 4 bands -> bucket join."""
-    d = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    3-word shingles -> 16 md5-based minhashes -> 4 bands -> bucket
+    join. The whole signature is computed PER ROW with JVM array
+    expressions — no explode, no shuffle of shingles (round 1 shuffled
+    ~one row per token through a groupBy; this is the 100 TB shape).
+    md5 (identical hex in DuckDB) makes the signature oracle-checkable.
+    """
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        .filter(F.size(F.split(F.col("text"), " ")) >= 3)
     )
-    # array-based shingling: no window functions, no extra shuffle —
-    # one JVM-side transform over the word array per row
-    sh = d.select(
+    sh = (
+        "transform(sequence(1, size(split(text, ' ')) - 2),"
+        " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+    )
+    shdf = d.select("doc_id", F.expr(sh).alias("sh"))
+    sig = shdf.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, greatest(size(split(text, ' ')) - 3, 0) - 1),"
-                " i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
-            )
-        ).alias("sh"),
+        *[
+            F.expr(f"array_min(transform(sh, s -> md5(concat(s, '#{i}'))))")
+            .alias(f"h{i}")
+            for i in range(16)
+        ],
     )
-    hashes = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(16)
-    ]
-    sig = sh.groupBy("doc_id").agg(*hashes)
     bands = []
     for b in range(4):
-        cols = [f"h{b * 4 + j}" for j in range(4)]
+        cols = [F.col(f"h{b * 4 + j}") for j in range(4)]
         bands.append(
             sig.select(
                 "doc_id",
                 F.lit(b).alias("band"),
-                F.xxhash64(*[F.col(c) for c in cols]).alias("bucket"),
+                F.md5(F.concat(*cols)).alias("bucket"),
             )
         )
     banded = bands[0]
@@ -521,7 +526,11 @@ def q_minhash_neardup_pairs(spark, sf_dir):
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
-    return pairs.agg(F.count("*").alias("n_candidate_pairs"))
+    return pairs.agg(
+        F.count("*").alias("n_candidate_pairs"),
+        F.countDistinct("d1").alias("nd1"),
+        F.countDistinct("d2").alias("nd2"),
+    )
 
 
 def q_simhash_hamming_hist(spark, sf_dir):
@@ -870,4 +879,26 @@ SELECT a.doc_id AS doc_id,
        CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS INTEGER) AS n_union
 FROM d a JOIN d b ON a.doc_id + 1 = b.doc_id
 WHERE a.doc_id % 7 = 0""",
+        "minhash_neardup_pairs": f"""
+WITH d AS (
+  SELECT doc_id, str_split(text, ' ') AS words FROM documents
+  WHERE len(str_split(text, ' ')) >= 3
+), sh AS (
+  SELECT doc_id, list_transform(range(1, len(words) - 1),
+         i -> array_to_string(words[i:i+2], ' ')) AS shingles FROM d
+), sig AS (
+  SELECT doc_id,
+{",".join(f"    list_aggregate(list_transform(shingles, s -> md5(s || '#{i}')), 'min') AS h{i}" for i in range(16))}
+  FROM sh
+), banded AS (
+{" UNION ALL ".join(f"  SELECT doc_id, {b} AS band, md5(h{b * 4} || h{b * 4 + 1} || h{b * 4 + 2} || h{b * 4 + 3}) AS bucket FROM sig" for b in range(4))}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT COUNT(*) AS n_candidate_pairs,
+       COUNT(DISTINCT d1) AS nd1,
+       COUNT(DISTINCT d2) AS nd2
+FROM pairs""",
     }
