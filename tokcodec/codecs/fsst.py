@@ -75,6 +75,7 @@ class SymbolTable:
         ls = np.frombuffer(lens, dtype=np.uint8)
         offs = np.zeros(len(ls) + 1, dtype=np.int64)
         np.cumsum(ls, out=offs[1:])
+        # bounded loop: at most 255 symbols, never per-row
         return SymbolTable([symdata[offs[i] : offs[i + 1]] for i in range(len(ls))])
 
 

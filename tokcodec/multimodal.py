@@ -94,17 +94,18 @@ def extract_features(df: DataFrame, decode_stub: str = "fake") -> DataFrame:
                     f"(n, {FEATURE_DIM}) float32)"
                 )
             # deterministic fake decode: histogram of payload bytes
-            # folded to FEATURE_DIM bins, normalized — vectorized over
-            # the whole batch buffer
+            # folded to FEATURE_DIM bins, normalized — one scatter-add
+            # over the whole flattened batch buffer, no per-row Python
             offs = np.frombuffer(media.buffers()[1], dtype=np.int32,
                                  count=len(media) + 1 + media.offset)[media.offset:]
             data = np.frombuffer(media.buffers()[2], dtype=np.uint8)
-            feats = np.zeros((len(media), FEATURE_DIM), dtype=np.float32)
             bins = (np.arange(256) * FEATURE_DIM) // 256
-            for i in range(len(media)):  # bincount per row on views
-                seg = data[offs[i]:offs[i + 1]]
-                hist = np.bincount(bins[seg], minlength=FEATURE_DIM)
-                feats[i] = hist / max(len(seg), 1)
+            sizes = np.diff(offs.astype(np.int64))
+            flat = data[offs[0]:offs[-1]]
+            row_of_byte = np.repeat(np.arange(len(media)), sizes)
+            counts = np.zeros((len(media), FEATURE_DIM), dtype=np.int64)
+            np.add.at(counts, (row_of_byte, bins[flat]), 1)
+            feats = (counts / np.maximum(sizes, 1)[:, None]).astype(np.float32)
             flat = pa.array(feats.reshape(-1), pa.float32())
             foffs = pa.array(
                 np.arange(len(media) + 1, dtype=np.int32) * FEATURE_DIM,
