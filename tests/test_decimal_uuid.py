@@ -1,0 +1,77 @@
+"""DECIMAL(precision > 18) and UUID-as-FIXED(16) round-trips —
+reference parity for BigDecimalWrite.java:58-70 (BINARY unscaled
+decimals) and UuidWrite.java:25-32 (FIXED_LEN_BYTE_ARRAY(16))."""
+
+import os
+import uuid as uuidlib
+from decimal import Decimal
+
+from pyspark.sql import Row, functions as F
+from pyspark.sql import types as T
+
+from tokcodec.io_tables import read_encoded, write_encoded
+
+
+def test_decimal38_roundtrip(spark, tmp_path):
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("amt", T.DecimalType(38, 10), True),
+    ])
+    vals = [
+        Decimal("1234567890123456789012345678.0123456789"),
+        Decimal("-9999999999999999999999999999.9999999999"),
+        Decimal("0.0000000001"),
+        Decimal("-1"),
+        None,
+        Decimal("0"),
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=f"d{i}", amt=v) for i, v in enumerate(vals)], schema
+    )
+    path = os.path.join(str(tmp_path), "t")
+    write_encoded(df, path, n_buckets=2, run_id="dec")
+    out = {r["doc_id"]: r["amt"] for r in read_encoded(spark, path).collect()}
+    for i, v in enumerate(vals):
+        assert out[f"d{i}"] == v, (i, out[f"d{i}"], v)
+
+
+def test_decimal38_in_list(spark, tmp_path):
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("amts", T.ArrayType(T.DecimalType(20, 2), True), False),
+    ])
+    rows = [
+        Row(doc_id="a", amts=[Decimal("123456789012345678.99"), None]),
+        Row(doc_id="b", amts=[Decimal("-0.01")]),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    path = os.path.join(str(tmp_path), "t2")
+    write_encoded(df, path, n_buckets=1, run_id="dec2")
+    out = {r["doc_id"]: r["amts"] for r in read_encoded(spark, path).collect()}
+    assert out["a"] == [Decimal("123456789012345678.99"), None]
+    assert out["b"] == [Decimal("-0.01")]
+
+
+def test_uuid_fixed16_roundtrip(spark, tmp_path):
+    rng_uuids = [str(uuidlib.UUID(int=i * 0x1337C0DE + 7)) for i in range(50)]
+    schema = T.StructType([
+        T.StructField("id", T.StringType(), True),
+        T.StructField("n", T.IntegerType(), False),
+    ])
+    rows = [Row(id=u, n=i) for i, u in enumerate(rng_uuids)]
+    rows.append(Row(id=None, n=999))
+    df = spark.createDataFrame(rows, schema)
+    path = os.path.join(str(tmp_path), "t3")
+    write_encoded(df, path, n_buckets=2, run_id="uu", uuid_columns=["id"])
+    dec = read_encoded(spark, path)
+    out = {r["n"]: r["id"] for r in dec.collect()}
+    for i, u in enumerate(rng_uuids):
+        assert out[i] == u, (i, out[i], u)
+    assert out[999] is None
+    # stored payload is 16-byte binary, not 36-char text: the id
+    # column's stored orig_bytes reflect the fixed-width layout
+    blocks = spark.read.parquet(os.path.join(path, "blocks"))
+    vals = blocks.filter(
+        (F.col("column") == "id") & (F.col("component") == "values")
+    ).agg(F.sum("orig_bytes")).collect()[0][0]
+    assert vals <= 17 * 51  # 16 bytes/value + packed length bits

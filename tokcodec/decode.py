@@ -150,6 +150,19 @@ def _decode_node(by_comp: dict[str, list[dict]], prefix: str,
 
     def decode_leaf(component, inner_dt):
         comp_rows = by_comp.get(component, [])
+        if isinstance(inner_dt, T.DecimalType) and inner_dt.precision > 18:
+            # fixed 16-byte little-endian decimal128 storage through
+            # the binary path (see encode._decimal_bytes)
+            from tokcodec.codecs.strcodecs import arrow_to_strchunk
+
+            data = b"".join(
+                arrow_to_strchunk(decode_str_component(r, binary=True))[0]
+                for r in comp_rows
+            )
+            return pa.Array.from_buffers(
+                spark_type_to_arrow(inner_dt), len(data) // 16,
+                [None, pa.py_buffer(data)],
+            )
         if isinstance(inner_dt, (T.StringType, T.BinaryType)):
             binary = isinstance(inner_dt, T.BinaryType)
             vparts = [decode_str_component(r, binary=binary) for r in comp_rows]

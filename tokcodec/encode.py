@@ -149,11 +149,31 @@ def _decimal_unscaled(arr: pa.Array) -> np.ndarray:
     return words[2 * arr.offset::2][: len(arr)].copy()
 
 
+def _decimal_bytes(arr: pa.Array) -> pa.Array:
+    """decimal128 (precision > 18) -> binary array of fixed 16-byte
+    little-endian two's-complement values, zero-copy from the decimal
+    storage buffer. The reference stores these as BINARY unscaled bytes
+    (BigDecimalWrite.java:58-70, read DecimalConverter.java:28-80); the
+    fixed-width binary rides the string/binary codec path (dict codec
+    picks up repeated amounts)."""
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    if arr.null_count:
+        arr = arr.fill_null(0)
+    raw = np.frombuffer(arr.buffers()[1], dtype=np.uint8)
+    raw = raw[arr.offset * 16:(arr.offset + len(arr)) * 16]
+    offs = np.arange(len(arr) + 1, dtype=np.int32) * 16
+    return pa.Array.from_buffers(
+        pa.binary(), len(arr),
+        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(raw.tobytes())],
+    )
+
+
 def _encode_leaf(bucket: int, name: str, component: str, arr: pa.Array,
                  dt: T.DataType) -> list[dict]:
     if isinstance(dt, T.DecimalType):
         if dt.precision > 18:
-            raise NotImplementedError("decimal precision > 18 (v0 limit)")
+            return [encode_str_component(bucket, name, component,
+                                         _decimal_bytes(arr))]
         v = _decimal_unscaled(arr)
         return [encode_int_component(bucket, name, component, v, 8)]
     if isinstance(dt, (T.StringType, T.BinaryType)):

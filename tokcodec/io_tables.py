@@ -44,14 +44,24 @@ def write_encoded(
     cluster_by: str | None = None,
     chunk_max_rows: int | None = None,
     chunk_max_values: int | None = None,
+    uuid_columns: list[str] | None = None,
 ) -> dict:
     """Encode ``df`` into ``path``. With ``resume=True``, buckets whose
     lineage commit already exists are skipped (anti-join against the
     checkpoint). ``fail_after_buckets`` encodes only the first k pending
-    buckets — the fault-injection hook for resumability tests."""
+    buckets — the fault-injection hook for resumability tests.
+
+    ``uuid_columns``: string columns holding canonical UUIDs are stored
+    as 16-byte binary (the reference's FIXED_LEN_BYTE_ARRAY(16) UUID
+    logical type, UuidWrite.java:25-32 / LogicalTypeConverters.java:
+    140-151 — 2.25x smaller than the 36-char text before compression)
+    and converted back to canonical lowercase strings on read."""
     spark = df.sparkSession
     blocks_p, lineage_p, manifest_p = _paths(path)
     run_id = run_id or uuid.uuid4().hex[:12]
+    for c in uuid_columns or []:
+        # JVM-side: strip dashes, hex-decode to 16 bytes
+        df = df.withColumn(c, F.unhex(F.translate(F.col(c), "-", "")))
 
     b = with_bucket(df, n_buckets)
     done: list[int] = []
@@ -101,7 +111,8 @@ def write_encoded(
     )
     lineage_from_blocks(new_metrics, epoch=epoch).write.mode("append").parquet(lineage_p)
     with open(manifest_p, "w") as f:
-        f.write(schema_manifest(df.schema, n_buckets, run_id))
+        f.write(schema_manifest(df.schema, n_buckets, run_id,
+                                uuid_columns=uuid_columns))
 
     lin = spark.read.schema(LINEAGE_DDL).parquet(lineage_p)
     agg = (
@@ -155,9 +166,29 @@ def read_encoded(
         .select("bucket", "run_id")
     # small table: one row per bucket — broadcast the semi join
     blocks = blocks.join(F.broadcast(lin), ["bucket", "run_id"], "left_semi")
+
+    def _expand_uuids(out: DataFrame) -> DataFrame:
+        for c in manifest.get("uuid_columns", []):
+            if c not in out.columns:
+                continue
+            h = F.lower(F.hex(F.col(c)))
+            # F.concat propagates nulls (concat_ws would turn a null
+            # uuid into "----")
+            out = out.withColumn(
+                c,
+                F.concat(
+                    F.substring(h, 1, 8), F.lit("-"),
+                    F.substring(h, 9, 4), F.lit("-"),
+                    F.substring(h, 13, 4), F.lit("-"),
+                    F.substring(h, 17, 4), F.lit("-"),
+                    F.substring(h, 21, 12),
+                ),
+            )
+        return out
+
     if range_filter is None:
-        return decode_blocks(blocks, schema, columns,
-                             verify_checksums=verify_checksums)
+        return _expand_uuids(decode_blocks(blocks, schema, columns,
+                                           verify_checksums=verify_checksums))
     col, lo, hi = range_filter
     # zone-map pass: chunks whose stats overlap [lo, hi]. The zone map
     # lives in the stats column's block meta; all components of a
@@ -170,7 +201,9 @@ def read_encoded(
     pruned = blocks.join(F.broadcast(zones), ["bucket", "chunk"], "left_semi")
     out = decode_blocks(pruned, schema, columns,
                         verify_checksums=verify_checksums)
-    return out.filter((F.col(col) >= int(lo)) & (F.col(col) <= int(hi)))
+    return _expand_uuids(
+        out.filter((F.col(col) >= int(lo)) & (F.col(col) <= int(hi)))
+    )
 
 
 def read_encoded_as(

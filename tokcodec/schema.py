@@ -83,10 +83,12 @@ def spark_type_to_arrow(dt: T.DataType) -> pa.DataType:
     raise NotImplementedError(f"unsupported type {dt}")
 
 
-def schema_manifest(schema: T.StructType, n_buckets: int, run_id: str) -> str:
+def schema_manifest(schema: T.StructType, n_buckets: int, run_id: str,
+                    uuid_columns: list[str] | None = None) -> str:
     return json.dumps(
         {"ddl": schema.simpleString(), "json": schema.jsonValue(),
-         "n_buckets": n_buckets, "run_id": run_id},
+         "n_buckets": n_buckets, "run_id": run_id,
+         "uuid_columns": sorted(uuid_columns or [])},
         separators=(",", ":"),
     )
 
