@@ -582,13 +582,22 @@ def q_simhash_hamming_hist(spark, sf_dir):
     )
 
 
-def q_ann_ivf_topk(spark, sf_dir):
-    """IVF ANN: k-means-style coarse centroids trained on a driver-side
-    sample (one Lloyd refinement, fixed seed), broadcast as a literal;
-    assignment + probing are pure JVM expressions. Probe the 4 nearest
-    cells of the query, exact cosine within probed cells."""
+_IVF_CACHE: dict[str, tuple] = {}
+
+
+def _ivf_table(spark, sf_dir):
+    """Encode-time IVF: train coarse centroids on a deterministic
+    driver-side sample (bounded collect, fixed seed), assign each
+    vector a cell with JVM expressions, and ENCODE with
+    cluster_by='cell' so per-chunk zone maps are tight on the cell id.
+    Probing then skips whole chunks (the 100 TB shape: the index cost
+    is paid once at write time, queries read only probed cells'
+    blocks). Returns (encoded_path, centroids)."""
     import numpy as np
 
+    key = os.path.abspath(sf_dir)
+    if key in _IVF_CACHE:
+        return _IVF_CACHE[key]
     e = _t(spark, sf_dir, "embeddings")
     samp = np.array(
         [r.embedding for r in e.limit(256).collect()], dtype=np.float64
@@ -611,26 +620,57 @@ def q_ann_ivf_topk(spark, sf_dir):
         "(a, b) -> (cast(a as double) - b) * (cast(a as double) - b)), "
         "0D, (s, x) -> s + x))"
     )
-    e = e.withColumn("cents", cent_lit).withColumn(
+    e2 = e.withColumn("cents", cent_lit).withColumn(
         "cell", F.expr(f"array_position({dist_c}, array_min({dist_c})) - 1")
         .cast("int")
     ).drop("cents")
-    # probe set: the 4 cells whose centroids are nearest to the query
+    path = os.path.join(
+        tempfile.gettempdir(), "tokcodec_entry_ivf", key.replace(os.sep, "_")
+    )
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    # small chunks so zone pruning is visible at sandbox scale; at
+    # 100 TB chunk counts are naturally high
+    write_encoded(e2, path, n_buckets=4, run_id="ivf", cluster_by="cell",
+                  chunk_max_rows=32)
+    _IVF_CACHE[key] = (path, cents)
+    return _IVF_CACHE[key]
+
+
+def _ivf_probe_cells(cents, qv_np, n_probe=4):
+    import numpy as np
+
+    qd = ((cents - qv_np[None, :]) ** 2).sum(axis=1)
+    return [int(c) for c in np.argsort(qd)[:n_probe]]
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN probe: decode ONLY the chunks whose cell zone overlaps
+    the 4 cells nearest the query (in_filter chunk skipping over the
+    cell-clustered encoded table), exact cosine within the survivors."""
+    import numpy as np
+
+    path, cents = _ivf_table(spark, sf_dir)
     qv_np = np.array(
-        e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0],
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0).select("embedding").collect()[0][0],
         dtype=np.float64,
     )
-    qd = ((cents - qv_np[None, :]) ** 2).sum(axis=1)
-    probe_cells = [int(c) for c in np.argsort(qd)[:4]]
-    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    probed = e.crossJoin(F.broadcast(q)).filter(
-        (F.col("vec_id") != 0) & F.col("cell").isin(probe_cells)
+    probe_cells = _ivf_probe_cells(cents, qv_np)
+    probed = read_encoded(spark, path, in_filter=("cell", probe_cells))
+    q = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qv"))
     )
     dot = "aggregate(zip_with(embedding, qv, (a, b) -> cast(a as double) * b), 0D, (s, x) -> s + x)"
     nrm = "sqrt(aggregate(embedding, 0D, (s, x) -> s + cast(x as double) * x))"
     qnrm = "sqrt(aggregate(qv, 0D, (s, x) -> s + cast(x as double) * x))"
     return (
-        probed.withColumn("sim", F.expr(f"({dot}) / (({nrm}) * ({qnrm}))"))
+        probed.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != 0)
+        .withColumn("sim", F.expr(f"({dot}) / (({nrm}) * ({qnrm}))"))
         .orderBy(F.desc("sim"), "vec_id")
         .limit(10)
         .select("vec_id", "label", "cell")

@@ -147,6 +147,7 @@ def suggest_buckets(total_bytes: int,
 def read_encoded(
     spark: SparkSession, path: str, columns: list[str] | None = None,
     range_filter: tuple[str, int, int] | None = None,
+    in_filter: tuple[str, list[int]] | None = None,
     verify_checksums: bool = False,
 ) -> DataFrame:
     """Decode an encoded table; ``columns`` is projection pushdown —
@@ -156,7 +157,12 @@ def read_encoded(
     skipping (the encoded-block analogue of parquet row-group pruning):
     whole (bucket, chunk)s whose stored [lo, hi] range misses the
     predicate are never decoded; an exact residual filter is applied
-    to the survivors. Filter semantics: lo <= col <= hi."""
+    to the survivors. Filter semantics: lo <= col <= hi.
+
+    ``in_filter=(int_column, values)`` is the set-membership variant:
+    chunks whose [lo, hi] zone contains none of the values are skipped
+    (the IVF ANN probe path — encode with ``cluster_by='cell'`` so
+    chunk zones are tight)."""
     blocks_p, lineage_p, manifest_p = _paths(path)
     with open(manifest_p) as f:
         manifest = json.load(f)
@@ -186,24 +192,34 @@ def read_encoded(
             )
         return out
 
-    if range_filter is None:
+    if range_filter is None and in_filter is None:
         return _expand_uuids(decode_blocks(blocks, schema, columns,
                                            verify_checksums=verify_checksums))
-    col, lo, hi = range_filter
-    # zone-map pass: chunks whose stats overlap [lo, hi]. The zone map
-    # lives in the stats column's block meta; all components of a
-    # surviving (bucket, chunk) are kept so row alignment holds.
+    zlo = F.get_json_object("meta", "$.lo").cast("long")
+    zhi = F.get_json_object("meta", "$.hi").cast("long")
+    if range_filter is not None:
+        col, lo, hi = range_filter
+        zpred = (zhi >= int(lo)) & (zlo <= int(hi))
+        residual = (F.col(col) >= int(lo)) & (F.col(col) <= int(hi))
+    else:
+        col, values = in_filter
+        values = [int(v) for v in values]
+        zpred = F.lit(False)
+        for v in values:
+            zpred = zpred | ((zlo <= v) & (zhi >= v))
+        residual = F.col(col).isin(values)
+    # zone-map pass: chunks whose stats overlap the predicate. The zone
+    # map lives in the stats column's block meta; all components of a
+    # surviving (run_id, bucket, chunk) are kept so row alignment holds
+    # (keyed by run_id too: multi-epoch appends reuse chunk numbers).
     zones = blocks.filter(
-        (F.col("column") == col) & (F.col("component") == "values")
-        & (F.get_json_object("meta", "$.hi").cast("long") >= int(lo))
-        & (F.get_json_object("meta", "$.lo").cast("long") <= int(hi))
-    ).select("bucket", "chunk").distinct()
-    pruned = blocks.join(F.broadcast(zones), ["bucket", "chunk"], "left_semi")
+        (F.col("column") == col) & (F.col("component") == "values") & zpred
+    ).select("run_id", "bucket", "chunk").distinct()
+    pruned = blocks.join(F.broadcast(zones), ["run_id", "bucket", "chunk"],
+                         "left_semi")
     out = decode_blocks(pruned, schema, columns,
                         verify_checksums=verify_checksums)
-    return _expand_uuids(
-        out.filter((F.col(col) >= int(lo)) & (F.col(col) <= int(hi)))
-    )
+    return _expand_uuids(out.filter(residual))
 
 
 def read_encoded_as(
