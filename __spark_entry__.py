@@ -48,11 +48,19 @@ def _decoded_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         import shutil
 
         shutil.rmtree(path, ignore_errors=True)
-        write_encoded(seq, path, n_buckets=8, run_id="entry")
+        write_encoded(seq, path, n_buckets=8, run_id="entry",
+                      bloom_columns=["doc_id"])
         # materialize once: every roundtrip_* query reuses the decoded
         # rows instead of re-running the full decode per query
         _DECODED_CACHE[key] = read_encoded(spark, path).persist()
     return _DECODED_CACHE[key]
+
+
+def _entry_table_path(sf_dir: str) -> str:
+    key = os.path.abspath(sf_dir)
+    return os.path.join(
+        tempfile.gettempdir(), "tokcodec_entry", key.replace(os.sep, "_")
+    )
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -129,6 +137,20 @@ def q_roundtrip_tokens_exact(spark, sf_dir):
     # in the hash.
     dec = _decoded_sequences(spark, sf_dir)
     return dec.filter(F.col("doc_id").cast("long") % 97 == 0).select(
+        "doc_id",
+        F.array_join(F.col("tokens").cast("array<string>"), ",").alias("toks"),
+        "n_tok",
+    )
+
+
+def q_roundtrip_point_lookup(spark, sf_dir):
+    """Point lookup through per-chunk bloom pruning (reference C4):
+    chunks whose doc_id bloom excludes the key are never decoded —
+    the removal-list/dedup-membership access pattern at 100 TB."""
+    _decoded_sequences(spark, sf_dir)  # ensure encoded table exists
+    looked = read_encoded(spark, _entry_table_path(sf_dir),
+                          eq_filter=("doc_id", "123"))
+    return looked.select(
         "doc_id",
         F.array_join(F.col("tokens").cast("array<string>"), ",").alias("toks"),
         "n_tok",
@@ -700,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_global_checksum": q_roundtrip_global_checksum,
         "roundtrip_projection_topn": q_roundtrip_projection_topn,
         "roundtrip_tokens_exact": q_roundtrip_tokens_exact,
+        "roundtrip_point_lookup": q_roundtrip_point_lookup,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "join_topcustomers": q_join_topcustomers,
         "anti_join": q_anti_join,
@@ -761,6 +784,10 @@ FROM seq ORDER BY n_tok DESC, doc_id LIMIT 20""",
 SELECT doc_id, array_to_string(tokens, ',') AS toks,
        CAST(len(tokens) AS INTEGER) AS n_tok
 FROM seq WHERE CAST(doc_id AS BIGINT) % 97 = 0""",
+        "roundtrip_point_lookup": f"""{_SEQ_CTE}
+SELECT doc_id, array_to_string(tokens, ',') AS toks,
+       CAST(len(tokens) AS INTEGER) AS n_tok
+FROM seq WHERE doc_id = '123'""",
         "lineitem_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

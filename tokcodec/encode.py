@@ -223,7 +223,8 @@ def _chunk_bounds(n_rows: int, list_lengths: np.ndarray | None,
 def make_encode_fn(schema: T.StructType, run_id: str,
                    cluster_by: str | None = None,
                    chunk_max_rows: int = CHUNK_MAX_ROWS,
-                   chunk_max_values: int = CHUNK_MAX_VALUES):
+                   chunk_max_values: int = CHUNK_MAX_VALUES,
+                   bloom_columns: tuple[str, ...] = ()):
     """Returns the applyInArrow function: (key, pa.Table) -> pa.Table
     of BLOCK_DDL rows for one bucket.
 
@@ -278,6 +279,15 @@ def make_encode_fn(schema: T.StructType, run_id: str,
                     rows.append(r)
                     if r["component"] == "values":
                         codec_log[name] = r["codec"]
+                if name in bloom_columns:
+                    from tokcodec.bloom import bloom_block_row
+
+                    br = bloom_block_row(bucket, name,
+                                         arr.fill_null("")
+                                         if arr.null_count else arr)
+                    br["run_id"] = run_id
+                    br["chunk"] = ci
+                    rows.append(br)
         wall_ms = (time.monotonic() - t0) * 1000.0
         rows.append(
             {
@@ -301,7 +311,8 @@ def make_encode_fn(schema: T.StructType, run_id: str,
 def make_encode_map_fn(schema: T.StructType, run_id: str,
                        cluster_by: str | None = None,
                        chunk_max_rows: int = CHUNK_MAX_ROWS,
-                       chunk_max_values: int = CHUNK_MAX_VALUES):
+                       chunk_max_values: int = CHUNK_MAX_VALUES,
+                       bloom_columns: tuple[str, ...] = ()):
     """mapInArrow variant: one partition may hold several whole buckets
     (repartition(n, bucket) colocates each bucket in exactly one
     partition); group by bucket here instead of paying applyInArrow's
@@ -309,7 +320,8 @@ def make_encode_map_fn(schema: T.StructType, run_id: str,
     bottleneck on wide token rows."""
     inner = make_encode_fn(schema, run_id, cluster_by=cluster_by,
                            chunk_max_rows=chunk_max_rows,
-                           chunk_max_values=chunk_max_values)
+                           chunk_max_values=chunk_max_values,
+                           bloom_columns=bloom_columns)
 
     def fn(batches):
         import pyarrow as pa
@@ -356,16 +368,29 @@ def encode_bucketed(b: DataFrame, schema: T.StructType, n_buckets: int,
                     run_id: str, mode: str = "group",
                     cluster_by: str | None = None,
                     chunk_max_rows: int = CHUNK_MAX_ROWS,
-                    chunk_max_values: int = CHUNK_MAX_VALUES) -> DataFrame:
-    """Encode an already-bucketed DataFrame (has BUCKET_COL)."""
+                    chunk_max_values: int = CHUNK_MAX_VALUES,
+                    bloom_columns: tuple[str, ...] = ()) -> DataFrame:
+    """Encode an already-bucketed DataFrame (has BUCKET_COL).
+    ``bloom_columns``: string/binary columns that get a per-chunk bloom
+    filter block for equality pruning (reference C4)."""
+    for c in bloom_columns:
+        f = next((f for f in schema.fields if f.name == c), None)
+        if f is None or not isinstance(f.dataType, (T.StringType,
+                                                    T.BinaryType)):
+            raise ValueError(
+                f"bloom column {c!r} must be an existing string/binary "
+                "column"
+            )
     if mode == "group":
         fn = make_encode_fn(schema, run_id, cluster_by=cluster_by,
                             chunk_max_rows=chunk_max_rows,
-                            chunk_max_values=chunk_max_values)
+                            chunk_max_values=chunk_max_values,
+                            bloom_columns=bloom_columns)
         return b.groupBy(BUCKET_COL).applyInArrow(fn, schema=BLOCK_DDL)
     fn = make_encode_map_fn(schema, run_id, cluster_by=cluster_by,
                             chunk_max_rows=chunk_max_rows,
-                            chunk_max_values=chunk_max_values)
+                            chunk_max_values=chunk_max_values,
+                            bloom_columns=bloom_columns)
     return b.repartition(n_buckets, F.col(BUCKET_COL)).mapInArrow(
         fn, schema=BLOCK_DDL
     )

@@ -45,6 +45,7 @@ def write_encoded(
     chunk_max_rows: int | None = None,
     chunk_max_values: int | None = None,
     uuid_columns: list[str] | None = None,
+    bloom_columns: list[str] | None = None,
 ) -> dict:
     """Encode ``df`` into ``path``. With ``resume=True``, buckets whose
     lineage commit already exists are skipped (anti-join against the
@@ -87,6 +88,7 @@ def write_encoded(
         b, df.schema, n_buckets, run_id, cluster_by=cluster_by,
         chunk_max_rows=chunk_max_rows or CHUNK_MAX_ROWS,
         chunk_max_values=chunk_max_values or CHUNK_MAX_VALUES,
+        bloom_columns=tuple(bloom_columns or ()),
     )
     (
         blocks.write.mode("append")
@@ -144,10 +146,51 @@ def suggest_buckets(total_bytes: int,
     return max(1, int(total_bytes / target_bucket_bytes))
 
 
+def _bloom_prune(blocks: DataFrame, col: str, value) -> DataFrame:
+    """Keep only (run_id, bucket, chunk)s whose bloom might contain
+    ``value``; chunks of ``col`` without a bloom block always survive
+    (mixed old/new runs stay correct). The membership test runs
+    executor-side, vectorized over chunk blooms — nothing is collected."""
+    import pyarrow as pa
+
+    from tokcodec.bloom import bloom_params, bloom_test_arrow
+
+    vb = value.encode("utf-8") if isinstance(value, str) else bytes(value)
+    g1, g2 = bloom_params(vb)
+    keys = ["run_id", "bucket", "chunk"]
+
+    def test(batches):
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            hit = bloom_test_arrow(tbl.column("payload"), g1, g2)
+            yield pa.RecordBatch.from_arrays(
+                [tbl.column(k).combine_chunks() for k in keys]
+                + [pa.array(hit)],
+                names=keys + ["hit"],
+            )
+
+    blooms = blocks.filter(
+        (F.col("column") == col) & (F.col("component") == "bloom")
+    ).select(*keys, "payload")
+    hits = blooms.mapInArrow(
+        test, "run_id string, bucket int, chunk int, hit boolean"
+    )
+    vals = blocks.filter(
+        (F.col("column") == col) & (F.col("component") == "values")
+    ).select(*keys).distinct()
+    surv = (
+        vals.join(hits, keys, "left")
+        .filter(F.col("hit").isNull() | F.col("hit"))
+        .select(*keys)
+    )
+    return blocks.join(F.broadcast(surv), keys, "left_semi")
+
+
 def read_encoded(
     spark: SparkSession, path: str, columns: list[str] | None = None,
     range_filter: tuple[str, int, int] | None = None,
     in_filter: tuple[str, list[int]] | None = None,
+    eq_filter: tuple[str, str | bytes] | None = None,
     verify_checksums: bool = False,
 ) -> DataFrame:
     """Decode an encoded table; ``columns`` is projection pushdown —
@@ -162,7 +205,12 @@ def read_encoded(
     ``in_filter=(int_column, values)`` is the set-membership variant:
     chunks whose [lo, hi] zone contains none of the values are skipped
     (the IVF ANN probe path — encode with ``cluster_by='cell'`` so
-    chunk zones are tight)."""
+    chunk zones are tight).
+
+    ``eq_filter=(str_column, value)`` prunes via per-chunk bloom
+    filters (write with ``bloom_columns=[str_column]``): chunks whose
+    bloom definitively excludes the value are skipped; chunks with no
+    bloom block always survive (no false negatives)."""
     blocks_p, lineage_p, manifest_p = _paths(path)
     with open(manifest_p) as f:
         manifest = json.load(f)
@@ -192,9 +240,18 @@ def read_encoded(
             )
         return out
 
-    if range_filter is None and in_filter is None:
+    if sum(x is not None for x in (range_filter, in_filter, eq_filter)) > 1:
+        raise ValueError("range_filter, in_filter and eq_filter are "
+                         "mutually exclusive")
+    if range_filter is None and in_filter is None and eq_filter is None:
         return _expand_uuids(decode_blocks(blocks, schema, columns,
                                            verify_checksums=verify_checksums))
+    if eq_filter is not None:
+        col, value = eq_filter
+        pruned = _bloom_prune(blocks, col, value)
+        out = decode_blocks(pruned, schema, columns,
+                            verify_checksums=verify_checksums)
+        return _expand_uuids(out.filter(F.col(col) == value))
     zlo = F.get_json_object("meta", "$.lo").cast("long")
     zhi = F.get_json_object("meta", "$.hi").cast("long")
     if range_filter is not None:
