@@ -515,37 +515,93 @@ def q_minhash_neardup_pairs(spark, sf_dir):
         " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
     )
     shdf = d.select("doc_id", F.expr(sh).alias("sh"))
-    sig = shdf.select(
+    # ONE md5 per shingle: 60 bits of the digest become the base hash
+    # b; the 16 minhash functions are affine combos of b's two halves
+    # (Carter-Wegman style). b is referenced 16x below, which blocks
+    # projection collapse, so the md5 pass runs once — round 2's first
+    # cut ran 16 md5s per shingle and was 2x SLOWER than the exploded
+    # round-1 plan.
+    bdf = shdf.select(
         "doc_id",
-        *[
-            F.expr(f"array_min(transform(sh, s -> md5(concat(s, '#{i}'))))")
-            .alias(f"h{i}")
-            for i in range(16)
-        ],
+        F.expr(
+            "transform(sh, s -> cast(conv(substring(md5(s), 1, 15), 16, 10)"
+            " as bigint))"
+        ).alias("b"),
     )
-    bands = []
-    for b in range(4):
-        cols = [F.col(f"h{b * 4 + j}") for j in range(4)]
-        bands.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.md5(F.concat(*cols)).alias("bucket"),
+    # the 16 per-row minima as ONE vectorized numpy sweep over whole
+    # Arrow batches (16 interpreted higher-order-function passes cost
+    # ~3 s at sf0.1; this fold is ~50 ms). Same int64 math as the
+    # DuckDB oracle: min_i = min over shingles of
+    # (b % 2^30 + i * (2 * (b div 2^30) + 1)) % (2^31 - 1).
+    def fold(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        P = 2147483647
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            barr = tbl.column("b").combine_chunks()
+            flat = barr.flatten().to_numpy(zero_copy_only=False).astype(
+                np.int64
             )
+            lens = pa.compute.list_value_length(barr).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+            lo = flat % 1073741824
+            hi = 2 * (flat // 1073741824) + 1
+            out = np.full((len(lens), 16), P, dtype=np.int64)
+            if len(flat):
+                idx = np.minimum(starts, len(flat) - 1)
+                for i in range(16):
+                    out[:, i] = np.minimum.reduceat((lo + i * hi) % P, idx)
+                out[lens == 0] = P  # no empty rows (filtered >= 3 words)
+            yield pa.RecordBatch.from_arrays(
+                [tbl.column("doc_id").combine_chunks()]
+                + [pa.array(out[:, i]) for i in range(16)],
+                names=["doc_id"] + [f"h{i}" for i in range(16)],
+            )
+
+    sig = bdf.mapInArrow(
+        fold, "doc_id long, " + ", ".join(f"h{i} long" for i in range(16))
+    )
+    # the 4 band buckets come out of ONE projection as an exploded
+    # array — a union of 4 band branches physically re-scans and
+    # re-hashes the documents once per branch (8 full pipelines with
+    # the self-join; this shape runs 2)
+    harr = ", ".join(f"cast(h{i} as string)" for i in range(16))
+    banded = (
+        sig.select(
+            "doc_id",
+            F.explode(F.expr(
+                "transform(sequence(0, 3), bd -> struct("
+                "cast(bd as int) as band, "
+                f"md5(concat_ws('-', slice(array({harr}), bd * 4 + 1, 4)))"
+                " as bucket))"
+            )).alias("bb"),
         )
-    banded = bands[0]
-    for x in bands[1:]:
-        banded = banded.unionAll(x)
-    a = banded.alias("a")
-    b2 = banded.alias("b")
+        .select("doc_id", F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket"))
+    )
+    # pair generation per bucket via groupBy + in-bucket combinations:
+    # a self-join would compute the whole signature pipeline once per
+    # side. Bucket membership lists are tiny (LSH spreads docs across
+    # 2^128 buckets); a pathological all-duplicates bucket is quadratic
+    # in any LSH pair enumeration.
+    grp = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
     pairs = (
-        a.join(
-            b2,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        grp.select(
+            F.explode(F.expr(
+                "flatten(transform(ds, (x, i) -> "
+                "transform(slice(ds, i + 2, size(ds)), "
+                "y -> struct(least(x, y) as d1, greatest(x, y) as d2))))"
+            )).alias("p")
         )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .select("p.d1", "p.d2")
         .distinct()
     )
     return pairs.agg(
@@ -953,12 +1009,15 @@ WITH d AS (
 ), sh AS (
   SELECT doc_id, list_transform(range(1, len(words) - 1),
          i -> array_to_string(words[i:i+2], ' ')) AS shingles FROM d
+), base AS (
+  SELECT doc_id, list_transform(shingles,
+         s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS b FROM sh
 ), sig AS (
   SELECT doc_id,
-{",".join(f"    list_aggregate(list_transform(shingles, s -> md5(s || '#{i}')), 'min') AS h{i}" for i in range(16))}
-  FROM sh
+{",".join(f"    list_aggregate(list_transform(b, x -> (x % 1073741824 + {i} * (2 * (x // 1073741824) + 1)) % 2147483647), 'min') AS h{i}" for i in range(16))}
+  FROM base
 ), banded AS (
-{" UNION ALL ".join(f"  SELECT doc_id, {b} AS band, md5(h{b * 4} || h{b * 4 + 1} || h{b * 4 + 2} || h{b * 4 + 3}) AS bucket FROM sig" for b in range(4))}
+{" UNION ALL ".join(f"  SELECT doc_id, {b} AS band, md5(h{b * 4}::VARCHAR || '-' || h{b * 4 + 1}::VARCHAR || '-' || h{b * 4 + 2}::VARCHAR || '-' || h{b * 4 + 3}::VARCHAR) AS bucket FROM sig" for b in range(4))}
 ), pairs AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
   FROM banded a JOIN banded b
