@@ -24,10 +24,15 @@ assumes. We therefore report:
 plus per-bucket encode wall-ms from the lineage table at both levels
 (flat distribution across levels == no lock/contention in engine code).
 
-Each level runs in a fresh subprocess (fresh JVM), warms the Python
-worker pool and the query plan, then takes the min of 4 timed runs
-(the sandbox has multi-second exogenous stalls; min is the honest
-steady-state estimator).
+Measurement protocol (single-variable, round-2 revision):
+- each level runs in a fresh subprocess (fresh JVM) PINNED to a fixed
+  core set via taskset: local[8] -> cpus 0-7, local[32] -> cpus 0-31,
+  so the OS scheduler is not a variable;
+- levels are INTERLEAVED A/B/A/B/A/B (3 subprocess rounds per level,
+  4 timed reps each after warmup), so slow host phases hit both levels
+  equally instead of biasing one;
+- the primary statistic is the MEDIAN over all 12 reps per level
+  (min also reported as the steady-state bound).
 
 Usage: python scripts/scaling_bench.py [rows]
 """
@@ -67,7 +72,7 @@ for _ in range(2):  # plan codegen + JIT warm (needs 2-3 executions)
 wdir = "/dev/shm" if os.path.isdir("/dev/shm") else None
 work = tempfile.mkdtemp(prefix=f"scale{{cores}}_", dir=wdir)
 dts = []
-for rep in range(8):  # min-of-8: sandbox has exogenous stalls
+for rep in range(4):  # 4 reps/round; rounds are interleaved A/B outside
     t0 = time.monotonic()
     write_encoded(df, os.path.join(work, f"enc{{rep}}"), n_buckets=32,
                   run_id="scale")
@@ -115,10 +120,20 @@ print(json.dumps(out))
 """
 
 
+def _taskset(cores: int) -> list[str]:
+    """Pin the whole subprocess tree (JVM + Python workers) to a fixed
+    core set so the two levels see deterministic, comparable CPUs."""
+    import shutil as _sh
+
+    if _sh.which("taskset") is None:
+        return []
+    return ["taskset", "-c", f"0-{cores - 1}"]
+
+
 def run_level(cores: int, rows: int) -> dict:
     code = WORKER.format(repo=REPO)
     out = subprocess.run(
-        [sys.executable, "-c", code, str(cores), str(rows)],
+        _taskset(cores) + [sys.executable, "-c", code, str(cores), str(rows)],
         capture_output=True, text=True, timeout=3600,
     )
     if out.returncode != 0:
@@ -134,24 +149,46 @@ def measure_bw() -> dict:
 
 
 def main() -> None:
+    import statistics
+
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    rounds = int(os.environ.get("SCALE_ROUNDS", "3"))
     bw = measure_bw()
-    lo = run_level(8, rows)
-    hi = run_level(32, rows)
-    raw_eff = hi["tokens_per_sec"] / (4 * lo["tokens_per_sec"])
-    speedup = hi["tokens_per_sec"] / lo["tokens_per_sec"]
+    lo_secs: list[float] = []
+    hi_secs: list[float] = []
+    lo = hi = None
+    for r in range(rounds):  # interleaved A/B: host phases hit both
+        lo = run_level(8, rows)
+        lo_secs += lo["all_seconds"]
+        hi = run_level(32, rows)
+        hi_secs += hi["all_seconds"]
+        sys.stderr.write(f"round {r}: 8={lo['all_seconds']} "
+                         f"32={hi['all_seconds']}\n")
+    med8 = statistics.median(lo_secs)
+    med32 = statistics.median(hi_secs)
+    thr8 = lo["tokens"] / med8
+    thr32 = lo["tokens"] / med32
+    raw_eff = thr32 / (4 * thr8)
+    speedup = thr32 / thr8
     bw_scaling = bw["32"] / bw["8"]
     norm_eff = speedup / bw_scaling
     result = {
         "rows": rows,
         "tokens": lo["tokens"],
-        "local8_tokens_per_sec": int(lo["tokens_per_sec"]),
-        "local32_tokens_per_sec": int(hi["tokens_per_sec"]),
-        "local8_seconds": round(lo["seconds"], 2),
-        "local32_seconds": round(hi["seconds"], 2),
-        "local8_all_seconds": lo["all_seconds"],
-        "local32_all_seconds": hi["all_seconds"],
+        "protocol": f"taskset-pinned (0-7 vs 0-31), {rounds} interleaved "
+                    "rounds x 4 reps, median",
+        "local8_tokens_per_sec": int(thr8),
+        "local32_tokens_per_sec": int(thr32),
+        "local8_median_seconds": round(med8, 2),
+        "local32_median_seconds": round(med32, 2),
+        "local8_min_seconds": round(min(lo_secs), 2),
+        "local32_min_seconds": round(min(hi_secs), 2),
+        "local8_all_seconds": lo_secs,
+        "local32_all_seconds": hi_secs,
         "raw_efficiency_8_to_32": round(raw_eff, 3),
+        "min_raw_efficiency_8_to_32": round(
+            (lo["tokens"] / min(hi_secs)) / (4 * lo["tokens"] / min(lo_secs)),
+            3),
         "copy_bw_8_gbps": round(bw["8"] / 1e9, 1),
         "copy_bw_32_gbps": round(bw["32"] / 1e9, 1),
         "hardware_bw_scaling_8_to_32": round(bw_scaling, 3),
