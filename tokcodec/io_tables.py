@@ -33,6 +33,43 @@ def _paths(path: str) -> tuple[str, str, str]:
     )
 
 
+def _write_text(spark: SparkSession, path: str, content: str) -> None:
+    """Write the manifest through Hadoop's FileSystem API so the table
+    layout works on HDFS/S3 paths, not just the local FS (plain open()
+    was a real-cluster gap flagged in round 1)."""
+    try:
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(conf)
+        out = fs.create(p, True)
+        out.write(bytearray(content.encode("utf-8")))
+        out.close()
+    except Exception:
+        with open(path, "w") as f:  # local-FS fallback
+            f.write(content)
+
+
+def _read_text(spark: SparkSession, path: str) -> str:
+    try:
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(conf)
+        if not fs.exists(p):
+            raise FileNotFoundError(path)
+        stream = fs.open(p)
+        util = jvm.org.apache.commons.io.IOUtils
+        content = util.toString(stream, "UTF-8")
+        stream.close()
+        return content
+    except FileNotFoundError:
+        raise
+    except Exception:
+        with open(path) as f:
+            return f.read()
+
+
 def write_encoded(
     df: DataFrame,
     path: str,
@@ -112,8 +149,8 @@ def write_encoded(
                 & (F.col("run_id") == run_id))
     )
     lineage_from_blocks(new_metrics, epoch=epoch).write.mode("append").parquet(lineage_p)
-    with open(manifest_p, "w") as f:
-        f.write(schema_manifest(df.schema, n_buckets, run_id,
+    _write_text(spark, manifest_p,
+                schema_manifest(df.schema, n_buckets, run_id,
                                 uuid_columns=uuid_columns))
 
     lin = spark.read.schema(LINEAGE_DDL).parquet(lineage_p)
@@ -212,8 +249,7 @@ def read_encoded(
     bloom definitively excludes the value are skipped; chunks with no
     bloom block always survive (no false negatives)."""
     blocks_p, lineage_p, manifest_p = _paths(path)
-    with open(manifest_p) as f:
-        manifest = json.load(f)
+    manifest = json.loads(_read_text(spark, manifest_p))
     schema = manifest_schema(manifest)
     blocks = spark.read.schema(BLOCK_DDL).parquet(blocks_p)
     lin = committed(spark.read.schema(LINEAGE_DDL).parquet(lineage_p)) \
@@ -290,8 +326,7 @@ def read_encoded_as(
     from tokcodec.decode import decode_blocks_as
 
     blocks_p, lineage_p, manifest_p = _paths(path)
-    with open(manifest_p) as f:
-        manifest = json.load(f)
+    manifest = json.loads(_read_text(spark, manifest_p))
     file_schema = manifest_schema(manifest)
     blocks = spark.read.schema(BLOCK_DDL).parquet(blocks_p)
     lin = committed(spark.read.schema(LINEAGE_DDL).parquet(lineage_p)) \
