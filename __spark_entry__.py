@@ -359,6 +359,34 @@ def q_emb_cosine_topk(spark, sf_dir):
     )
 
 
+def q_emb_neardup_lsh(spark, sf_dir):
+    """Embedding-cosine near-dup via random-hyperplane (sign-bit) LSH:
+    8-bit bucket from the signs of the first 8 dims, candidate pairs
+    within a bucket only (never all-pairs), exact cosine verify >= 0.2
+    on candidates. Fully oracle-checkable — the bucket is integer math
+    and the verify threshold sits far from any sample's sim value."""
+    e = _t(spark, sf_dir, "embeddings")
+    bucket = ("aggregate(slice(embedding, 1, 8), 0, "
+              "(acc, x) -> acc * 2 + if(x > 0, 1, 0))")
+    b = e.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.expr(bucket).alias("bkt"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    a1 = b.alias("a")
+    a2 = b.alias("b")
+    dot = "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (s, x) -> s + x)"
+    n1 = "sqrt(aggregate(a.v, 0D, (s, x) -> s + x * x))"
+    n2 = "sqrt(aggregate(b.v, 0D, (s, x) -> s + x * x))"
+    return (
+        a1.join(a2, (F.col("a.bkt") == F.col("b.bkt"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .withColumn("sim", F.expr(f"({dot}) / (({n1}) * ({n2}))"))
+        .filter(F.col("sim") >= 0.2)
+        .select(F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"))
+    )
+
+
 def q_emb_label_stats(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return e.groupBy("label").agg(
@@ -795,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "docs_fingerprint": q_docs_fingerprint,
         "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_neardup_lsh": q_emb_neardup_lsh,
         "emb_label_stats": q_emb_label_stats,
         "roundtrip_embeddings_topk": q_roundtrip_embeddings_topk,
         "cube_orders": q_cube_orders,
@@ -948,6 +977,20 @@ ORDER BY list_dot_product(
                                     list_transform(qv, x -> CAST(x AS DOUBLE))))) DESC,
          vec_id
 LIMIT 10""",
+        "emb_neardup_lsh": """
+WITH b AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(range(1, 9),
+              i -> (CASE WHEN embedding[i] > 0 THEN 1 ELSE 0 END)
+                   << (8 - i))) AS BIGINT) AS bkt,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+SELECT a.vec_id AS v1, b.vec_id AS v2
+FROM b a JOIN b b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      >= 0.2""",
         "emb_label_stats": """
 SELECT label, COUNT(*) AS n, MAX(len(embedding)) AS dim
 FROM embeddings GROUP BY label""",

@@ -179,3 +179,30 @@ def test_verify_checksums_forwarded_on_range_filter(spark, tmp_path):
                        verify_checksums=True)
     with pytest.raises(Exception, match="(?i)checksum"):
         bad.collect()
+
+
+def test_range_filter_across_epochs(spark, tmp_path):
+    # zone pruning joins on (run_id, bucket, chunk); keying on
+    # (bucket, chunk) alone can resurrect the wrong run's chunk after
+    # multi-epoch appends with colliding chunk numbers
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("n", T.IntegerType(), False),
+    ])
+    path = os.path.join(str(tmp_path), "t")
+
+    def mk(lo, hi):
+        return spark.createDataFrame(
+            [Row(doc_id=f"d{i}", n=i) for i in range(lo, hi)], schema
+        )
+
+    write_encoded(mk(0, 100), path, n_buckets=2, run_id="e0", epoch=0,
+                  chunk_max_rows=16, cluster_by="n")
+    write_encoded(mk(100, 200), path, n_buckets=2, run_id="e1", epoch=1,
+                  chunk_max_rows=16, cluster_by="n")
+    out = read_encoded(spark, path, range_filter=("n", 90, 110))
+    got = sorted(r["n"] for r in out.collect())
+    assert got == list(range(90, 111))
+    # doc_id stays aligned with n through the pruned decode
+    for r in out.collect():
+        assert r["doc_id"] == f"d{r['n']}"
