@@ -190,16 +190,20 @@ def _decode_node(by_comp: dict[str, list[dict]], prefix: str,
             )
             if evalid is not None:
                 values = _apply_validity(values, evalid)
-        offs_arr = pa.array(safe_offsets32(lengths), pa.int32())
-        if is_map:
-            svals = values
-            out = pa.MapArray.from_arrays(
-                offs_arr, svals.field(0), svals.field(1)
-            ).cast(spark_type_to_arrow(dt))
-        else:
-            out = pa.ListArray.from_arrays(
-                offs_arr, values.cast(spark_type_to_arrow(et))
-            ).cast(spark_type_to_arrow(dt))
+        etgt = spark_type_to_arrow(et)
+        if values.type != etgt:
+            values = values.cast(etgt)
+        # build the list/map with its declared (strict) type directly:
+        # a cast to an equal type is a zero-copy "view" that RE-VALIDATES
+        # nullability and rejects the legitimate nulls children carry
+        # under null struct/list elements ("nulls in input cannot be
+        # viewed as non-nullable") — Spark's verify_arrow_result, in
+        # turn, demands the exact nullability-strict type
+        offs_buf = pa.py_buffer(safe_offsets32(lengths).tobytes())
+        out = pa.Array.from_buffers(
+            spark_type_to_arrow(dt), len(lengths), [None, offs_buf],
+            children=[values],
+        )
     elif isinstance(node_dt, T.StructType):
         children = [
             _decode_node(by_comp, f"{prefix}f:{f.name}/", f.dataType, n)
