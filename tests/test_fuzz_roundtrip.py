@@ -129,3 +129,10 @@ def test_fuzzed_schemas_roundtrip(spark, tmp_path):
             assert got[k] == want[k], (
                 seed, k, schema.simpleString(), got[k], want[k]
             )
+        # projection pushdown must agree column-wise with the full read
+        pc = schema.fields[1].name
+        proj = {r["doc_id"]: _canon(r.asDict(recursive=True)[pc])
+                for r in read_encoded(spark, path,
+                                      columns=["doc_id", pc]).collect()}
+        for k in want:
+            assert proj[k] == want[k][1], (seed, k, proj[k], want[k][1])

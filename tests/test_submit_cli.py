@@ -1,0 +1,47 @@
+"""The spark-submit entry point works end-to-end: encode via the CLI
+in a separate spark-submit process, then decode in-process and verify."""
+
+import json
+import os
+import shutil
+import subprocess
+
+from pyspark.sql import functions as F
+
+
+def test_spark_submit_encode(spark, tmp_path):
+    src = os.path.join(str(tmp_path), "src")
+    out = os.path.join(str(tmp_path), "enc")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from tokcodec.tokenize import documents_to_sequences
+
+    documents_to_sequences(docs).write.parquet(src)
+
+    submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    env = dict(os.environ,
+               PYTHONPATH="/root/repo",
+               SPARK_LOCAL_DIRS="/dev/shm")
+    r = subprocess.run(
+        [submit, "--master", "local[4]",
+         "scripts/submit_encode.py",
+         "--input", src, "--output", out, "--buckets", "4",
+         "--run-id", "cli", "--bloom-columns", "doc_id"],
+        cwd="/root/repo", env=env, capture_output=True, text=True,
+        timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.loads([ln for ln in r.stdout.splitlines()
+                      if ln.startswith("{")][-1])
+    assert res["buckets"] == 4 and res["rows"] > 0
+
+    from tokcodec.io_tables import read_encoded
+
+    dec = read_encoded(spark, out)
+    n = dec.count()
+    assert n == res["rows"]
+    # bloom from the CLI is live
+    one = dec.limit(1).collect()[0]["doc_id"]
+    hit = read_encoded(spark, out, eq_filter=("doc_id", one))
+    assert hit.count() == 1
+    assert hit.collect()[0]["n_tok"] == dec.filter(
+        F.col("doc_id") == one).collect()[0]["n_tok"]
