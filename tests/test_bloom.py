@@ -121,6 +121,6 @@ def test_eq_filter_survives_runs_without_bloom(spark, tmp_path):
 def test_bloom_column_must_be_string(spark, tmp_path):
     df = spark.createDataFrame([Row(doc_id="a", n=1)],
                                "doc_id string, n int")
-    with pytest.raises(ValueError, match="bloom column"):
+    with pytest.raises(ValueError, match="bloom/enum column"):
         write_encoded(df, os.path.join(str(tmp_path), "x"), n_buckets=1,
                       run_id="r", bloom_columns=["n"])

@@ -75,3 +75,36 @@ def test_uuid_fixed16_roundtrip(spark, tmp_path):
         (F.col("column") == "id") & (F.col("component") == "values")
     ).agg(F.sum("orig_bytes")).collect()[0][0]
     assert vals <= 17 * 51  # 16 bytes/value + packed length bits
+
+
+def test_enum_columns_validate(spark, tmp_path):
+    # enum-as-type (reference EnumsValues): dict codec stores each
+    # symbol once; the declared value set is enforced per chunk
+    import json
+
+    import pytest
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("status", T.StringType(), True),
+    ])
+    ok = spark.createDataFrame(
+        [Row(doc_id=f"d{i}", status=["NEW", "DONE", None][i % 3])
+         for i in range(30)], schema)
+    path = os.path.join(str(tmp_path), "en")
+    write_encoded(ok, path, n_buckets=2, run_id="e",
+                  enum_columns={"status": ["NEW", "DONE", "FAILED"]})
+    out = read_encoded(spark, path)
+    assert out.count() == 30
+    with open(os.path.join(path, "_manifest.json")) as f:
+        assert json.load(f)["enum_columns"] == {
+            "status": ["NEW", "DONE", "FAILED"]}
+
+    bad = spark.createDataFrame(
+        [Row(doc_id="x", status="BOGUS")], schema)
+    with pytest.raises(Exception, match="BOGUS"):
+        write_encoded(bad, os.path.join(str(tmp_path), "en2"), n_buckets=1,
+                      run_id="e2",
+                      enum_columns={"status": ["NEW", "DONE", "FAILED"]})

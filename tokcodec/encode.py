@@ -224,7 +224,8 @@ def make_encode_fn(schema: T.StructType, run_id: str,
                    cluster_by: str | None = None,
                    chunk_max_rows: int = CHUNK_MAX_ROWS,
                    chunk_max_values: int = CHUNK_MAX_VALUES,
-                   bloom_columns: tuple[str, ...] = ()):
+                   bloom_columns: tuple[str, ...] = (),
+                   enum_columns: dict[str, list[str]] | None = None):
     """Returns the applyInArrow function: (key, pa.Table) -> pa.Table
     of BLOCK_DDL rows for one bucket.
 
@@ -288,6 +289,28 @@ def make_encode_fn(schema: T.StructType, run_id: str,
                     br["run_id"] = run_id
                     br["chunk"] = ci
                     rows.append(br)
+                if enum_columns and name in enum_columns:
+                    # enum-as-type (reference EnumsValues.java:22-34):
+                    # the dict codec already stores each symbol once;
+                    # here we enforce the declared value set, per chunk,
+                    # vectorized (nulls pass — nullability is separate)
+                    import pyarrow.compute as pc2
+
+                    ok = pc2.is_in(arr,
+                                   value_set=pa.array(enum_columns[name]))
+                    bad = pc2.any(
+                        pc2.and_(pc2.invert(pc2.fill_null(ok, False)),
+                                 arr.is_valid())
+                    ).as_py()
+                    if bad:
+                        sample = arr.filter(
+                            pc2.and_(pc2.invert(pc2.fill_null(ok, False)),
+                                     arr.is_valid())
+                        )[0].as_py()
+                        raise ValueError(
+                            f"column {name!r}: value {sample!r} not in "
+                            f"declared enum {enum_columns[name]}"
+                        )
         wall_ms = (time.monotonic() - t0) * 1000.0
         rows.append(
             {
@@ -312,7 +335,8 @@ def make_encode_map_fn(schema: T.StructType, run_id: str,
                        cluster_by: str | None = None,
                        chunk_max_rows: int = CHUNK_MAX_ROWS,
                        chunk_max_values: int = CHUNK_MAX_VALUES,
-                       bloom_columns: tuple[str, ...] = ()):
+                       bloom_columns: tuple[str, ...] = (),
+                       enum_columns: dict[str, list[str]] | None = None):
     """mapInArrow variant: one partition may hold several whole buckets
     (repartition(n, bucket) colocates each bucket in exactly one
     partition); group by bucket here instead of paying applyInArrow's
@@ -321,7 +345,8 @@ def make_encode_map_fn(schema: T.StructType, run_id: str,
     inner = make_encode_fn(schema, run_id, cluster_by=cluster_by,
                            chunk_max_rows=chunk_max_rows,
                            chunk_max_values=chunk_max_values,
-                           bloom_columns=bloom_columns)
+                           bloom_columns=bloom_columns,
+                           enum_columns=enum_columns)
 
     def fn(batches):
         import pyarrow as pa
@@ -369,28 +394,34 @@ def encode_bucketed(b: DataFrame, schema: T.StructType, n_buckets: int,
                     cluster_by: str | None = None,
                     chunk_max_rows: int = CHUNK_MAX_ROWS,
                     chunk_max_values: int = CHUNK_MAX_VALUES,
-                    bloom_columns: tuple[str, ...] = ()) -> DataFrame:
+                    bloom_columns: tuple[str, ...] = (),
+                    enum_columns: dict[str, list[str]] | None = None
+                    ) -> DataFrame:
     """Encode an already-bucketed DataFrame (has BUCKET_COL).
     ``bloom_columns``: string/binary columns that get a per-chunk bloom
-    filter block for equality pruning (reference C4)."""
-    for c in bloom_columns:
+    filter block for equality pruning (reference C4).
+    ``enum_columns``: {column: allowed values} — enum-as-type check,
+    enforced per chunk during encode (reference E2 enum writer)."""
+    for c in tuple(bloom_columns) + tuple(enum_columns or ()):
         f = next((f for f in schema.fields if f.name == c), None)
         if f is None or not isinstance(f.dataType, (T.StringType,
                                                     T.BinaryType)):
             raise ValueError(
-                f"bloom column {c!r} must be an existing string/binary "
-                "column"
+                f"bloom/enum column {c!r} must be an existing "
+                "string/binary column"
             )
     if mode == "group":
         fn = make_encode_fn(schema, run_id, cluster_by=cluster_by,
                             chunk_max_rows=chunk_max_rows,
                             chunk_max_values=chunk_max_values,
-                            bloom_columns=bloom_columns)
+                            bloom_columns=bloom_columns,
+                            enum_columns=enum_columns)
         return b.groupBy(BUCKET_COL).applyInArrow(fn, schema=BLOCK_DDL)
     fn = make_encode_map_fn(schema, run_id, cluster_by=cluster_by,
                             chunk_max_rows=chunk_max_rows,
                             chunk_max_values=chunk_max_values,
-                            bloom_columns=bloom_columns)
+                            bloom_columns=bloom_columns,
+                            enum_columns=enum_columns)
     return b.repartition(n_buckets, F.col(BUCKET_COL)).mapInArrow(
         fn, schema=BLOCK_DDL
     )

@@ -83,6 +83,7 @@ def write_encoded(
     chunk_max_values: int | None = None,
     uuid_columns: list[str] | None = None,
     bloom_columns: list[str] | None = None,
+    enum_columns: dict[str, list[str]] | None = None,
 ) -> dict:
     """Encode ``df`` into ``path``. With ``resume=True``, buckets whose
     lineage commit already exists are skipped (anti-join against the
@@ -126,6 +127,7 @@ def write_encoded(
         chunk_max_rows=chunk_max_rows or CHUNK_MAX_ROWS,
         chunk_max_values=chunk_max_values or CHUNK_MAX_VALUES,
         bloom_columns=tuple(bloom_columns or ()),
+        enum_columns=enum_columns,
     )
     (
         blocks.write.mode("append")
@@ -151,7 +153,8 @@ def write_encoded(
     lineage_from_blocks(new_metrics, epoch=epoch).write.mode("append").parquet(lineage_p)
     _write_text(spark, manifest_p,
                 schema_manifest(df.schema, n_buckets, run_id,
-                                uuid_columns=uuid_columns))
+                                uuid_columns=uuid_columns,
+                                enum_columns=enum_columns))
 
     lin = spark.read.schema(LINEAGE_DDL).parquet(lineage_p)
     agg = (

@@ -84,11 +84,13 @@ def spark_type_to_arrow(dt: T.DataType) -> pa.DataType:
 
 
 def schema_manifest(schema: T.StructType, n_buckets: int, run_id: str,
-                    uuid_columns: list[str] | None = None) -> str:
+                    uuid_columns: list[str] | None = None,
+                    enum_columns: dict[str, list[str]] | None = None) -> str:
     return json.dumps(
         {"ddl": schema.simpleString(), "json": schema.jsonValue(),
          "n_buckets": n_buckets, "run_id": run_id,
-         "uuid_columns": sorted(uuid_columns or [])},
+         "uuid_columns": sorted(uuid_columns or []),
+         "enum_columns": enum_columns or {}},
         separators=(",", ":"),
     )
 
