@@ -206,3 +206,34 @@ def test_range_filter_across_epochs(spark, tmp_path):
     # doc_id stays aligned with n through the pruned decode
     for r in out.collect():
         assert r["doc_id"] == f"d{r['n']}"
+
+
+def test_map_of_struct_with_null_values(spark, tmp_path):
+    # extended fuzz (seed 42) found this: a MapArray is physically a
+    # list<struct>, but casting it to that list type re-validates
+    # nullability and rejects nulls under null map values, and
+    # pyarrow's list kernels have no map implementations — encode
+    # works off offsets directly now
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("m", T.MapType(
+            T.StringType(),
+            T.StructType([
+                T.StructField("f0", T.LongType(), False),
+                T.StructField("f1", T.DoubleType(), True),
+            ]),
+            True,  # valueContainsNull
+        ), True),
+    ])
+    rows = [
+        Row(doc_id="a", m={"k1": Row(f0=1, f1=1.5), "k2": None}),
+        Row(doc_id="b", m=None),
+        Row(doc_id="c", m={}),
+        Row(doc_id="d", m={"x": Row(f0=7, f1=None)}),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    out = _by_id(_roundtrip(spark, tmp_path, df, n_buckets=1))
+    assert out["a"]["m"] == {"k1": {"f0": 1, "f1": 1.5}, "k2": None}
+    assert out["b"]["m"] is None
+    assert out["c"]["m"] == {}
+    assert out["d"]["m"] == {"x": {"f0": 7, "f1": None}}

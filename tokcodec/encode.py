@@ -78,6 +78,24 @@ def _map_as_list(dt: T.MapType) -> T.ArrayType:
     )
 
 
+def _list_elements(arr: pa.Array, lengths: np.ndarray,
+                   offs: np.ndarray) -> pa.Array:
+    """Elements of a list/map array in row order, excluding null
+    entries' ranges (pyarrow list_flatten semantics, but map-capable).
+    Contiguous zero-copy slice when there are no nulls; vectorized
+    gather otherwise."""
+    child = arr.values  # full, unsliced; offsets are absolute
+    if arr.null_count == 0:
+        return child.slice(int(offs[0]), int(offs[-1] - offs[0]))
+    counts = lengths.astype(np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return child.slice(0, 0)
+    excl = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    idx = np.repeat(offs[:-1] - excl, counts) + np.arange(total)
+    return child.take(pa.array(idx))
+
+
 def _encode_node(bucket: int, name: str, prefix: str, arr: pa.Array,
                  dt: T.DataType) -> list[dict]:
     """Recursive component-path encoder. Component paths:
@@ -87,13 +105,13 @@ def _encode_node(bucket: int, name: str, prefix: str, arr: pa.Array,
     Nullability at every level -> '<p>validity' (reference nested
     shaping E3/E4, repetition levels re-expressed as per-level
     lengths + validity bitmaps)."""
-    import pyarrow.compute as pc
-
     if isinstance(dt, T.MapType):
-        # the cast list carries the same validity; recurse without
-        # emitting a duplicate validity component at this path
-        larr = arr.cast(spark_type_to_arrow(_map_as_list(dt)))
-        return _encode_node(bucket, name, prefix, larr, _map_as_list(dt))
+        # A MapArray IS a list<struct<key,value>> physically: the list
+        # branch below only needs list_value_length + flatten, both of
+        # which work on maps directly. (An explicit cast to the list
+        # type is a re-validating view that rejects legitimate nulls in
+        # non-nullable struct fields under null map values.)
+        return _encode_node(bucket, name, prefix, arr, _map_as_list(dt))
     rows: list[dict] = []
     if arr.null_count:
         valid = arr.is_valid().to_numpy(zero_copy_only=False).astype(np.int8)
@@ -102,14 +120,23 @@ def _encode_node(bucket: int, name: str, prefix: str, arr: pa.Array,
                                  codec="bitpack")
         )
     if isinstance(dt, T.ArrayType):
-        lengths = pc.list_value_length(arr)
-        if lengths.null_count:
-            lengths = lengths.fill_null(0)
-        lengths = lengths.to_numpy(zero_copy_only=False)
+        # offsets-derived lengths + element gather — pyarrow's
+        # list_value_length/list_flatten kernels don't cover MapArray,
+        # and a MapArray is physically a list<struct<key,value>>. Null
+        # entries count 0 and contribute no elements.
+        offs = np.frombuffer(
+            arr.buffers()[1], dtype=np.int32,
+            count=len(arr) + 1 + arr.offset,
+        )[arr.offset:].astype(np.int64)
+        lengths = np.diff(offs)
+        if arr.null_count:
+            lengths = np.where(
+                arr.is_valid().to_numpy(zero_copy_only=False), lengths, 0
+            )
         rows.append(
             encode_int_component(bucket, name, prefix + "lengths", lengths, 4)
         )
-        values = arr.flatten()
+        values = _list_elements(arr, lengths, offs)
         et = dt.elementType
         if isinstance(et, (T.StructType, T.ArrayType, T.MapType)):
             rows += _encode_node(bucket, name, prefix + "values/", values, et)
