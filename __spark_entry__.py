@@ -157,6 +157,47 @@ def q_roundtrip_point_lookup(spark, sf_dir):
     )
 
 
+def q_stream_ingest_roundtrip(spark, sf_dir):
+    """Structured Streaming ingest -> resumable encode sink (foreachBatch
+    + per-epoch lineage) -> decode -> aggregate. The oracle recomputes
+    the same aggregates from the raw documents table, so the whole
+    streaming write path is under the correctness gate."""
+    from tokcodec.sources import stream_encode
+
+    key = os.path.abspath(sf_dir) + "#stream"
+    if key not in _DECODED_CACHE:
+        sch = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).schema
+        src = (
+            spark.readStream.schema(sch)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+        seq = documents_to_sequences(src)
+        base = os.path.join(
+            tempfile.gettempdir(), "tokcodec_entry_stream",
+            os.path.abspath(sf_dir).replace(os.sep, "_"),
+        )
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+        q = stream_encode(
+            seq, os.path.join(base, "table"), n_buckets=4,
+            checkpoint_dir=os.path.join(base, "ckpt"), trigger_once=True,
+        )
+        q.awaitTermination()
+        _DECODED_CACHE[key] = read_encoded(
+            spark, os.path.join(base, "table")
+        ).persist()
+    dec = _DECODED_CACHE[key]
+    return dec.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_tok").cast("long")).alias("sum_tok"),
+        F.expr(f"sum({_TOK_SUM})").alias("tok_sum"),
+    )
+
+
 def q_lineitem_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -807,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_projection_topn": q_roundtrip_projection_topn,
         "roundtrip_tokens_exact": q_roundtrip_tokens_exact,
         "roundtrip_point_lookup": q_roundtrip_point_lookup,
+        "stream_ingest_roundtrip": q_stream_ingest_roundtrip,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "join_topcustomers": q_join_topcustomers,
         "anti_join": q_anti_join,
@@ -873,6 +915,12 @@ FROM seq WHERE CAST(doc_id AS BIGINT) % 97 = 0""",
 SELECT doc_id, array_to_string(tokens, ',') AS toks,
        CAST(len(tokens) AS INTEGER) AS n_tok
 FROM seq WHERE doc_id = '123'""",
+        "stream_ingest_roundtrip": f"""{_SEQ_CTE}
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(tokens)) AS BIGINT) AS sum_tok,
+       CAST(SUM({tok_sum}) AS BIGINT) AS tok_sum
+FROM seq GROUP BY source""",
         "lineitem_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
