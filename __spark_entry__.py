@@ -359,6 +359,42 @@ def q_docs_token_count(spark, sf_dir):
     )
 
 
+_LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "les", "et", "des", "une"),
+    "zh": ("de", "le0", "shi", "bu", "wo"),
+}
+_LANG_ORDER = ["en", "de", "es", "fr", "zh"]
+
+
+def q_docs_langid(spark, sf_dir):
+    """Language-ID by function-word profile scoring: per language a
+    marker-word hit count, argmax with a fixed tie order, confusion
+    counts vs the labeled lang. (The synthetic corpus shares one
+    vocabulary across lang labels, so accuracy is data-limited — the
+    operator shape, scoring + deterministic argmax + confusion matrix,
+    is what's exercised and oracle-checked.)"""
+    d = _t(spark, sf_dir, "documents")
+    for lg in _LANG_ORDER:
+        marks = ",".join(f"'{m}'" for m in _LANG_MARKERS[lg])
+        d = d.withColumn(
+            f"s_{lg}",
+            F.expr(f"size(filter(split(text, ' '), w -> w in ({marks})))"),
+        )
+    best = "greatest(" + ",".join(f"s_{lg}" for lg in _LANG_ORDER) + ")"
+    guess = "CASE "
+    for lg in _LANG_ORDER:
+        guess += f"WHEN s_{lg} > 0 AND s_{lg} = {best} THEN '{lg}' "
+    guess += "ELSE 'unk' END"
+    return (
+        d.withColumn("guess", F.expr(guess))
+        .groupBy("lang", "guess")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -862,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": q_events_json_extract,
         "docs_lang_quality": q_docs_lang_quality,
         "docs_token_count": q_docs_token_count,
+        "docs_langid": q_docs_langid,
         "dedup_exact": q_dedup_exact,
         "docs_fingerprint": q_docs_fingerprint,
         "emb_cosine_topk": q_emb_cosine_topk,
@@ -1003,6 +1040,24 @@ SELECT source, COUNT(*) AS n_docs,
        CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS sum_words,
        MAX(CAST(len(str_split(text, ' ')) AS INTEGER)) AS max_words
 FROM documents GROUP BY source""",
+        "docs_langid": (
+            "WITH s AS (SELECT lang, "
+            + ", ".join(
+                "len(list_filter(str_split(text, ' '), w -> w IN ("
+                + ",".join(f"'{m}'" for m in _LANG_MARKERS[lg])
+                + f"))) AS s_{lg}"
+                for lg in _LANG_ORDER
+            )
+            + " FROM documents) SELECT lang, CASE "
+            + " ".join(
+                f"WHEN s_{lg} > 0 AND s_{lg} = greatest("
+                + ",".join(f"s_{x}" for x in _LANG_ORDER)
+                + f") THEN '{lg}'"
+                for lg in _LANG_ORDER
+            )
+            + " ELSE 'unk' END AS guess, COUNT(*) AS n "
+            "FROM s GROUP BY lang, guess"
+        ),
         "dedup_exact": """
 SELECT source, COUNT(*) AS n_docs,
        COUNT(DISTINCT md5(text)) AS n_unique,
