@@ -418,6 +418,26 @@ def q_docs_fingerprint(spark, sf_dir):
     )
 
 
+def q_docs_rolling_fp(spark, sf_dir):
+    """Character-level rolling fingerprint: hash every 8-char window of
+    the text (the rolling-hash shingle stream), keep the minimum under
+    two salts — a 2-element winnowing-style document fingerprint that
+    is stable under small edits elsewhere in the document."""
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id").cast("long") % 13 == 0
+    )
+    grams = ("transform(sequence(1, greatest(length(text) - 7, 1)), "
+             "i -> substring(text, i, 8))")
+    gdf = d.select(F.col("doc_id").cast("long").alias("doc_id"),
+                   F.expr(grams).alias("g"))
+    return gdf.select(
+        "doc_id",
+        F.expr("array_min(transform(g, x -> md5(x)))").alias("fp1"),
+        F.expr("array_min(transform(g, x -> md5(concat(x, '#2'))))")
+        .alias("fp2"),
+    )
+
+
 def q_emb_cosine_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     qv = e.filter(F.col("vec_id") == 0).select(
@@ -901,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_langid": q_docs_langid,
         "dedup_exact": q_dedup_exact,
         "docs_fingerprint": q_docs_fingerprint,
+        "docs_rolling_fp": q_docs_rolling_fp,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_neardup_lsh": q_emb_neardup_lsh,
         "emb_label_stats": q_emb_label_stats,
@@ -1066,6 +1087,16 @@ FROM documents GROUP BY source""",
         "docs_fingerprint": """
 SELECT doc_id, md5(text) AS fingerprint
 FROM documents ORDER BY fingerprint LIMIT 10""",
+        "docs_rolling_fp": """
+WITH g AS (
+  SELECT doc_id, list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+         i -> substr(text, i, 8)) AS g
+  FROM documents WHERE doc_id % 13 = 0
+)
+SELECT doc_id,
+       list_aggregate(list_transform(g, x -> md5(x)), 'min') AS fp1,
+       list_aggregate(list_transform(g, x -> md5(x || '#2')), 'min') AS fp2
+FROM g""",
         "emb_cosine_topk": """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
 SELECT vec_id, label
