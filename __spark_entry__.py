@@ -584,6 +584,42 @@ def q_range_join_events(spark, sf_dir):
     )
 
 
+def q_asof_join_events(spark, sf_dir):
+    """As-of join: each (user, error-time) matched to the MOST RECENT
+    signup of the same user at or before that time. Spark lacks a
+    native as-of join; composed as an equi+range join with a
+    row_number window pick (the standard Spark realization). The
+    oracle uses DuckDB's native ASOF JOIN — agreeing outputs prove the
+    composition implements as-of semantics."""
+    e = _t(spark, sf_dir, "events")
+    err = (
+        e.filter(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("u"), F.col("ts").alias("t0"))
+        .distinct()
+    )
+    sig = e.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("t1")
+    )
+    w = Window.partitionBy("u", "t0").orderBy(F.desc("t1"))
+    return (
+        err.join(sig, (F.col("u") == F.col("user_id"))
+                 & (F.col("t1") <= F.col("t0")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("u") % 5 == 0))
+        .select(
+            "u",
+            F.date_format("t0", "yyyy-MM-dd HH:mm:ss").alias("t0s"),
+            F.date_format("t1", "yyyy-MM-dd HH:mm:ss").alias("t1s"),
+            # microsecond-exact: unix_timestamp floors EACH operand,
+            # which disagrees with a truncated fractional difference.
+            # (events ts is TIMESTAMP_NTZ; session TZ is pinned UTC so
+            # the cast is the identity instant)
+            (F.unix_micros(F.col("t0").cast("timestamp"))
+             - F.unix_micros(F.col("t1").cast("timestamp"))).alias("lag_us"),
+        )
+    )
+
+
 def q_docs_ngram_overlap(spark, sf_dir):
     """n-gram Jaccard near-dup scoring between adjacent doc pairs
     (integer counts — hash-stable across engines)."""
@@ -931,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stopword_quality": q_docs_stopword_quality,
         "docs_ngram_overlap": q_docs_ngram_overlap,
         "range_join_events": q_range_join_events,
+        "asof_join_events": q_asof_join_events,
         "minhash_neardup_pairs": q_minhash_neardup_pairs,
         "simhash_hamming_hist": q_simhash_hamming_hist,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1171,6 +1208,17 @@ SELECT u, COUNT(*) AS n_pairs
 FROM err JOIN sig ON u = user_id
   AND t1 > t0 AND t1 <= t0 + INTERVAL 1 HOUR
 GROUP BY u""",
+        "asof_join_events": """
+WITH err AS (SELECT DISTINCT user_id AS u, ts AS t0 FROM events
+             WHERE event_type = 'error'),
+     sig AS (SELECT user_id, ts AS t1 FROM events
+             WHERE event_type = 'signup')
+SELECT u,
+       strftime(t0, '%Y-%m-%d %H:%M:%S') AS t0s,
+       strftime(t1, '%Y-%m-%d %H:%M:%S') AS t1s,
+       epoch_us(t0) - epoch_us(t1) AS lag_us
+FROM err ASOF JOIN sig ON u = user_id AND t1 <= t0
+WHERE u % 5 = 0""",
         "docs_ngram_overlap": """
 WITH d AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS ws
            FROM documents)
