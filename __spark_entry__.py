@@ -592,31 +592,43 @@ def q_asof_join_events(spark, sf_dir):
     oracle uses DuckDB's native ASOF JOIN — agreeing outputs prove the
     composition implements as-of semantics."""
     e = _t(spark, sf_dir, "events")
-    err = (
-        e.filter(F.col("event_type") == "error")
-        .select(F.col("user_id").alias("u"), F.col("ts").alias("t0"))
-        .distinct()
-    )
+    # union-and-carry-forward: ONE shuffle on user_id, linear per
+    # partition — never materializes the (error x all prior signups)
+    # pairs a range join would (the shape that survives 100 TB).
+    # pri orders a signup before an error at the same instant,
+    # matching as-of's t1 <= t0.
     sig = e.filter(F.col("event_type") == "signup").select(
-        "user_id", F.col("ts").alias("t1")
+        "user_id", "ts", F.lit(0).alias("pri")
     )
-    w = Window.partitionBy("u", "t0").orderBy(F.desc("t1"))
+    err = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.lit(1).alias("pri")
+    )
+    w = (
+        Window.partitionBy("user_id").orderBy("ts", "pri")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = sig.unionByName(err).withColumn(
+        "t1",
+        F.last(F.when(F.col("pri") == 0, F.col("ts")), ignorenulls=True)
+        .over(w),
+    )
     return (
-        err.join(sig, (F.col("u") == F.col("user_id"))
-                 & (F.col("t1") <= F.col("t0")))
-        .withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.col("u") % 5 == 0))
+        carried.filter(
+            (F.col("pri") == 1) & F.col("t1").isNotNull()
+            & (F.col("user_id") % 5 == 0)
+        )
         .select(
-            "u",
-            F.date_format("t0", "yyyy-MM-dd HH:mm:ss").alias("t0s"),
+            F.col("user_id").alias("u"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("t0s"),
             F.date_format("t1", "yyyy-MM-dd HH:mm:ss").alias("t1s"),
             # microsecond-exact: unix_timestamp floors EACH operand,
             # which disagrees with a truncated fractional difference.
             # (events ts is TIMESTAMP_NTZ; session TZ is pinned UTC so
             # the cast is the identity instant)
-            (F.unix_micros(F.col("t0").cast("timestamp"))
+            (F.unix_micros(F.col("ts").cast("timestamp"))
              - F.unix_micros(F.col("t1").cast("timestamp"))).alias("lag_us"),
         )
+        .distinct()
     )
 
 
