@@ -20,6 +20,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
 
 from tokcodec.decode import decode_blocks
 from tokcodec.encode import BUCKET_COL, with_bucket
@@ -186,6 +187,26 @@ def suggest_buckets(total_bytes: int,
     return max(1, int(total_bytes / target_bucket_bytes))
 
 
+def _expand_uuid_cols(out: DataFrame, uuid_cols) -> DataFrame:
+    for c in uuid_cols:
+        if c not in out.columns:
+            continue
+        h = F.lower(F.hex(F.col(c)))
+        # F.concat propagates nulls (concat_ws would turn a null
+        # uuid into "----")
+        out = out.withColumn(
+            c,
+            F.concat(
+                F.substring(h, 1, 8), F.lit("-"),
+                F.substring(h, 9, 4), F.lit("-"),
+                F.substring(h, 13, 4), F.lit("-"),
+                F.substring(h, 17, 4), F.lit("-"),
+                F.substring(h, 21, 12),
+            ),
+        )
+    return out
+
+
 def _bloom_prune(blocks: DataFrame, col: str, value) -> DataFrame:
     """Keep only (run_id, bucket, chunk)s whose bloom might contain
     ``value``; chunks of ``col`` without a bloom block always survive
@@ -261,23 +282,7 @@ def read_encoded(
     blocks = blocks.join(F.broadcast(lin), ["bucket", "run_id"], "left_semi")
 
     def _expand_uuids(out: DataFrame) -> DataFrame:
-        for c in manifest.get("uuid_columns", []):
-            if c not in out.columns:
-                continue
-            h = F.lower(F.hex(F.col(c)))
-            # F.concat propagates nulls (concat_ws would turn a null
-            # uuid into "----")
-            out = out.withColumn(
-                c,
-                F.concat(
-                    F.substring(h, 1, 8), F.lit("-"),
-                    F.substring(h, 9, 4), F.lit("-"),
-                    F.substring(h, 13, 4), F.lit("-"),
-                    F.substring(h, 17, 4), F.lit("-"),
-                    F.substring(h, 21, 12),
-                ),
-            )
-        return out
+        return _expand_uuid_cols(out, manifest.get("uuid_columns", []))
 
     if sum(x is not None for x in (range_filter, in_filter, eq_filter)) > 1:
         raise ValueError("range_filter, in_filter and eq_filter are "
@@ -316,6 +321,108 @@ def read_encoded(
     out = decode_blocks(pruned, schema, columns,
                         verify_checksums=verify_checksums)
     return _expand_uuids(out.filter(residual))
+
+
+def read_encoded_direct(
+    spark: SparkSession, path: str, columns: list[str] | None = None,
+    verify_checksums: bool = False,
+) -> DataFrame:
+    """Shuffle-free decode: one task per committed bucket opens that
+    bucket's block files directly with pyarrow dataset (hive partition
+    pruning keeps unrequested columns' directories unread; row-group
+    statistics on the `bucket` column skip other buckets' files — each
+    written file holds exactly one (bucket, column)).
+
+    `read_encoded` colocates a bucket's components with
+    groupBy(bucket), which shuffles every payload byte once; this path
+    moves no block data at all — only the decoded output. It wins when
+    the shuffle is the bottleneck (network-bound clusters) and files
+    are bucket-grained, which they are at production bucket sizes
+    (one encode task per bucket). At sandbox scale AQE coalesces many
+    tiny buckets into shared files/row groups, so the per-bucket reads
+    re-decompress shared row groups and the grouped path measures
+    faster locally (29.6 vs 5.5 M tok/s on the 38M-token table) —
+    pick per deployment. At full scale, feed the bucket->files map
+    from table metadata (Iceberg manifests) instead of the driver-side
+    footer walk used here."""
+    from tokcodec.decode import make_decode_fn
+
+    blocks_p, lineage_p, manifest_p = _paths(path)
+    manifest = json.loads(_read_text(spark, manifest_p))
+    schema = manifest_schema(manifest)
+    if columns is not None:
+        by_name = {f.name: f for f in schema.fields}
+        missing = set(columns) - set(by_name)
+        if missing:
+            raise ValueError(f"columns not in encoded table: {sorted(missing)}")
+        schema = T.StructType([by_name[c] for c in columns])
+    wanted = [f.name for f in schema.fields]
+    lin = committed(spark.read.schema(LINEAGE_DDL).parquet(lineage_p)) \
+        .select("bucket", "run_id")
+    accepted: dict[int, list[str]] = {}
+    for r in lin.collect():  # one row per (bucket, epoch) — tiny
+        accepted.setdefault(int(r.bucket), []).append(r.run_id)
+    inner = make_decode_fn(schema, verify_checksums=verify_checksums)
+    acc_b = spark.sparkContext.broadcast(accepted)
+
+    # one driver-side metadata pass maps bucket -> block files via the
+    # bucket row-group statistics (a coalesced write task can put
+    # SEVERAL buckets in one file, so each row group contributes its
+    # [min, max] bucket range). At full scale this map comes from the
+    # table metadata (Iceberg manifests) instead of a directory walk.
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(blocks_p, format="parquet", partitioning="hive")
+    bucket_files: dict[int, list[tuple[str, str]]] = {}
+    for frag in dset.get_fragments():
+        colname = frag.path.split("column=")[-1].split("/")[0]
+        if colname not in wanted:
+            continue
+        bs: set[int] = set()
+        for rg in frag.row_groups:
+            st = rg.statistics or {}
+            bstat = st.get("bucket")
+            if bstat is not None:
+                bs.update(range(int(bstat["min"]), int(bstat["max"]) + 1))
+        for b in bs:
+            bucket_files.setdefault(b, []).append((frag.path, colname))
+    files_b = spark.sparkContext.broadcast(bucket_files)
+
+    def fn(batches):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for batch in batches:
+            for bucket in batch.column("bucket").to_pylist():
+                runs = acc_b.value.get(bucket)
+                flist = files_b.value.get(bucket, [])
+                if not runs or not flist:
+                    continue
+                parts = []
+                for fp, colname in flist:  # bounded: files per bucket
+                    # filters prune row groups of multi-bucket files
+                    t = pq.read_table(fp, filters=[
+                        ("bucket", "=", bucket),
+                        ("run_id", "in", sorted(set(runs))),
+                    ])
+                    if t.num_rows:
+                        parts.append(t.append_column(
+                            "column", pa.array([colname] * t.num_rows)
+                        ))
+                if not parts:
+                    continue
+                out = inner((bucket,), pa.concat_tables(parts))
+                yield from out.to_batches()
+
+    buckets_df = spark.createDataFrame(
+        [(b,) for b in sorted(accepted)], "bucket int"
+    )
+    n_tasks = max(1, min(len(accepted) or 1,
+                         spark.sparkContext.defaultParallelism * 2))
+    out = buckets_df.repartition(n_tasks, F.col("bucket")).mapInArrow(
+        fn, schema=schema
+    )
+    return _expand_uuid_cols(out, manifest.get("uuid_columns", []))
 
 
 def read_encoded_as(
