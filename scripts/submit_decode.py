@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the decode/export job: read a tokcodec
+encoded table (optionally a projection or a filtered slice) and write
+it back out as plain parquet for downstream consumers.
+
+    spark-submit --py-files tokcodec.zip scripts/submit_decode.py \
+        --input /data/encoded --output /data/decoded \
+        --columns doc_id,tokens --range-filter n_tok:100:5000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="encoded table path")
+    p.add_argument("--output", required=True, help="output parquet path")
+    p.add_argument("--columns", default="",
+                   help="comma-separated projection (default: all)")
+    p.add_argument("--range-filter", default=None,
+                   help="col:lo:hi zone-map slice (ints)")
+    p.add_argument("--eq-filter", default=None,
+                   help="col:value bloom point lookup")
+    p.add_argument("--direct", action="store_true",
+                   help="shuffle-free per-bucket reader (see "
+                        "read_encoded_direct docstring for when it wins)")
+    p.add_argument("--verify-checksums", action="store_true")
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from tokcodec.io_tables import read_encoded, read_encoded_direct
+
+    spark = SparkSession.builder.appName("tokcodec-decode").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    columns = [c for c in args.columns.split(",") if c] or None
+    if args.direct:
+        if args.range_filter or args.eq_filter:
+            raise SystemExit("--direct supports projection only")
+        df = read_encoded_direct(spark, args.input, columns=columns,
+                                 verify_checksums=args.verify_checksums)
+    else:
+        rf = None
+        if args.range_filter:
+            c, lo, hi = args.range_filter.split(":")
+            rf = (c, int(lo), int(hi))
+        ef = None
+        if args.eq_filter:
+            c, v = args.eq_filter.split(":", 1)
+            ef = (c, v)
+        df = read_encoded(spark, args.input, columns=columns,
+                          range_filter=rf, eq_filter=ef,
+                          verify_checksums=args.verify_checksums)
+    df.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({"rows": n, "output": args.output}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -45,3 +45,35 @@ def test_spark_submit_encode(spark, tmp_path):
     assert hit.count() == 1
     assert hit.collect()[0]["n_tok"] == dec.filter(
         F.col("doc_id") == one).collect()[0]["n_tok"]
+
+
+def test_spark_submit_decode(spark, tmp_path):
+    src = os.path.join(str(tmp_path), "src2")
+    enc = os.path.join(str(tmp_path), "enc2")
+    out = os.path.join(str(tmp_path), "dec2")
+    from tokcodec.io_tables import write_encoded
+    from tokcodec.tokenize import documents_to_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    seq = documents_to_sequences(docs)
+    write_encoded(seq, enc, n_buckets=4, run_id="cli2")
+    n_src = seq.count()
+
+    submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    env = dict(os.environ, PYTHONPATH="/root/repo",
+               SPARK_LOCAL_DIRS="/dev/shm")
+    r = subprocess.run(
+        [submit, "--master", "local[4]", "scripts/submit_decode.py",
+         "--input", enc, "--output", out,
+         "--columns", "doc_id,n_tok"],
+        cwd="/root/repo", env=env, capture_output=True, text=True,
+        timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.loads([ln for ln in r.stdout.splitlines()
+                      if ln.startswith("{")][-1])
+    assert res["rows"] == n_src
+    back = spark.read.parquet(out)
+    assert sorted(back.columns) == ["doc_id", "n_tok"]
+    assert back.agg(F.sum("n_tok")).collect()[0][0] == \
+        seq.agg(F.sum("n_tok")).collect()[0][0]
