@@ -136,3 +136,9 @@ def test_fuzzed_schemas_roundtrip(spark, tmp_path):
                                       columns=["doc_id", pc]).collect()}
         for k in want:
             assert proj[k] == want[k][1], (seed, k, proj[k], want[k][1])
+        # the shuffle-free direct reader must agree on every schema too
+        from tokcodec.io_tables import read_encoded_direct
+
+        direct = {r["doc_id"]: _canon(tuple(r.asDict(recursive=True).values()))
+                  for r in read_encoded_direct(spark, path).collect()}
+        assert direct == got, (seed, schema.simpleString())
