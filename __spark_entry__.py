@@ -42,9 +42,7 @@ def _decoded_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _DECODED_CACHE:
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         seq = documents_to_sequences(docs)
-        path = os.path.join(
-            tempfile.gettempdir(), "tokcodec_entry", key.replace(os.sep, "_")
-        )
+        path = _entry_table_path(sf_dir)
         import shutil
 
         shutil.rmtree(path, ignore_errors=True)
@@ -932,11 +930,9 @@ def q_encode_lineage_metrics(spark, sf_dir):
     """Engine observability: per-codec selection frequencies + overall
     ratio from the lineage table (reference C5/C6 analogue)."""
     _decoded_sequences(spark, sf_dir)  # ensure encoded table exists
-    key = os.path.abspath(sf_dir)
-    path = os.path.join(
-        tempfile.gettempdir(), "tokcodec_entry", key.replace(os.sep, "_")
+    lin = spark.read.parquet(
+        os.path.join(_entry_table_path(sf_dir), "lineage")
     )
-    lin = spark.read.parquet(os.path.join(path, "lineage"))
     return lin.agg(
         F.count("*").alias("n_buckets"),
         F.sum("n_rows").alias("rows"),

@@ -51,13 +51,12 @@ def main() -> None:
     df = spark.read.parquet(args.input)
     n_buckets = args.buckets
     if n_buckets <= 0:
-        total = sum(
-            f.size for f in spark._jvm.org.apache.hadoop.fs.Path(
-                args.input
-            ).getFileSystem(
-                spark.sparkContext._jsc.hadoopConfiguration()
-            ).listStatus(spark._jvm.org.apache.hadoop.fs.Path(args.input))
-        )
+        jvm = spark.sparkContext._jvm
+        p = jvm.org.apache.hadoop.fs.Path(args.input)
+        fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        # FileStatus exposes getLen() (py4j returns a method stub for
+        # any unknown attribute, so f.size would silently be a stub)
+        total = sum(f.getLen() for f in fs.listStatus(p))
         n_buckets = suggest_buckets(total)
     res = write_encoded(
         df, args.output, n_buckets=n_buckets, run_id=args.run_id,

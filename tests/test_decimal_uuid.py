@@ -108,3 +108,44 @@ def test_enum_columns_validate(spark, tmp_path):
         write_encoded(bad, os.path.join(str(tmp_path), "en2"), n_buckets=1,
                       run_id="e2",
                       enum_columns={"status": ["NEW", "DONE", "FAILED"]})
+
+
+def test_uuid_eq_filter_and_validation(spark, tmp_path):
+    # review findings: eq_filter on a uuid column must probe with the
+    # stored 16-byte form, and malformed uuid values must fail the
+    # write loudly instead of silently nulling
+    import uuid as uuidlib
+
+    import pytest
+    from pyspark.sql import Row
+
+    us = [str(uuidlib.UUID(int=i * 101 + 5)) for i in range(200)]
+    df = spark.createDataFrame(
+        [Row(id=u, n=i) for i, u in enumerate(us)], "id string, n int")
+    path = os.path.join(str(tmp_path), "ue")
+    write_encoded(df, path, n_buckets=2, run_id="u", chunk_max_rows=32,
+                  uuid_columns=["id"], bloom_columns=["id"])
+    hit = read_encoded(spark, path, eq_filter=("id", us[123])).collect()
+    assert len(hit) == 1 and hit[0]["n"] == 123 and hit[0]["id"] == us[123]
+    assert read_encoded(
+        spark, path, eq_filter=("id", str(uuidlib.UUID(int=10**30)))
+    ).count() == 0
+
+    bad = spark.createDataFrame([Row(id="doc-000123", n=1)],
+                                "id string, n int")
+    with pytest.raises(Exception, match="not a canonical UUID"):
+        write_encoded(bad, os.path.join(str(tmp_path), "ub"), n_buckets=1,
+                      run_id="b", uuid_columns=["id"])
+
+
+def test_zone_filter_rejects_non_int_columns(spark, tmp_path):
+    import pytest
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(doc_id="a", n=1)], "doc_id string, n int")
+    path = os.path.join(str(tmp_path), "zi")
+    write_encoded(df, path, n_buckets=1, run_id="z")
+    with pytest.raises(ValueError, match="integer column"):
+        read_encoded(spark, path, range_filter=("doc_id", 0, 10))
+    with pytest.raises(ValueError, match="integer column"):
+        read_encoded(spark, path, in_filter=("doc_id", [1]))

@@ -24,7 +24,7 @@ def test_spark_submit_encode(spark, tmp_path):
     r = subprocess.run(
         [submit, "--master", "local[4]",
          "scripts/submit_encode.py",
-         "--input", src, "--output", out, "--buckets", "4",
+         "--input", src, "--output", out, "--buckets", "0",
          "--run-id", "cli", "--bloom-columns", "doc_id"],
         cwd="/root/repo", env=env, capture_output=True, text=True,
         timeout=420,
@@ -32,7 +32,8 @@ def test_spark_submit_encode(spark, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     res = json.loads([ln for ln in r.stdout.splitlines()
                       if ln.startswith("{")][-1])
-    assert res["buckets"] == 4 and res["rows"] > 0
+    # --buckets 0 exercises the auto-sizing path (tiny input -> 1)
+    assert res["buckets"] == 1 and res["rows"] > 0
 
     from tokcodec.io_tables import read_encoded
 

@@ -34,41 +34,49 @@ def _paths(path: str) -> tuple[str, str, str]:
     )
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(fs, jvm_path) via Hadoop's FileSystem API, or (None, None) when
+    the JVM gateway isn't reachable (the only case where the local-FS
+    fallback is legitimate — a REAL write/read failure on HDFS/S3 must
+    propagate, not silently land on the driver's local disk)."""
+    try:
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        return p.getFileSystem(conf), p
+    except Exception:
+        return None, None
+
+
 def _write_text(spark: SparkSession, path: str, content: str) -> None:
     """Write the manifest through Hadoop's FileSystem API so the table
     layout works on HDFS/S3 paths, not just the local FS (plain open()
     was a real-cluster gap flagged in round 1)."""
-    try:
-        jvm = spark.sparkContext._jvm
-        conf = spark.sparkContext._jsc.hadoopConfiguration()
-        p = jvm.org.apache.hadoop.fs.Path(path)
-        fs = p.getFileSystem(conf)
-        out = fs.create(p, True)
-        out.write(bytearray(content.encode("utf-8")))
-        out.close()
-    except Exception:
-        with open(path, "w") as f:  # local-FS fallback
+    fs, p = _hadoop_fs(spark, path)
+    if fs is None:
+        with open(path, "w") as f:  # no JVM gateway: local-FS fallback
             f.write(content)
+        return
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
 
 
 def _read_text(spark: SparkSession, path: str) -> str:
-    try:
-        jvm = spark.sparkContext._jvm
-        conf = spark.sparkContext._jsc.hadoopConfiguration()
-        p = jvm.org.apache.hadoop.fs.Path(path)
-        fs = p.getFileSystem(conf)
-        if not fs.exists(p):
-            raise FileNotFoundError(path)
-        stream = fs.open(p)
-        util = jvm.org.apache.commons.io.IOUtils
-        content = util.toString(stream, "UTF-8")
-        stream.close()
-        return content
-    except FileNotFoundError:
-        raise
-    except Exception:
+    fs, p = _hadoop_fs(spark, path)
+    if fs is None:
         with open(path) as f:
             return f.read()
+    if not fs.exists(p):
+        raise FileNotFoundError(path)
+    stream = fs.open(p)
+    try:
+        jvm = spark.sparkContext._jvm
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
 
 
 def write_encoded(
@@ -100,8 +108,18 @@ def write_encoded(
     blocks_p, lineage_p, manifest_p = _paths(path)
     run_id = run_id or uuid.uuid4().hex[:12]
     for c in uuid_columns or []:
-        # JVM-side: strip dashes, hex-decode to 16 bytes
-        df = df.withColumn(c, F.unhex(F.translate(F.col(c), "-", "")))
+        # JVM-side: strip dashes, hex-decode to 16 bytes. A value that
+        # is not a canonical UUID fails the write loudly — unhex would
+        # otherwise return null and silently corrupt the column.
+        cleaned = F.translate(F.col(c), "-", "")
+        ub = F.unhex(cleaned)
+        ok = F.col(c).isNull() | ((F.length(cleaned) == 32) & ub.isNotNull())
+        df = df.withColumn(
+            c,
+            F.when(ok, ub).otherwise(F.raise_error(F.concat(
+                F.lit(f"column {c!r}: not a canonical UUID: "), F.col(c)
+            ))),
+        )
 
     b = with_bucket(df, n_buckets)
     done: list[int] = []
@@ -292,10 +310,27 @@ def read_encoded(
                                            verify_checksums=verify_checksums))
     if eq_filter is not None:
         col, value = eq_filter
+        if col in manifest.get("uuid_columns", []) and isinstance(value, str):
+            # the column is stored as 16-byte binary: probe the bloom
+            # and compare with the stored representation (the decoded
+            # frame is uuid-expanded only afterwards)
+            value = bytes.fromhex(value.replace("-", ""))
         pruned = _bloom_prune(blocks, col, value)
         out = decode_blocks(pruned, schema, columns,
                             verify_checksums=verify_checksums)
         return _expand_uuids(out.filter(F.col(col) == value))
+    # zone filters only make sense on integer columns (those are the
+    # ones whose values blocks carry [lo, hi]); anything else would
+    # silently prune every chunk
+    zone_col = (in_filter or range_filter)[0]
+    fld = next((f.dataType for f in schema.fields if f.name == zone_col),
+               None)
+    if not isinstance(fld, (T.ByteType, T.ShortType, T.IntegerType,
+                            T.LongType)):
+        raise ValueError(
+            f"range_filter/in_filter require an integer column with zone "
+            f"maps; {zone_col!r} is {fld}"
+        )
     zlo = F.get_json_object("meta", "$.lo").cast("long")
     zhi = F.get_json_object("meta", "$.hi").cast("long")
     if range_filter is not None:
@@ -309,12 +344,14 @@ def read_encoded(
         for v in values:
             zpred = zpred | ((zlo <= v) & (zhi >= v))
         residual = F.col(col).isin(values)
-    # zone-map pass: chunks whose stats overlap the predicate. The zone
-    # map lives in the stats column's block meta; all components of a
-    # surviving (run_id, bucket, chunk) are kept so row alignment holds
-    # (keyed by run_id too: multi-epoch appends reuse chunk numbers).
+    # zone-map pass: chunks whose stats overlap the predicate — or
+    # carry no stats (never a false negative). The zone map lives in
+    # the stats column's block meta; all components of a surviving
+    # (run_id, bucket, chunk) are kept so row alignment holds (keyed
+    # by run_id too: multi-epoch appends reuse chunk numbers).
     zones = blocks.filter(
-        (F.col("column") == col) & (F.col("component") == "values") & zpred
+        (F.col("column") == col) & (F.col("component") == "values")
+        & (zpred | zlo.isNull() | zhi.isNull())
     ).select("run_id", "bucket", "chunk").distinct()
     pruned = blocks.join(F.broadcast(zones), ["run_id", "bucket", "chunk"],
                          "left_semi")
@@ -379,11 +416,18 @@ def read_encoded_direct(
         if colname not in wanted:
             continue
         bs: set[int] = set()
+        have_stats = True
         for rg in frag.row_groups:
             st = rg.statistics or {}
             bstat = st.get("bucket")
-            if bstat is not None:
-                bs.update(range(int(bstat["min"]), int(bstat["max"]) + 1))
+            if bstat is None:
+                have_stats = False
+                break
+            bs.update(range(int(bstat["min"]), int(bstat["max"]) + 1))
+        if not have_stats:
+            # no bucket statistics: the file may hold ANY bucket —
+            # read-and-filter everywhere rather than silently drop rows
+            bs = set(accepted)
         for b in bs:
             bucket_files.setdefault(b, []).append((frag.path, colname))
     files_b = spark.sparkContext.broadcast(bucket_files)
