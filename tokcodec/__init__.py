@@ -20,6 +20,8 @@ from tokcodec.io_tables import (  # noqa: F401
     parquet_size_bytes,
     read_encoded,
     read_encoded_as,
+    read_encoded_direct,
+    suggest_buckets,
     write_encoded,
 )
 from tokcodec.naming import camel_to_snake, map_fields, snake_to_camel  # noqa: F401
