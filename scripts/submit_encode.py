@@ -54,9 +54,10 @@ def main() -> None:
         jvm = spark.sparkContext._jvm
         p = jvm.org.apache.hadoop.fs.Path(args.input)
         fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-        # FileStatus exposes getLen() (py4j returns a method stub for
-        # any unknown attribute, so f.size would silently be a stub)
-        total = sum(f.getLen() for f in fs.listStatus(p))
+        # getContentSummary is recursive — listStatus reported length 0
+        # for the subdirectories of partitioned/nested inputs, collapsing
+        # n_buckets toward 1 (round-2 ADVICE)
+        total = fs.getContentSummary(p).getLength()
         n_buckets = suggest_buckets(total)
     res = write_encoded(
         df, args.output, n_buckets=n_buckets, run_id=args.run_id,

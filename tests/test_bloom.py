@@ -88,7 +88,8 @@ def test_eq_filter_prunes_and_is_exact(spark, tmp_path):
     # pruning is real: most chunks' blooms reject the probe
     from tokcodec.bloom import bloom_params as bp, bloom_might_contain as bmc
 
-    blocks = spark.read.parquet(os.path.join(path, "blocks"))
+    blocks = spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(path, "blocks"))
     blooms = blocks.filter(
         (F.col("column") == "doc_id") & (F.col("component") == "bloom")
     ).select("payload").collect()

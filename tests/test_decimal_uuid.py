@@ -70,7 +70,8 @@ def test_uuid_fixed16_roundtrip(spark, tmp_path):
     assert out[999] is None
     # stored payload is 16-byte binary, not 36-char text: the id
     # column's stored orig_bytes reflect the fixed-width layout
-    blocks = spark.read.parquet(os.path.join(path, "blocks"))
+    blocks = spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(path, "blocks"))
     vals = blocks.filter(
         (F.col("column") == "id") & (F.col("component") == "values")
     ).agg(F.sum("orig_bytes")).collect()[0][0]

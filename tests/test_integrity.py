@@ -31,7 +31,7 @@ def test_checksum_detects_corruption(spark, tmp_path):
     write_encoded(df, path, n_buckets=4, run_id="r1")
     # flip bytes in the middle of the largest tokens block file
     files = sorted(
-        glob.glob(os.path.join(path, "blocks", "column=tokens", "*.parquet")),
+        glob.glob(os.path.join(path, "blocks", "col-tokens", "*.parquet")),
         key=os.path.getsize,
     )
     target = files[-1]

@@ -27,7 +27,8 @@ def test_ivf_prunes_chunks_and_matches_full_decode(spark):
     assert len(probes) == 4
 
     # 1) chunk skipping is real: surviving zone chunks < total chunks
-    blocks = spark.read.parquet(os.path.join(path, "blocks"))
+    blocks = spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(path, "blocks"))
     cell_vals = blocks.filter(
         (F.col("column") == "cell") & (F.col("component") == "values")
     ).select("run_id", "bucket", "chunk", "meta").collect()

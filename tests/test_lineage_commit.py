@@ -32,7 +32,7 @@ def test_append_never_reads_existing_payload_blocks(spark, tmp_path):
 
     # trash every pre-existing payload file of a data column: if the
     # second commit scans them, the parquet reader blows up
-    col_dir = os.path.join(path, "blocks", "column=tokens")
+    col_dir = os.path.join(path, "blocks", "col-tokens")
     victims = [f for f in os.listdir(col_dir) if f.endswith(".parquet")]
     assert victims
     for f in victims:
@@ -57,7 +57,8 @@ def test_lineage_matches_block_contents(spark, tmp_path):
     # over the written data blocks (bytes, rows, checksum sum)
     path = os.path.join(str(tmp_path), "t2")
     write_encoded(_mk(spark, 0, 40), path, n_buckets=2, run_id="r1")
-    blocks = spark.read.parquet(os.path.join(path, "blocks"))
+    blocks = spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(path, "blocks"))
     data = blocks.filter(F.col("column") != "__bucket_metrics__")
     per_bucket = data.groupBy("bucket").agg(
         F.sum("orig_bytes").alias("ob"),

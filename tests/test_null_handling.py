@@ -166,7 +166,7 @@ def test_verify_checksums_forwarded_on_range_filter(spark, tmp_path):
     # pyarrow (keep schema identical, corrupt one payload)
     import pyarrow.parquet as pq
 
-    col_dir = os.path.join(path, "blocks", "column=n_tok")
+    col_dir = os.path.join(path, "blocks", "col-n_tok")
     f = [x for x in os.listdir(col_dir) if x.endswith(".parquet")][0]
     fp = os.path.join(col_dir, f)
     t = pq.read_table(fp)

@@ -66,7 +66,9 @@ def test_orphan_blocks_ignored(spark, seq_df, tmp_path):
     write_encoded(seq_df, path, n_buckets=4, run_id="r1")
     # fake a crashed run: duplicate blocks under a new run_id, no lineage
     blocks_p = os.path.join(path, "blocks")
-    spark.read.parquet(blocks_p).withColumn(
+    spark.read.option("recursiveFileLookup", "true").parquet(
+        blocks_p
+    ).withColumn(
         "run_id", F.lit("crashed")
     ).write.mode("append").parquet(blocks_p)
     dec = read_encoded(spark, path)

@@ -35,7 +35,8 @@ def test_range_filter_prunes_chunks(spark, enc):
     path, _ = enc
     from tokcodec.schema import BLOCK_DDL
 
-    blocks = spark.read.schema(BLOCK_DDL).parquet(path + "/blocks")
+    blocks = spark.read.schema(BLOCK_DDL).option(
+        "recursiveFileLookup", "true").parquet(path + "/blocks")
     total_chunks = blocks.filter(
         (F.col("column") == "n_tok") & (F.col("component") == "values")
     ).count()

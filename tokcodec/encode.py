@@ -416,6 +416,22 @@ def encode_table(df: DataFrame, n_buckets: int, run_id: str = "run0",
                            chunk_max_rows, chunk_max_values)
 
 
+def validate_annotations(schema: T.StructType,
+                         bloom_columns: tuple[str, ...] = (),
+                         enum_columns: dict[str, list[str]] | None = None
+                         ) -> None:
+    """Fail at plan time (driver) when a bloom/enum column is missing
+    or non-string — not deep inside an executor task."""
+    for c in tuple(bloom_columns) + tuple(enum_columns or ()):
+        f = next((f for f in schema.fields if f.name == c), None)
+        if f is None or not isinstance(f.dataType, (T.StringType,
+                                                    T.BinaryType)):
+            raise ValueError(
+                f"bloom/enum column {c!r} must be an existing "
+                "string/binary column"
+            )
+
+
 def encode_bucketed(b: DataFrame, schema: T.StructType, n_buckets: int,
                     run_id: str, mode: str = "group",
                     cluster_by: str | None = None,
@@ -429,14 +445,7 @@ def encode_bucketed(b: DataFrame, schema: T.StructType, n_buckets: int,
     filter block for equality pruning (reference C4).
     ``enum_columns``: {column: allowed values} — enum-as-type check,
     enforced per chunk during encode (reference E2 enum writer)."""
-    for c in tuple(bloom_columns) + tuple(enum_columns or ()):
-        f = next((f for f in schema.fields if f.name == c), None)
-        if f is None or not isinstance(f.dataType, (T.StringType,
-                                                    T.BinaryType)):
-            raise ValueError(
-                f"bloom/enum column {c!r} must be an existing "
-                "string/binary column"
-            )
+    validate_annotations(schema, bloom_columns, enum_columns)
     if mode == "group":
         fn = make_encode_fn(schema, run_id, cluster_by=cluster_by,
                             chunk_max_rows=chunk_max_rows,

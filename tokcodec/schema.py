@@ -83,11 +83,19 @@ def spark_type_to_arrow(dt: T.DataType) -> pa.DataType:
     raise NotImplementedError(f"unsupported type {dt}")
 
 
+# storage layout generation. v2 = per-run file manifests under
+# <table>/_runs/<run_id>.json: encode tasks write their own block files
+# and report them, so commit metadata is O(run) and reads plan explicit
+# file lists (lineage -> run manifests) with no directory listing.
+LAYOUT_VERSION = 2
+
+
 def schema_manifest(schema: T.StructType, n_buckets: int, run_id: str,
                     uuid_columns: list[str] | None = None,
                     enum_columns: dict[str, list[str]] | None = None) -> str:
     return json.dumps(
-        {"ddl": schema.simpleString(), "json": schema.jsonValue(),
+        {"layout": LAYOUT_VERSION,
+         "ddl": schema.simpleString(), "json": schema.jsonValue(),
          "n_buckets": n_buckets, "run_id": run_id,
          "uuid_columns": sorted(uuid_columns or []),
          "enum_columns": enum_columns or {}},
