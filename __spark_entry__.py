@@ -11,8 +11,10 @@ oracle recomputes the same aggregates from the raw documents table via
 a portable tokenizer — any bit error in any codec breaks the match.
 The q_* queries cover the relational operator categories of
 SURVEY.md §2.2; docs_* / dedup_* / emb_* cover training-data pipeline
-ops. minhash_* / simhash_* / ann_ivf_* / encode_* are non-SQL
-(rows-only checks).
+ops. Only encode_lineage_metrics / media_feature_stats are rows-only
+(engine-internal metrics and a stubbed media decode); everything else
+— including minhash, simhash, and the IVF probe (gated against exact
+brute-force top-k) — is oracle-checked.
 """
 
 from __future__ import annotations
@@ -534,30 +536,61 @@ def q_emb_cosine_topk(spark, sf_dir):
 
 
 def q_emb_neardup_lsh(spark, sf_dir):
-    """Embedding-cosine near-dup via random-hyperplane (sign-bit) LSH:
-    8-bit bucket from the signs of the first 8 dims, candidate pairs
-    within a bucket only (never all-pairs), exact cosine verify >= 0.2
-    on candidates. Fully oracle-checkable — the bucket is integer math
-    and the verify threshold sits far from any sample's sim value."""
+    """Embedding-cosine near-dup via BANDED sign-bit LSH: 4 bands x
+    16 sign bits each (dims 1-16, 17-32, 33-48, 49-64), candidates =
+    pairs sharing any band's 16-bit bucket, exact cosine verify >= 0.2
+    on candidates. Round 2's single 8-bit bucket held only 256 buckets
+    total (~N^2/256 pairs — quadratic at 100 TB); per-band occupancy is
+    now ~N/2^16, and pair generation stays groupBy-per-bucket. Integer
+    bit math keeps the DuckDB oracle expressible. (Axis-aligned sign
+    bits stand in for seeded random hyperplanes so the oracle can
+    recompute them; swap in a broadcast projection matrix at
+    production.)"""
     e = _t(spark, sf_dir, "embeddings")
-    bucket = ("aggregate(slice(embedding, 1, 8), 0, "
-              "(acc, x) -> acc * 2 + if(x > 0, 1, 0))")
-    b = e.select(
-        F.col("vec_id").cast("long").alias("vec_id"),
-        F.expr(bucket).alias("bkt"),
+    banded = (
+        e.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.explode(F.expr(
+                "transform(sequence(0, 3), bd -> struct("
+                "cast(bd as int) as band, "
+                "aggregate(slice(embedding, bd * 16 + 1, 16), 0, "
+                "(acc, x) -> acc * 2 + if(x > 0, 1, 0)) as bkt))"
+            )).alias("bb"),
+        )
+        .select("vec_id", F.col("bb.band").alias("band"),
+                F.col("bb.bkt").alias("bkt"))
+    )
+    grp = (
+        banded.groupBy("band", "bkt")
+        .agg(F.collect_list("vec_id").alias("vs"))
+        .filter(F.size("vs") >= 2)
+    )
+    pairs = (
+        grp.select(
+            F.explode(F.expr(
+                "flatten(transform(vs, (x, i) -> "
+                "transform(slice(vs, i + 2, size(vs)), "
+                "y -> struct(least(x, y) as v1, greatest(x, y) as v2))))"
+            )).alias("p")
+        )
+        .select("p.v1", "p.v2")
+        .distinct()
+    )
+    ve = e.select(
+        F.col("vec_id").cast("long").alias("vid"),
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
     )
-    a1 = b.alias("a")
-    a2 = b.alias("b")
-    dot = "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (s, x) -> s + x)"
-    n1 = "sqrt(aggregate(a.v, 0D, (s, x) -> s + x * x))"
-    n2 = "sqrt(aggregate(b.v, 0D, (s, x) -> s + x * x))"
+    x = ve.alias("x")
+    y = ve.alias("y")
+    dot = "aggregate(zip_with(x.v, y.v, (a, b) -> a * b), 0D, (s, t) -> s + t)"
+    n1 = "sqrt(aggregate(x.v, 0D, (s, t) -> s + t * t))"
+    n2 = "sqrt(aggregate(y.v, 0D, (s, t) -> s + t * t))"
     return (
-        a1.join(a2, (F.col("a.bkt") == F.col("b.bkt"))
-                & (F.col("a.vec_id") < F.col("b.vec_id")))
+        pairs.join(x, F.col("v1") == F.col("x.vid"))
+        .join(y, F.col("v2") == F.col("y.vid"))
         .withColumn("sim", F.expr(f"({dot}) / (({n1}) * ({n2}))"))
         .filter(F.col("sim") >= 0.2)
-        .select(F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"))
+        .select("v1", "v2")
     )
 
 
@@ -862,13 +895,19 @@ def q_minhash_neardup_pairs(spark, sf_dir):
 
 
 def q_simhash_hamming_hist(spark, sf_dir):
-    """64-bit SimHash per document; histogram of hamming weight — a
-    cheap distributional check of the fingerprint implementation."""
+    """60-bit SimHash per document; histogram of hamming weight.
+    Round 2 hashed words with xxhash64 (rows-only — DuckDB can't
+    recompute it); the word hash is now the md5-derived 60-bit value
+    minhash already uses, so the whole signature is oracle-checkable
+    (round-2 verdict #5)."""
     d = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.expr("transform(split(text, ' '), w -> xxhash64(w))").alias("hs"),
+        F.expr(
+            "transform(split(text, ' '), "
+            "w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint))"
+        ).alias("hs"),
     )
-    # word hashes JVM-side; the 64-bit majority vote is a vectorized
+    # word hashes JVM-side; the 60-bit majority vote is a vectorized
     # numpy fold over whole Arrow batches (no explode, no shuffle,
     # no per-row Python)
     def fold(batches):
@@ -883,14 +922,14 @@ def q_simhash_hamming_hist(spark, sf_dir):
                 zero_copy_only=False
             ).astype(np.int64)
             offs = np.concatenate([[0], np.cumsum(lens)])
-            shifts = np.arange(64, dtype=np.uint64)
+            shifts = np.arange(60, dtype=np.uint64)
             bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
             if len(flat):
                 # reduceat needs indices < len; empty rows are zeroed after
                 idx = np.minimum(offs[:-1], len(flat) - 1)
                 votes = np.add.reduceat(bits * 2 - 1, idx)
             else:
-                votes = np.zeros((len(lens), 64), dtype=np.int32)
+                votes = np.zeros((len(lens), 60), dtype=np.int32)
             votes[lens == 0] = 0
             sim = ((votes > 0).astype(np.uint64) << shifts).sum(
                 axis=1, dtype=np.uint64
@@ -910,48 +949,34 @@ def q_simhash_hamming_hist(spark, sf_dir):
     )
 
 
-_IVF_CACHE: dict[str, tuple] = {}
+_IVF_CACHE: dict[str, str] = {}
+
+# coarse-quantizer cell: 3-bit sign code of the first three dims —
+# deterministic and SQL-expressible, so the DuckDB oracle can recompute
+# both the cells and the probe set. (The round-2 Lloyd/k-means
+# quantizer could not be oracled, and these synthetic embeddings are
+# isotropic noise — measured within-label cos ~= cross-label ~= 0 — so
+# NO quantizer achieves exact top-10 recall with real pruning; the
+# honest gate is "exact top-k WITHIN the probed cells", which pins the
+# engine mechanics: cell assignment at encode, cluster_by zone maps,
+# in_filter chunk skipping, bit-exact float decode, ranking. On real
+# clustered data swap in k-means centroids broadcast to executors —
+# the engine path is identical.)
+_IVF_CELL = ("aggregate(slice(embedding, 1, 3), 0, "
+             "(acc, x) -> acc * 2 + if(x > 0, 1, 0))")
 
 
-def _ivf_table(spark, sf_dir):
-    """Encode-time IVF: train coarse centroids on a deterministic
-    driver-side sample (bounded collect, fixed seed), assign each
-    vector a cell with JVM expressions, and ENCODE with
-    cluster_by='cell' so per-chunk zone maps are tight on the cell id.
-    Probing then skips whole chunks (the 100 TB shape: the index cost
-    is paid once at write time, queries read only probed cells'
-    blocks). Returns (encoded_path, centroids)."""
-    import numpy as np
-
+def _ivf_table(spark, sf_dir) -> str:
+    """Encode-time IVF: assign each vector a cell with JVM expressions
+    and ENCODE with cluster_by='cell' so per-chunk zone maps are tight
+    on the cell id. Probing then skips whole chunks (the 100 TB shape:
+    the index cost is paid once at write time, queries read only
+    probed cells' blocks). Returns the encoded path."""
     key = os.path.abspath(sf_dir)
     if key in _IVF_CACHE:
         return _IVF_CACHE[key]
     e = _t(spark, sf_dir, "embeddings")
-    samp = np.array(
-        [r.embedding for r in e.limit(256).collect()], dtype=np.float64
-    )
-    rng = np.random.default_rng(0)
-    k = 8
-    cents = samp[rng.choice(len(samp), k, replace=False)]
-    for _ in range(3):  # Lloyd iterations on the sample
-        d2 = ((samp[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        for c in range(k):
-            m = samp[assign == c]
-            if len(m):
-                cents[c] = m.mean(axis=0)
-    cent_lit = F.array(*[
-        F.array(*[F.lit(float(x)) for x in c]) for c in cents
-    ])
-    dist_c = (
-        "transform(cents, c -> aggregate(zip_with(embedding, c, "
-        "(a, b) -> (cast(a as double) - b) * (cast(a as double) - b)), "
-        "0D, (s, x) -> s + x))"
-    )
-    e2 = e.withColumn("cents", cent_lit).withColumn(
-        "cell", F.expr(f"array_position({dist_c}, array_min({dist_c})) - 1")
-        .cast("int")
-    ).drop("cents")
+    e2 = e.withColumn("cell", F.expr(_IVF_CELL).cast("int"))
     path = os.path.join(
         tempfile.gettempdir(), "tokcodec_entry_ivf", key.replace(os.sep, "_")
     )
@@ -962,30 +987,38 @@ def _ivf_table(spark, sf_dir):
     # 100 TB chunk counts are naturally high
     write_encoded(e2, path, n_buckets=4, run_id="ivf", cluster_by="cell",
                   chunk_max_rows=32)
-    _IVF_CACHE[key] = (path, cents)
-    return _IVF_CACHE[key]
+    _IVF_CACHE[key] = path
+    return path
 
 
-def _ivf_probe_cells(cents, qv_np, n_probe=4):
-    import numpy as np
-
-    qd = ((cents - qv_np[None, :]) ** 2).sum(axis=1)
-    return [int(c) for c in np.argsort(qd)[:n_probe]]
+def _ivf_probe_cells(qv_np):
+    """The query's own cell plus its three hamming-1 neighbours —
+    4 of 8 cells, a real ~50% prune."""
+    qcell = 0
+    for x in qv_np[:3]:
+        qcell = qcell * 2 + (1 if x > 0 else 0)
+    return [qcell, qcell ^ 4, qcell ^ 2, qcell ^ 1]
 
 
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF ANN probe: decode ONLY the chunks whose cell zone overlaps
     the 4 cells nearest the query (in_filter chunk skipping over the
-    cell-clustered encoded table), exact cosine within the survivors."""
+    cell-clustered encoded table), exact cosine within the survivors.
+    Oracled (round-2 verdict #4) against exact brute-force top-10
+    WITHIN the probed cells, with the probe set recomputed by the
+    oracle from the query vector — any pruning false-negative, cell
+    mis-assignment, or float decode slip breaks the hash. (Exact
+    GLOBAL recall is impossible on these isotropic synthetic vectors —
+    see _IVF_CELL.)"""
     import numpy as np
 
-    path, cents = _ivf_table(spark, sf_dir)
+    path = _ivf_table(spark, sf_dir)
     qv_np = np.array(
         _t(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") == 0).select("embedding").collect()[0][0],
         dtype=np.float64,
     )
-    probe_cells = _ivf_probe_cells(cents, qv_np)
+    probe_cells = _ivf_probe_cells(qv_np)
     probed = read_encoded(spark, path, in_filter=("cell", probe_cells))
     q = (
         _t(spark, sf_dir, "embeddings")
@@ -1001,7 +1034,7 @@ def q_ann_ivf_topk(spark, sf_dir):
         .withColumn("sim", F.expr(f"({dot}) / (({nrm}) * ({qnrm}))"))
         .orderBy(F.desc("sim"), "vec_id")
         .limit(10)
-        .select("vec_id", "label", "cell")
+        .select("vec_id", "label")
     )
 
 
@@ -1028,6 +1061,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_tokens_exact": q_roundtrip_tokens_exact,
         "roundtrip_point_lookup": q_roundtrip_point_lookup,
         "stream_ingest_roundtrip": q_stream_ingest_roundtrip,
+        "roundtrip_lineitem_pricing": q_roundtrip_lineitem_pricing,
+        "roundtrip_events_hourly": q_roundtrip_events_hourly,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "join_topcustomers": q_join_topcustomers,
         "anti_join": q_anti_join,
@@ -1103,6 +1138,31 @@ SELECT source,
        CAST(SUM(len(tokens)) AS BIGINT) AS sum_tok,
        CAST(SUM({tok_sum}) AS BIGINT) AS tok_sum
 FROM seq GROUP BY source""",
+        "roundtrip_lineitem_pricing": """
+WITH li AS (
+  SELECT CAST(l_quantity AS DECIMAL(12,2)) AS q,
+         CAST(l_extendedprice AS DECIMAL(12,2)) AS ep,
+         CAST(l_discount AS DECIMAL(12,2)) AS dc,
+         l_returnflag, l_linestatus,
+         CAST(l_shipdate AS DATE) AS sd
+  FROM lineitem
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(q * 100 AS BIGINT)) AS BIGINT) AS qty_cents,
+       CAST(SUM(CAST(ep * 100 AS BIGINT)) AS BIGINT) AS base_cents,
+       CAST(SUM(CAST(ep * (1 - dc) * 10000 AS BIGINT)) AS BIGINT)
+         AS disc_scaled,
+       COUNT(*) AS count_order,
+       strftime(MAX(sd), '%Y-%m-%d') AS max_ship
+FROM li WHERE sd <= DATE '2005-09-02'
+GROUP BY l_returnflag, l_linestatus""",
+        "roundtrip_events_hourly": """
+SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+       CAST(SUM(length(props)) AS BIGINT) AS props_chars
+FROM events GROUP BY hour, event_type HAVING COUNT(*) >= 2""",
         "lineitem_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
@@ -1236,18 +1296,26 @@ ORDER BY list_dot_product(
          vec_id
 LIMIT 10""",
         "emb_neardup_lsh": """
-WITH b AS (
-  SELECT vec_id,
-         CAST(list_sum(list_transform(range(1, 9),
-              i -> (CASE WHEN embedding[i] > 0 THEN 1 ELSE 0 END)
-                   << (8 - i))) AS BIGINT) AS bkt,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+WITH banded AS (
+  SELECT vec_id, t.band AS band,
+         CAST(list_sum(list_transform(range(1, 17),
+              i -> (CASE WHEN embedding[t.band * 16 + i] > 0
+                    THEN 1 ELSE 0 END) << (16 - i))) AS BIGINT) AS bkt
+  FROM embeddings CROSS JOIN (SELECT UNNEST(range(0, 4)) AS band) t
+), pairs AS (
+  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+), ve AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 )
-SELECT a.vec_id AS v1, b.vec_id AS v2
-FROM b a JOIN b b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v)
-      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+SELECT v1, v2
+FROM pairs
+JOIN ve x ON x.vec_id = v1
+JOIN ve y ON y.vec_id = v2
+WHERE list_dot_product(x.v, y.v)
+      / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
       >= 0.2""",
         "emb_label_stats": """
 SELECT label, COUNT(*) AS n, MAX(len(embedding)) AS dim
@@ -1339,4 +1407,47 @@ SELECT COUNT(*) AS n_candidate_pairs,
        COUNT(DISTINCT d1) AS nd1,
        COUNT(DISTINCT d2) AS nd2
 FROM pairs""",
+        # exact brute-force top-10 WITHIN the probed cells; the oracle
+        # recomputes cells AND the probe set (query cell + hamming-1
+        # ball) from raw vectors — gates pruning, cell assignment and
+        # float round-trip together
+        "ann_ivf_topk": """
+WITH cells AS (
+  SELECT vec_id, label, embedding,
+         (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS cell
+  FROM embeddings
+), q AS (
+  SELECT embedding AS qv, cell AS qcell FROM cells WHERE vec_id = 0
+)
+SELECT vec_id, label
+FROM cells, q
+WHERE vec_id != 0
+  AND cell IN (qcell, xor(qcell, 4), xor(qcell, 2), xor(qcell, 1))
+ORDER BY list_dot_product(
+           list_transform(embedding, x -> CAST(x AS DOUBLE)),
+           list_transform(qv, x -> CAST(x AS DOUBLE)))
+         / (sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                  list_transform(embedding, x -> CAST(x AS DOUBLE))))
+            * sqrt(list_dot_product(list_transform(qv, x -> CAST(x AS DOUBLE)),
+                                    list_transform(qv, x -> CAST(x AS DOUBLE))))) DESC,
+         vec_id
+LIMIT 10""",
+        "simhash_hamming_hist": """
+WITH h AS (
+  SELECT doc_id,
+         list_transform(str_split(text, ' '),
+           w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT)) AS hs,
+         len(str_split(text, ' ')) AS nw
+  FROM documents
+), w AS (
+  SELECT doc_id,
+         len(list_filter(range(0, 60),
+             i -> 2 * list_sum(list_transform(hs, h -> (h >> i) & 1)) > nw))
+           AS weight
+  FROM h
+)
+SELECT CAST(weight AS INTEGER) AS weight, COUNT(*) AS n
+FROM w GROUP BY weight ORDER BY weight""",
     }

@@ -91,6 +91,45 @@ def main() -> None:
     df.write.mode("overwrite").option("compression", "snappy").parquet(ref_path)
     ratio = encoded_size_bytes(enc_path) / max(parquet_size_bytes(ref_path), 1)
 
+    # -------- FSST fixture: a vocab-style string column (log/word-like
+    # data — scattered short symbols, exactly where FSST beats zstd's
+    # LZ77 even THROUGH the zstd-1 outer layer; on URL-style long
+    # repeats zstd alone wins and the selector's measured trial keeps
+    # FSST off — see selector.select_str_codec). Records that the
+    # selector actually chose fsst and the size it bought.
+    import json as _json
+
+    from pyspark.sql import Row
+
+    vocab = [f"w{i:03d}" + "abcdefgh"[:(i % 5) + 2] for i in range(220)]
+    varr = "array(" + ",".join(f"'{w}'" for w in vocab) + ")"
+    fs_rows = max(20_000, SYNTH_ROWS // 4)
+    fdf = (
+        spark.range(fs_rows)
+        .select(
+            F.col("id").cast("string").alias("doc_id"),
+            # hash-based word pick: an affine index mod 220 collapses
+            # to id mod 220 (only 220 distinct msgs — parquet dict
+            # trivially wins); xxhash64 gives genuinely distinct rows
+            F.expr(
+                f"array_join(transform(sequence(0, 11), j -> {varr}["
+                "cast(pmod(xxhash64(concat(cast(id as string), '-', "
+                "cast(j as string))), 220) as int)]), ' ')"
+            ).alias("msg"),
+        )
+    )
+    fsst_path = os.path.join(work, "fsst_enc")
+    t0 = time.monotonic()
+    write_encoded(fdf, fsst_path, n_buckets=CPUS, run_id="fsst")
+    t_fsst = time.monotonic() - t0
+    lin = spark.read.parquet(os.path.join(fsst_path, "lineage"))
+    codec_rows = [_json.loads(r.codecs) for r in lin.select("codecs").collect()]
+    msg_codecs = sorted({c.get("msg") for c in codec_rows})
+    fsst_ref = os.path.join(work, "fsst_ref")
+    fdf.write.mode("overwrite").option("compression", "snappy").parquet(fsst_ref)
+    fsst_ratio = encoded_size_bytes(fsst_path) / max(parquet_size_bytes(fsst_ref), 1)
+    timings["fsst_vocab_encode"] = round(t_fsst, 3)
+
     # ------------------------------------------------- headline queries
     headline = [
         "roundtrip_source_agg",
@@ -106,9 +145,12 @@ def main() -> None:
     ]
     qs = entrymod.queries()
     for name in headline:
-        # min-of-2: the sandbox host stalls for seconds at a time on
-        # identical work (BENCH/BASELINE.md); the second run also
-        # reflects steady state (plan compiled, caches primed)
+        # one UNTIMED warmup (plan compilation, query-local caches,
+        # python worker reuse), then min-of-2 timed reps: round 2's
+        # min-of-2 alone recorded a 3x-inflated minhash number because
+        # warmup dominated rep 1 while rep 2 hit a host stall
+        # (round-2 verdict #6)
+        qs[name](spark, SF_DIR).collect()
         best = float("inf")
         for _rep in range(2):
             t0 = time.monotonic()
@@ -128,6 +170,11 @@ def main() -> None:
         "encode_tokens_per_sec": int(total_tokens / t_encode),
         "decode_tokens_per_sec": int(total_tokens / t_decode),
         "compression_ratio_vs_snappy": round(ratio, 4),
+        "fsst_vocab": {
+            "msg_codecs_chosen": msg_codecs,
+            "ratio_vs_snappy": round(fsst_ratio, 4),
+            "rows": fs_rows,
+        },
         "cpus": CPUS,
     }
     shutil.rmtree(work, ignore_errors=True)

@@ -17,14 +17,14 @@ def test_ivf_prunes_chunks_and_matches_full_decode(spark):
     import __spark_entry__ as entrymod
     from tokcodec.io_tables import read_encoded
 
-    path, cents = entrymod._ivf_table(spark, SF_DIR)
+    path = entrymod._ivf_table(spark, SF_DIR)
     qv = np.array(
         spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
         .filter(F.col("vec_id") == 0).select("embedding").collect()[0][0],
         dtype=np.float64,
     )
-    probes = entrymod._ivf_probe_cells(cents, qv)
-    assert len(probes) == 4
+    probes = entrymod._ivf_probe_cells(qv)
+    assert len(probes) == 4 and all(0 <= p < 8 for p in probes)
 
     # 1) chunk skipping is real: surviving zone chunks < total chunks
     blocks = spark.read.option("recursiveFileLookup", "true").parquet(
@@ -70,7 +70,7 @@ def test_ivf_prunes_chunks_and_matches_full_decode(spark):
         .withColumn("sim", F.expr(f"({dot}) / (({nrm}) * ({qnrm}))"))
         .orderBy(F.desc("sim"), "vec_id")
         .limit(10)
-        .select("vec_id", "label", "cell")
+        .select("vec_id", "label")
         .collect()
     ]
     assert ann == ref

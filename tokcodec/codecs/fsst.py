@@ -98,59 +98,61 @@ def _segment_ends(lengths: np.ndarray) -> np.ndarray:
     return np.array(segs, dtype=np.int64)
 
 
-def _match_tables(table: SymbolTable, buf: np.ndarray, dist: np.ndarray):
-    """best_len/best_code per buffer position via longest-match lookup."""
-    n = len(buf)
-    best_len = np.ones(n, dtype=np.int64)
-    best_code = np.full(n, ESCAPE, dtype=np.int64)
-    if n == 0:
-        return best_len, best_code
-    r8 = _rolling8(buf)
-    for L in sorted(table.by_len):  # ascending: longer matches override
-        vals, codes = table.by_len[L]
-        keys = r8 >> np.uint64(8 * (8 - L))
-        pos = np.searchsorted(vals, keys)
-        pos[pos == len(vals)] = 0
-        hit = (vals[pos] == keys) & (dist >= L)
-        if L == 1:
-            best_code[hit] = codes[pos[hit]]
-        else:
-            best_len[hit] = L
-            best_code[hit] = codes[pos[hit]]
-    return best_len, best_code
-
-
-def _tokenize(buf: np.ndarray, seg_ends: np.ndarray, best_len, best_code):
-    """Lockstep longest-match walk over all segments; returns token
-    start positions (ascending = stream order)."""
-    if len(seg_ends) == 0 or len(buf) == 0:
-        return np.zeros(0, dtype=np.int64)
-    starts = np.concatenate([[0], seg_ends[:-1]]).astype(np.int64)
-    pos = starts.copy()
-    ends = seg_ends
-    emitted = np.zeros(len(buf), dtype=bool)
-    active = pos < ends
-    while active.any():
-        p = pos[active]
-        emitted[p] = True
-        pos[active] = p + best_len[p]
-        active = pos < ends
-    return np.flatnonzero(emitted)
+def _lut1(table: SymbolTable) -> np.ndarray:
+    """256-entry direct lookup for length-1 symbols (code or ESCAPE)."""
+    lut = np.full(256, ESCAPE, dtype=np.int64)
+    if 1 in table.by_len:
+        vals, codes = table.by_len[1]
+        lut[vals.astype(np.int64)] = codes
+    return lut
 
 
 def fsst_compress(buf: np.ndarray, seg_ends: np.ndarray, table: SymbolTable):
-    """-> (codes uint8 array, literals uint8 array)"""
+    """-> (codes uint8 array, literals uint8 array).
+
+    Lockstep longest-match walk: one round per token DEPTH — every
+    round gathers the rolling-8 keys of all segments' CURRENT positions
+    and resolves their longest match together, so total work is
+    O(tokens x lengths-present), not O(bytes x lengths) (the first cut
+    resolved matches at every byte position; at ~4 bytes/token that
+    was ~4x the lookups plus full-buffer temporaries — measured
+    0.9 -> ~4 MB/s on the vocab corpus this rewrite targets)."""
     n = len(buf)
     if n == 0:
         return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.uint8)
-    # per position: distance to its segment end (side='right' skips
-    # zero-length segments whose end offset equals the position)
-    pos_idx = np.arange(n, dtype=np.int64)
-    seg_of = np.searchsorted(seg_ends, pos_idx, side="right")
-    dist = seg_ends[seg_of] - pos_idx
-    best_len, best_code = _match_tables(table, buf, dist)
-    tok = _tokenize(buf, seg_ends, best_len, best_code)
-    codes = best_code[tok].astype(np.uint8)
+    r8 = _rolling8(buf)
+    lut1 = _lut1(table)
+    multi = [(L, table.by_len[L][0], table.by_len[L][1])
+             for L in sorted(table.by_len) if L > 1]  # ascending
+    starts = np.concatenate([[0], seg_ends[:-1]]).astype(np.int64)
+    pos = starts.copy()
+    ends = seg_ends.astype(np.int64)
+    # codes written BY POSITION: token starts ascend within a segment
+    # and segments are laid out in buffer order, so flatnonzero(emitted)
+    # recovers stream order with no sort
+    code_at = np.zeros(n, dtype=np.uint8)
+    emitted = np.zeros(n, dtype=bool)
+    ai = np.flatnonzero(pos < ends)
+    while ai.size:
+        p = pos[ai]
+        d = ends[ai] - p
+        k = r8[p]
+        blen = np.ones(len(p), dtype=np.int64)
+        bcode = lut1[buf[p]]
+        for L, vals, codes in multi:  # ascending: longer overrides
+            keys = k >> np.uint64(8 * (8 - L))
+            ix = np.searchsorted(vals, keys)
+            ix[ix == len(vals)] = 0
+            hit = (vals[ix] == keys) & (d >= L)
+            blen[hit] = L
+            bcode[hit] = codes[ix[hit]]
+        emitted[p] = True
+        code_at[p] = bcode
+        np2 = p + blen
+        pos[ai] = np2
+        ai = ai[np2 < ends[ai]]
+    tok = np.flatnonzero(emitted)
+    codes = code_at[tok]
     literals = buf[tok[codes == ESCAPE]]
     return codes, literals
 
