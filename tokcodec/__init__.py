@@ -16,12 +16,14 @@ from pyspark.sql import DataFrame, functions as F
 from tokcodec.decode import decode_blocks  # noqa: F401
 from tokcodec.encode import encode_table, with_bucket  # noqa: F401
 from tokcodec.io_tables import (  # noqa: F401
+    compact_encoded,
     encoded_size_bytes,
     parquet_size_bytes,
     read_encoded,
     read_encoded_as,
     read_encoded_direct,
     suggest_buckets,
+    vacuum_encoded,
     write_encoded,
 )
 from tokcodec.naming import camel_to_snake, map_fields, snake_to_camel  # noqa: F401

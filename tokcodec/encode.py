@@ -396,6 +396,56 @@ def make_encode_map_fn(schema: T.StructType, run_id: str,
     return fn
 
 
+def make_encode_sorted_fn(schema: T.StructType, run_id: str,
+                          cluster_by: str | None = None,
+                          chunk_max_rows: int = CHUNK_MAX_ROWS,
+                          chunk_max_values: int = CHUNK_MAX_VALUES,
+                          bloom_columns: tuple[str, ...] = (),
+                          enum_columns: dict[str, list[str]] | None = None):
+    """mapInArrow variant for input SORTED by bucket within each
+    partition (repartition + sortWithinPartitions): buckets are
+    processed one at a time as their rows stream in, so task memory is
+    bounded by ONE bucket even when a task owns many (the write path
+    caps task count at ~2x parallelism; make_encode_map_fn buffers the
+    whole partition, which is only safe at one-bucket-per-task)."""
+    inner = make_encode_fn(schema, run_id, cluster_by=cluster_by,
+                           chunk_max_rows=chunk_max_rows,
+                           chunk_max_values=chunk_max_values,
+                           bloom_columns=bloom_columns,
+                           enum_columns=enum_columns)
+
+    def fn(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        cur = None
+        buf: list = []
+
+        def emit():
+            tbl = pa.Table.from_batches(buf).combine_chunks()
+            if tbl.num_rows == 0:
+                return []
+            out = inner((cur,), tbl.drop_columns([BUCKET_COL]))
+            return out.to_batches()
+
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            buckets = tbl.column(BUCKET_COL)
+            # sorted within the partition: distinct values appear in
+            # ascending contiguous runs
+            for b in pc.unique(buckets).to_pylist():
+                sub = tbl.filter(pc.equal(buckets, b))
+                if cur is not None and b != cur and buf:
+                    yield from emit()
+                    buf = []
+                cur = b
+                buf.extend(sub.to_batches())
+        if buf:
+            yield from emit()
+
+    return fn
+
+
 def encode_table(df: DataFrame, n_buckets: int, run_id: str = "run0",
                  mode: str = "group", cluster_by: str | None = None,
                  chunk_max_rows: int = CHUNK_MAX_ROWS,

@@ -48,7 +48,6 @@ from tokcodec.encode import (
     CHUNK_MAX_ROWS,
     CHUNK_MAX_VALUES,
     METRICS_COLUMN,
-    make_encode_map_fn,
     with_bucket,
 )
 from tokcodec.lineage import committed, lineage_from_blocks
@@ -146,15 +145,26 @@ def _task_fs(root: str):
     return pafs.LocalFileSystem(), root
 
 
-def _make_block_writer(blocks_p: str, run_id: str):
+# a writer task flushes its buffered block rows to files once they
+# exceed this many payload bytes — bounds task memory when one task
+# encodes many buckets (task count is capped at ~2x the cluster's
+# parallelism; buckets per task = n_buckets / tasks)
+FLUSH_BYTES = 256 << 20
+
+
+def _make_block_writer(blocks_p: str, run_id: str,
+                       flush_bytes: int = FLUSH_BYTES):
     """mapInArrow stage that persists block rows: one parquet file per
-    (task, column) under blocks/col-<column>/, named by task attempt so
-    retried/speculative attempts never collide — the loser's files are
-    orphans no manifest references. Yields one _FILEROW_DDL row per
-    file written; the driver collects these (O(files of this run)) into
-    the run manifest. Composed directly after the encode generator in
-    the same Python stage, so payload bytes cross the Arrow boundary
-    exactly once."""
+    (task, column, flush) under blocks/col-<column>/, named by task
+    attempt so retried/speculative attempts never collide — the
+    loser's files are orphans no manifest references. Yields one
+    _FILEROW_DDL row per file written; the driver collects these
+    (O(files of this run)) into the run manifest. Composed directly
+    after the encode generator in the same Python stage, so payload
+    bytes cross the Arrow boundary exactly once. Parquet statistics
+    are written only for bucket/run_id (what the direct reader's
+    row-group filter uses) — full stats on payload columns were pure
+    footer overhead that showed up at small-file sizes."""
 
     def fn(batches):
         import pyarrow as pa
@@ -162,39 +172,75 @@ def _make_block_writer(blocks_p: str, run_id: str):
         import pyarrow.parquet as pq
         from pyspark import TaskContext
 
-        batches = list(batches)
         schema_out = pa.schema([
             ("path", pa.string()), ("column", pa.string()),
             ("bucket_ranges", pa.string()),
             ("n_rows", pa.int64()), ("bytes", pa.int64()),
         ])
-        if not batches:
-            return
-        tbl = pa.Table.from_batches(batches).combine_chunks()
-        if tbl.num_rows == 0:
-            return
         tc = TaskContext.get()
         tid = tc.partitionId() if tc else 0
         att = tc.taskAttemptId() if tc else 0
         fs, root = _task_fs(blocks_p)
-        rows = []
-        for col in pc.unique(tbl.column("column")).to_pylist():
-            sub = tbl.filter(pc.equal(tbl.column("column"), col))
-            rel = f"col-{col}/run-{run_id}-p{tid:05d}-a{att}.parquet"
-            full = posixpath.join(root, rel)
-            fs.create_dir(posixpath.dirname(full), recursive=True)
-            pq.write_table(sub, full, filesystem=fs, compression="none")
-            bs = sorted(set(sub.column("bucket").to_pylist()))
-            rows.append({
-                "path": rel,
-                "column": col,
-                "bucket_ranges": json.dumps(_bucket_ranges(bs)),
-                "n_rows": sub.num_rows,
-                "bytes": int(fs.get_file_info(full).size),
-            })
-        yield pa.RecordBatch.from_pylist(rows, schema=schema_out)
+        rows: list[dict] = []
+        buf: list = []
+        buffered = 0
+        part = 0
+
+        def flush():
+            nonlocal buf, buffered, part
+            if not buf:
+                return
+            tbl = pa.Table.from_batches(buf).combine_chunks()
+            buf = []
+            buffered = 0
+            if tbl.num_rows == 0:
+                return
+            for col in pc.unique(tbl.column("column")).to_pylist():
+                sub = tbl.filter(pc.equal(tbl.column("column"), col))
+                rel = (f"col-{col}/run-{run_id}-p{tid:05d}-a{att}"
+                       f"-{part:03d}.parquet")
+                full = posixpath.join(root, rel)
+                fs.create_dir(posixpath.dirname(full), recursive=True)
+                pq.write_table(sub, full, filesystem=fs,
+                               compression="none",
+                               write_statistics=["bucket", "run_id"])
+                bs = sorted(set(sub.column("bucket").to_pylist()))
+                rows.append({
+                    "path": rel,
+                    "column": col,
+                    "bucket_ranges": json.dumps(_bucket_ranges(bs)),
+                    "n_rows": sub.num_rows,
+                    "bytes": int(fs.get_file_info(full).size),
+                })
+            part += 1
+
+        for batch in batches:
+            buf.append(batch)
+            buffered += batch.nbytes
+            if buffered >= flush_bytes:
+                flush()
+        flush()
+        if rows:
+            yield pa.RecordBatch.from_pylist(rows, schema=schema_out)
 
     return fn
+
+
+def _uuid_to_binary(df: DataFrame, uuid_columns) -> DataFrame:
+    """JVM-side: strip dashes, hex-decode to 16 bytes. A value that
+    is not a canonical UUID fails the write loudly — unhex would
+    otherwise return null and silently corrupt the column."""
+    for c in uuid_columns or []:
+        cleaned = F.translate(F.col(c), "-", "")
+        ub = F.unhex(cleaned)
+        ok = F.col(c).isNull() | ((F.length(cleaned) == 32) & ub.isNotNull())
+        df = df.withColumn(
+            c,
+            F.when(ok, ub).otherwise(F.raise_error(F.concat(
+                F.lit(f"column {c!r}: not a canonical UUID: "), F.col(c)
+            ))),
+        )
+    return df
 
 
 def _inherit_manifest(existing: dict, n_buckets: int,
@@ -281,19 +327,7 @@ def write_encoded(
         uuid_columns, enum_columns = _inherit_manifest(
             existing, n_buckets, uuid_columns, enum_columns
         )
-    for c in uuid_columns or []:
-        # JVM-side: strip dashes, hex-decode to 16 bytes. A value that
-        # is not a canonical UUID fails the write loudly — unhex would
-        # otherwise return null and silently corrupt the column.
-        cleaned = F.translate(F.col(c), "-", "")
-        ub = F.unhex(cleaned)
-        ok = F.col(c).isNull() | ((F.length(cleaned) == 32) & ub.isNotNull())
-        df = df.withColumn(
-            c,
-            F.when(ok, ub).otherwise(F.raise_error(F.concat(
-                F.lit(f"column {c!r}: not a canonical UUID: "), F.col(c)
-            ))),
-        )
+    df = _uuid_to_binary(df, uuid_columns)
 
     # compared AFTER uuid conversion: the manifest records the STORED
     # schema (uuid columns as 16-byte binary)
@@ -319,49 +353,15 @@ def write_encoded(
         )[:fail_after_buckets]
         b = b.filter(F.col(BUCKET_COL).isin(pending))
 
-    from tokcodec.encode import validate_annotations
-
-    validate_annotations(df.schema, tuple(bloom_columns or ()),
-                         enum_columns or None)
-    enc = make_encode_map_fn(
-        df.schema, run_id, cluster_by=cluster_by,
-        chunk_max_rows=chunk_max_rows or CHUNK_MAX_ROWS,
-        chunk_max_values=chunk_max_values or CHUNK_MAX_VALUES,
-        bloom_columns=tuple(bloom_columns or ()),
-        enum_columns=enum_columns or None,
-    )
-    writer = _make_block_writer(blocks_p, run_id)
-
-    def composed(batches):
-        # encode -> persist in ONE Python stage: block payloads never
-        # re-cross the JVM boundary; only tiny file-manifest rows do
-        yield from writer(enc(batches))
-
-    filerows = (
-        b.repartition(n_buckets, F.col(BUCKET_COL))
-        .mapInArrow(composed, _FILEROW_DDL)
-        .collect()  # O(files of this run) — the run manifest
-    )
-    files = [
-        {"path": r.path, "column": r.column,
-         "bucket_ranges": json.loads(r.bucket_ranges),
-         "n_rows": r.n_rows, "bytes": r.bytes}
-        for r in filerows
-    ]
-    _write_text(
-        spark, _run_manifest_path(path, run_id),
-        json.dumps({"run_id": run_id, "epoch": int(epoch), "files": files},
-                   separators=(",", ":")),
+    files, new_metrics = _write_run(
+        b, df.schema, path, n_buckets, run_id, epoch,
+        cluster_by=cluster_by, chunk_max_rows=chunk_max_rows,
+        chunk_max_values=chunk_max_values, bloom_columns=bloom_columns,
+        enum_columns=enum_columns,
     )
     # commit point: lineage written only after blocks + run manifest are
     # durable. The commit reads back ONLY this run's metrics files —
     # known by exact path from the writer's output, never by listing.
-    metric_paths = [posixpath.join(blocks_p, f["path"]) for f in files
-                    if f["column"] == METRICS_COLUMN]
-    if metric_paths:
-        new_metrics = spark.read.schema(BLOCK_DDL).parquet(*metric_paths)
-    else:  # empty run (resume with nothing pending)
-        new_metrics = spark.createDataFrame([], BLOCK_DDL)
     lineage_from_blocks(new_metrics, epoch=epoch).write.mode("append").parquet(lineage_p)
     _write_text(spark, manifest_p,
                 schema_manifest(df.schema, n_buckets, run_id,
@@ -389,6 +389,75 @@ def write_encoded(
         "files": len(files),
         "ratio": (agg.enc_bytes / agg.orig_bytes) if agg.orig_bytes else None,
     }
+
+
+def _write_run(b: DataFrame, schema: T.StructType, path: str,
+               n_buckets: int, run_id: str, epoch: int,
+               cluster_by: str | None = None,
+               chunk_max_rows: int | None = None,
+               chunk_max_values: int | None = None,
+               bloom_columns=None, enum_columns=None):
+    """Encode an already-bucketed DataFrame and persist its blocks +
+    run manifest (everything of a write EXCEPT the lineage commit —
+    write_encoded appends lineage directly; compact_encoded bundles its
+    commit with tombstones in one atomic append). Returns (file rows,
+    metrics-blocks DataFrame)."""
+    from tokcodec.encode import validate_annotations
+
+    spark = b.sparkSession
+    blocks_p, _, _ = _paths(path)
+    validate_annotations(schema, tuple(bloom_columns or ()),
+                         enum_columns or None)
+    from tokcodec.encode import make_encode_sorted_fn
+
+    enc = make_encode_sorted_fn(
+        schema, run_id, cluster_by=cluster_by,
+        chunk_max_rows=chunk_max_rows or CHUNK_MAX_ROWS,
+        chunk_max_values=chunk_max_values or CHUNK_MAX_VALUES,
+        bloom_columns=tuple(bloom_columns or ()),
+        enum_columns=enum_columns or None,
+    )
+    writer = _make_block_writer(blocks_p, run_id)
+
+    def composed(batches):
+        # encode -> persist in ONE Python stage: block payloads never
+        # re-cross the JVM boundary; only tiny file-manifest rows do
+        yield from writer(enc(batches))
+
+    # task count capped at ~2x parallelism: one-task-per-bucket made
+    # one FILE per bucket per column, whose parquet footers cost ~5%
+    # of the table at sandbox bucket sizes; several buckets share a
+    # task (and its files) instead, with exact per-file bucket ranges
+    # in the run manifest and a byte-bounded flush for memory safety
+    n_tasks = max(1, min(n_buckets,
+                         spark.sparkContext.defaultParallelism * 2))
+    filerows = (
+        b.repartition(n_tasks, F.col(BUCKET_COL))
+        # bucket-contiguous rows -> the encode fn streams one bucket
+        # at a time (JVM-side sort, spills if needed; task memory is
+        # bounded by one bucket, not the whole task's bucket set)
+        .sortWithinPartitions(BUCKET_COL)
+        .mapInArrow(composed, _FILEROW_DDL)
+        .collect()  # O(files of this run) — the run manifest
+    )
+    files = [
+        {"path": r.path, "column": r.column,
+         "bucket_ranges": json.loads(r.bucket_ranges),
+         "n_rows": r.n_rows, "bytes": r.bytes}
+        for r in filerows
+    ]
+    _write_text(
+        spark, _run_manifest_path(path, run_id),
+        json.dumps({"run_id": run_id, "epoch": int(epoch), "files": files},
+                   separators=(",", ":")),
+    )
+    metric_paths = [posixpath.join(blocks_p, f["path"]) for f in files
+                    if f["column"] == METRICS_COLUMN]
+    if metric_paths:
+        new_metrics = spark.read.schema(BLOCK_DDL).parquet(*metric_paths)
+    else:  # empty run (resume with nothing pending)
+        new_metrics = spark.createDataFrame([], BLOCK_DDL)
+    return files, new_metrics
 
 
 def suggest_buckets(total_bytes: int,
@@ -725,6 +794,116 @@ def read_encoded_as(
         fail_on_missing_column=fail_on_missing_column,
         fail_on_narrowing=fail_on_narrowing,
     )
+
+
+def compact_encoded(
+    spark: SparkSession, path: str, run_id: str | None = None,
+    n_buckets: int | None = None, cluster_by: str | None = None,
+    chunk_max_rows: int | None = None,
+    chunk_max_values: int | None = None,
+) -> dict:
+    """Rewrite everything committed into ONE fresh run (the Iceberg
+    `rewrite_data_files` maintenance action). Streaming ingest leaves
+    one small run per micro-batch — many files, many run manifests;
+    compaction decodes the committed table, re-encodes it as a single
+    run at a fresh epoch, and commits with ONE coalesced lineage append
+    that carries {tombstones for every superseded (bucket, epoch)} +
+    {commits for the new run}: the file lands atomically (rename at
+    job commit) or not at all, so readers see either the old state or
+    the new state, never a mix. Old block files become unreferenced —
+    reclaim with ``vacuum_encoded``. Single writer assumed (as in the
+    reference's file-at-a-time model).
+
+    ``n_buckets``/``cluster_by``/chunk knobs allow re-shaping the
+    table at compaction time (the only safe point to change bucketing,
+    since resume keys and lineage are bucket-addressed)."""
+    import time
+
+    blocks_p, lineage_p, manifest_p = _paths(path)
+    manifest, _lin = _load_table(spark, path)
+    full_lin = spark.read.schema(LINEAGE_DDL).parquet(lineage_p)
+    old = committed(full_lin).select("bucket", "epoch", "run_id").collect()
+    if not old:
+        return {"run_id": None, "superseded": 0, "rows": 0}
+    new_epoch = max(int(r.epoch) for r in old) + 1
+    run_id = run_id or f"compact-{uuid.uuid4().hex[:8]}"
+    nb = int(n_buckets or manifest["n_buckets"])
+    uuid_cols = manifest.get("uuid_columns", [])
+    enum_cols = manifest.get("enum_columns", {})
+
+    dec = read_encoded(spark, path)  # uuid columns come back expanded
+    df = _uuid_to_binary(dec, uuid_cols)
+    b = with_bucket(df, nb)
+    files, new_metrics = _write_run(
+        b, df.schema, path, nb, run_id, new_epoch,
+        cluster_by=cluster_by, chunk_max_rows=chunk_max_rows,
+        chunk_max_values=chunk_max_values, enum_columns=enum_cols or None,
+    )
+    commits = lineage_from_blocks(new_metrics, epoch=new_epoch)
+    ts = float(time.time())
+    tombs = spark.createDataFrame(
+        [(run_id, int(r.bucket), int(r.epoch), "tombstone", 0, 0, 0, 0.0,
+          "{}", 0, 0, 0.0, ts) for r in old],
+        LINEAGE_DDL,
+    )
+    # THE commit: one file, renamed into place at job commit
+    commits.unionByName(tombs).coalesce(1).write.mode("append").parquet(lineage_p)
+    _write_text(spark, manifest_p,
+                schema_manifest(df.schema, nb, run_id,
+                                uuid_columns=uuid_cols,
+                                enum_columns=enum_cols))
+    # a metrics FILE row's n_rows counts its metrics block rows = the
+    # buckets it covers; data rows come from the committed lineage
+    buckets = sum(f["n_rows"] for f in files
+                  if f["column"] == METRICS_COLUMN)
+    agg = committed(
+        spark.read.schema(LINEAGE_DDL).parquet(lineage_p)
+    ).agg(F.sum("n_rows")).collect()[0]
+    return {"run_id": run_id, "epoch": new_epoch, "superseded": len(old),
+            "buckets": int(buckets), "rows": int(agg[0] or 0),
+            "files": len(files)}
+
+
+def vacuum_encoded(spark: SparkSession, path: str) -> dict:
+    """Delete block files no committed run references, and the run
+    manifests of fully superseded runs (post-compaction / crashed-
+    attempt garbage). The ONLY operation that lists the blocks
+    directory — it must discover garbage by definition; it is explicit
+    maintenance, never on any read/write path. Single writer assumed:
+    do not vacuum while an encode is in flight (its files are not yet
+    referenced)."""
+    from pyarrow import fs as pafs
+
+    blocks_p, lineage_p, _ = _paths(path)
+    manifest, lin = _load_table(spark, path)
+    live_runs = {r.run_id for r in lin.select("run_id").distinct().collect()}
+    referenced = {
+        f["path"] for f in _run_files(spark, path, live_runs)
+    }
+    fs, root = _task_fs(blocks_p)
+    deleted = 0
+    infos = fs.get_file_info(pafs.FileSelector(root, recursive=True,
+                                               allow_not_found=True))
+    for info in infos:
+        if info.type != pafs.FileType.File:
+            continue
+        rel = posixpath.relpath(info.path, root)
+        if rel not in referenced:
+            fs.delete_file(info.path)
+            deleted += 1
+    runs_fs, runs_root = _task_fs(posixpath.join(path, "_runs"))
+    stale = 0
+    for info in runs_fs.get_file_info(
+            pafs.FileSelector(runs_root, recursive=False,
+                              allow_not_found=True)):
+        if info.type != pafs.FileType.File:
+            continue
+        rid = posixpath.basename(info.path)
+        if rid.endswith(".json") and rid[:-5] not in live_runs:
+            runs_fs.delete_file(info.path)
+            stale += 1
+    return {"deleted_files": deleted, "deleted_run_manifests": stale,
+            "referenced_files": len(referenced)}
 
 
 def encoded_size_bytes(path: str) -> int:

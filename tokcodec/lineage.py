@@ -54,17 +54,25 @@ def lineage_from_blocks(blocks: DataFrame, epoch: int = 0) -> DataFrame:
 
 
 def committed(lineage: DataFrame, epoch: int | None = None) -> DataFrame:
-    """Winning (bucket, run_id) rows: per (bucket, epoch), the latest
-    committed run. ``epoch`` filters to one generation (resume); None
-    returns winners across all epochs (decode reads their union)."""
-    lin = lineage.filter(F.col("status") == "committed")
+    """Winning (bucket, run_id) rows: per (bucket, epoch), the LATEST
+    lineage row wins and is kept only if its status is 'committed' — a
+    later 'tombstone' row hides the (bucket, epoch) entirely. This is
+    the log-structured supersede primitive compaction uses: one atomic
+    lineage append carrying {tombstones for every old epoch} +
+    {commits for the compacted run} swaps the whole table state.
+    ``epoch`` filters to one generation (resume); None returns winners
+    across all epochs (decode reads their union)."""
+    lin = lineage.filter(F.col("status").isin("committed", "tombstone"))
     if epoch is not None:
         lin = lin.filter(F.col("epoch") == int(epoch))
+    # at equal ts (second resolution) a tombstone outranks a commit —
+    # 'tombstone' > 'committed' lexicographically — so a compaction in
+    # the same second as the batch it supersedes still wins
     w = Window.partitionBy("bucket", "epoch").orderBy(
-        F.desc("ts"), F.desc("run_id")
+        F.desc("ts"), F.desc("status"), F.desc("run_id")
     )
     return (
         lin.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        .filter((F.col("__rn") == 1) & (F.col("status") == "committed"))
         .drop("__rn")
     )
