@@ -78,3 +78,43 @@ def test_spark_submit_decode(spark, tmp_path):
     assert sorted(back.columns) == ["doc_id", "n_tok"]
     assert back.agg(F.sum("n_tok")).collect()[0][0] == \
         seq.agg(F.sum("n_tok")).collect()[0][0]
+
+
+def test_spark_submit_maintenance(spark, tmp_path):
+    enc = os.path.join(str(tmp_path), "enc3")
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from tokcodec.io_tables import read_encoded, write_encoded
+
+    sch = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("tokens", T.ArrayType(T.IntegerType(), False), False),
+        T.StructField("n_tok", T.IntegerType(), False),
+        T.StructField("source", T.StringType(), False),
+    ])
+
+    def mk(lo, hi):
+        return spark.createDataFrame(
+            [Row(doc_id=f"d{i}", tokens=[i], n_tok=1, source="s")
+             for i in range(lo, hi)], sch)
+
+    write_encoded(mk(0, 40), enc, n_buckets=2, run_id="e0", epoch=0)
+    write_encoded(mk(40, 90), enc, n_buckets=2, run_id="e1", epoch=1)
+
+    submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    env = dict(os.environ, PYTHONPATH="/root/repo",
+               SPARK_LOCAL_DIRS="/dev/shm")
+    r = subprocess.run(
+        [submit, "--master", "local[4]", "scripts/submit_maintenance.py",
+         "--table", enc, "--compact", "--vacuum", "--run-id", "cmp"],
+        cwd="/root/repo", env=env, capture_output=True, text=True,
+        timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.loads([ln for ln in r.stdout.splitlines()
+                      if ln.startswith("{")][-1])
+    assert res["compact"]["superseded"] == 4 and res["compact"]["rows"] == 90
+    assert res["vacuum"]["deleted_files"] > 0
+    got = read_encoded(spark, enc)
+    assert got.count() == 90

@@ -153,7 +153,7 @@ FLUSH_BYTES = 256 << 20
 
 
 def _make_block_writer(blocks_p: str, run_id: str,
-                       flush_bytes: int = FLUSH_BYTES):
+                       flush_bytes: int | None = None):
     """mapInArrow stage that persists block rows: one parquet file per
     (task, column, flush) under blocks/col-<column>/, named by task
     attempt so retried/speculative attempts never collide — the
@@ -165,6 +165,8 @@ def _make_block_writer(blocks_p: str, run_id: str,
     are written only for bucket/run_id (what the direct reader's
     row-group filter uses) — full stats on payload columns were pure
     footer overhead that showed up at small-file sizes."""
+    # resolved at call time so tests can lower the module constant
+    fb = flush_bytes if flush_bytes is not None else FLUSH_BYTES
 
     def fn(batches):
         import pyarrow as pa
@@ -217,7 +219,7 @@ def _make_block_writer(blocks_p: str, run_id: str,
         for batch in batches:
             buf.append(batch)
             buffered += batch.nbytes
-            if buffered >= flush_bytes:
+            if buffered >= fb:
                 flush()
         flush()
         if rows:
