@@ -55,12 +55,13 @@ def test_decode_projection_prunes_block_partitions(spark, tmp_path):
     path = os.path.join(str(tmp_path), "t")
     write_encoded(df, path, n_buckets=1, run_id="p")
     proj = read_encoded(spark, path, columns=["doc_id", "a"])
-    # partition filter on the blocks table's `column` directory key:
-    # unrequested column b's payload files are never listed or opened
-    scan_lines = [ln for ln in _plan(proj).splitlines()
-                  if "PartitionFilters" in ln]
-    assert scan_lines, _plan(proj)
-    assert any("column" in ln for ln in scan_lines)
+    # layout v2 plans an explicit file list from the run manifests:
+    # unrequested column b's files must not even enter the scan
+    files = [f for f in proj.inputFiles() if "/blocks/" in f]
+    assert files and all("/col-doc_id/" in f or "/col-a/" in f
+                         for f in files), files
+    full = read_encoded(spark, path)
+    assert any("/col-b/" in f for f in full.inputFiles())
     # and the committed-buckets semi join stays a broadcast
     assert "BroadcastHashJoin" in _plan(proj)
 
