@@ -1038,6 +1038,59 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+_JDBC_CACHE: dict[str, str] = {}
+
+
+def q_jdbc_ingest_roundtrip(spark, sf_dir):
+    """Reference S3-S5 end-to-end, driver-oracled: nation rows go INTO
+    a real embedded Derby database over JDBC, come back out through
+    ``ingest_jdbc`` (range-partitioned, Spark's dialect type mapping =
+    reference DynamicJdbcExporter.java:442-501), round-trip through the
+    engine's encode/decode, and the aggregate over the DECODED table
+    must hash-match DuckDB's aggregate over the original parquet."""
+    from tokcodec.sources import ingest_jdbc
+
+    key = os.path.abspath(sf_dir)
+    if key not in _JDBC_CACHE:
+        db = os.path.join(
+            tempfile.gettempdir(), "tokcodec_derby",
+            key.replace(os.sep, "_"), "db",
+        )
+        import shutil
+
+        shutil.rmtree(os.path.dirname(db), ignore_errors=True)
+        url = f"jdbc:derby:{db};create=true"
+        nation = _t(spark, sf_dir, "nation")
+        (
+            nation.write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", "nation_jdbc")
+            .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+            .mode("overwrite")
+            .save()
+        )
+        got = ingest_jdbc(
+            spark, url, "SELECT * FROM nation_jdbc",
+            properties={"driver": "org.apache.derby.jdbc.EmbeddedDriver"},
+            partition_column="n_nationkey", num_partitions=4,
+            lower_bound=0, upper_bound=25,
+        )
+        enc = os.path.join(os.path.dirname(db), "enc")
+        write_encoded(got, enc, n_buckets=4, run_id="jdbc")
+        _JDBC_CACHE[key] = enc
+    dec = read_encoded(spark, _JDBC_CACHE[key])
+    return (
+        dec.groupBy("n_regionkey")
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.sum("n_nationkey").alias("key_sum"),
+            F.min("n_name").alias("first_name"),
+            F.sum(F.length("n_name")).alias("name_chars"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
 def q_encode_lineage_metrics(spark, sf_dir):
     """Engine observability: per-codec selection frequencies + overall
     ratio from the lineage table (reference C5/C6 analogue)."""
@@ -1093,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup_pairs": q_minhash_neardup_pairs,
         "simhash_hamming_hist": q_simhash_hamming_hist,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "jdbc_ingest_roundtrip": q_jdbc_ingest_roundtrip,
         "encode_lineage_metrics": q_encode_lineage_metrics,
         "media_feature_stats": q_media_feature_stats,
     }
@@ -1434,6 +1488,13 @@ ORDER BY list_dot_product(
                                     list_transform(qv, x -> CAST(x AS DOUBLE))))) DESC,
          vec_id
 LIMIT 10""",
+        "jdbc_ingest_roundtrip": """
+SELECT n_regionkey,
+       COUNT(*) AS n_nations,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+       MIN(n_name) AS first_name,
+       CAST(SUM(length(n_name)) AS BIGINT) AS name_chars
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
         "simhash_hamming_hist": """
 WITH h AS (
   SELECT doc_id,

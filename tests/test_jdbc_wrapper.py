@@ -1,6 +1,6 @@
-"""JDBC wrapper: no driver jar exists in this sandbox (the reference
-tests against 5 real databases), so the end-to-end path is untestable
-here — these tests pin the detection/fail-fast behavior instead."""
+"""JDBC wrapper detection/fail-fast behavior for drivers that are NOT
+on the classpath (the end-to-end path is covered against real embedded
+Derby in test_jdbc_derby.py)."""
 
 import pytest
 

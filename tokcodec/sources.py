@@ -19,10 +19,12 @@ from tokcodec.io_tables import write_encoded
 def jdbc_driver_available(spark: SparkSession, driver_class: str) -> bool:
     """True iff ``driver_class`` is loadable in the Spark JVM. The
     reference ships 90 JUnit tests across 5 databases
-    (DynamicJdbcExporterDuckDBTest.java:48-279); this sandbox has no
-    JDBC driver jar, so ``ingest_jdbc`` is untestable end-to-end here —
-    call this first on a real cluster to fail fast with a clear message
-    instead of a deep py4j stack."""
+    (DynamicJdbcExporterDuckDBTest.java:48-279); here the end-to-end
+    path is tested against the embedded Derby database that ships in
+    Spark's jar dir (tests/test_jdbc_derby.py + the driver-oracled
+    ``jdbc_ingest_roundtrip`` query). For other databases, call this
+    first on a real cluster to fail fast with a clear message instead
+    of a deep py4j stack."""
     try:
         spark.sparkContext._jvm.java.lang.Class.forName(driver_class)
         return True
@@ -46,9 +48,10 @@ def ingest_jdbc(
     batch size 1000 == fetchsize; optional range partitioning for
     parallel extraction, which the reference lacks).
 
-    Untested in this sandbox (no JDBC driver jar available — see
-    ``jdbc_driver_available``); the wrapper delegates all type mapping
-    and value coercion to Spark's built-in JDBC dialects."""
+    Tested end-to-end against embedded Derby (the one JDBC driver on
+    this sandbox's Spark classpath — tests/test_jdbc_derby.py); type
+    mapping and value coercion delegate to Spark's built-in JDBC
+    dialects (S4/S5)."""
     if properties and "driver" in (properties or {}):
         if not jdbc_driver_available(spark, properties["driver"]):
             raise RuntimeError(
@@ -58,18 +61,23 @@ def ingest_jdbc(
     reader = (
         spark.read.format("jdbc")
         .option("url", url)
-        .option("query", query)
         .option("fetchsize", str(fetchsize))
     )
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     if partition_column is not None:
+        # Spark rejects `query` + partitionColumn; the partitioned
+        # path requires `dbtable` — wrap arbitrary queries as a
+        # derived table (works on Derby/Postgres/MySQL dialects)
         reader = (
-            reader.option("partitionColumn", partition_column)
+            reader.option("dbtable", f"({query}) ingest_q")
+            .option("partitionColumn", partition_column)
             .option("numPartitions", str(num_partitions or 8))
             .option("lowerBound", str(lower_bound))
             .option("upperBound", str(upper_bound))
         )
+    else:
+        reader = reader.option("query", query)
     return reader.load()
 
 
