@@ -1038,6 +1038,45 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+_VARIANT_CACHE: dict[str, str] = {}
+
+
+def q_roundtrip_variant_extract(spark, sf_dir):
+    """Reference VariantWriter.java:34-42 analogue, driver-oracled:
+    events.props parsed to a native VariantType column, encoded
+    (variant = surrogate struct<value,metadata>; the uniform JSON
+    shape makes the metadata component collapse under the dict codec),
+    decoded, then typed variant_get extraction over the DECODED
+    variant must hash-match DuckDB's json_extract over the raw
+    strings."""
+    key = os.path.abspath(sf_dir)
+    if key not in _VARIANT_CACHE:
+        e = _t(spark, sf_dir, "events").select(
+            "event_id", "event_type",
+            F.parse_json("props").alias("v"),
+        )
+        enc = os.path.join(
+            tempfile.gettempdir(), "tokcodec_variant",
+            key.replace(os.sep, "_"),
+        )
+        import shutil
+
+        shutil.rmtree(enc, ignore_errors=True)
+        write_encoded(e, enc, n_buckets=8, run_id="variant")
+        _VARIANT_CACHE[key] = enc
+    dec = read_encoded(spark, _VARIANT_CACHE[key])
+    return (
+        dec.withColumn("k", F.expr("variant_get(v, '$.k', 'long')"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count("*").alias("n"),
+            F.sum(F.length(F.expr("to_json(v)"))).alias("json_chars"),
+        )
+    )
+
+
 _JDBC_CACHE: dict[str, str] = {}
 
 
@@ -1147,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_hamming_hist": q_simhash_hamming_hist,
         "ann_ivf_topk": q_ann_ivf_topk,
         "jdbc_ingest_roundtrip": q_jdbc_ingest_roundtrip,
+        "roundtrip_variant_extract": q_roundtrip_variant_extract,
         "encode_lineage_metrics": q_encode_lineage_metrics,
         "media_feature_stats": q_media_feature_stats,
     }
@@ -1495,6 +1535,15 @@ SELECT n_regionkey,
        MIN(n_name) AS first_name,
        CAST(SUM(length(n_name)) AS BIGINT) AS name_chars
 FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+        "roundtrip_variant_extract": """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS max_k,
+       COUNT(*) AS n,
+       CAST(SUM(length(json(props))) AS BIGINT) AS json_chars
+FROM events GROUP BY event_type""",
         "simhash_hamming_hist": """
 WITH h AS (
   SELECT doc_id,

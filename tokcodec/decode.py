@@ -91,10 +91,11 @@ def _anchor_rows(by_comp: dict[str, list[dict]], prefix: str,
     node's cardinality (lengths for lists, values for scalars, first
     field's anchor for structs) — the per-chunk row counts validity
     expansion aligns against."""
-    from tokcodec.encode import _map_as_list
+    from tokcodec.encode import _map_as_list, _surrogate_struct
 
     if isinstance(dt, T.MapType):
         dt = _map_as_list(dt)
+    dt = _surrogate_struct(dt) or dt
     if isinstance(dt, T.ArrayType):
         return by_comp.get(prefix + "lengths", [])
     if isinstance(dt, T.StructType):
@@ -170,8 +171,17 @@ def _decode_node(by_comp: dict[str, list[dict]], prefix: str,
                     else pa.array([], pa.binary() if binary else pa.string()))
         return decode_numeric(comp_rows, inner_dt)
 
+    from tokcodec.encode import _surrogate_struct
+
     is_map = isinstance(dt, T.MapType)
     node_dt = _map_as_list(dt) if is_map else dt
+    sur = _surrogate_struct(node_dt)
+    if sur is not None:
+        # variant/geometry: decoded AS the surrogate struct, but the
+        # output StructArray is typed via spark_type_to_arrow(dt) so
+        # it carries the field-metadata tags the JVM needs to map the
+        # struct back to VariantType/GeometryType (dt stays original)
+        node_dt = sur
 
     if isinstance(node_dt, T.ArrayType):
         lengths_parts = [decode_int_component(r)
@@ -180,7 +190,8 @@ def _decode_node(by_comp: dict[str, list[dict]], prefix: str,
                    else np.zeros(0, dtype=np.int64))
         et = node_dt.elementType
         n_values = int(lengths.sum())
-        if isinstance(et, (T.StructType, T.ArrayType, T.MapType)):
+        if (isinstance(et, (T.StructType, T.ArrayType, T.MapType))
+                or _surrogate_struct(et) is not None):
             values = _decode_node(by_comp, prefix + "values/", et, n_values)
         else:
             values = decode_leaf(prefix + "values", et)
@@ -210,7 +221,10 @@ def _decode_node(by_comp: dict[str, list[dict]], prefix: str,
             for f in node_dt.fields
         ]
         out = pa.StructArray.from_arrays(
-            children, fields=list(spark_type_to_arrow(node_dt))
+            children,
+            fields=list(spark_type_to_arrow(
+                dt if sur is not None else node_dt
+            )),
         )
     else:
         out = decode_leaf(prefix + "values", node_dt)

@@ -96,6 +96,28 @@ def _list_elements(arr: pa.Array, lengths: np.ndarray,
     return child.take(pa.array(idx))
 
 
+def _surrogate_struct(dt: T.DataType) -> T.StructType | None:
+    """Semi-structured Spark types whose Arrow layout is a tagged
+    struct of primitive leaves (reference VariantWriter.java:34-42,
+    GeometryWrite.java): encode/decode them AS that struct. Variant =
+    struct<value:binary, metadata:binary> (the metadata dictionary is
+    highly repetitive across rows of uniform JSON shape — the dict
+    codec collapses it); geometry/geography = struct<srid:int32,
+    wkb:binary> (WKB rides the binary codec path, srid bit-packs to
+    ~nothing). Field order matches pyspark's to_arrow_type exactly."""
+    if isinstance(dt, T.VariantType):
+        return T.StructType([
+            T.StructField("value", T.BinaryType(), False),
+            T.StructField("metadata", T.BinaryType(), False),
+        ])
+    if isinstance(dt, (T.GeometryType, T.GeographyType)):
+        return T.StructType([
+            T.StructField("srid", T.IntegerType(), False),
+            T.StructField("wkb", T.BinaryType(), False),
+        ])
+    return None
+
+
 def _encode_node(bucket: int, name: str, prefix: str, arr: pa.Array,
                  dt: T.DataType) -> list[dict]:
     """Recursive component-path encoder. Component paths:
@@ -112,6 +134,9 @@ def _encode_node(bucket: int, name: str, prefix: str, arr: pa.Array,
         # type is a re-validating view that rejects legitimate nulls in
         # non-nullable struct fields under null map values.)
         return _encode_node(bucket, name, prefix, arr, _map_as_list(dt))
+    sur = _surrogate_struct(dt)
+    if sur is not None:
+        return _encode_node(bucket, name, prefix, arr, sur)
     rows: list[dict] = []
     if arr.null_count:
         valid = arr.is_valid().to_numpy(zero_copy_only=False).astype(np.int8)
@@ -138,7 +163,8 @@ def _encode_node(bucket: int, name: str, prefix: str, arr: pa.Array,
         )
         values = _list_elements(arr, lengths, offs)
         et = dt.elementType
-        if isinstance(et, (T.StructType, T.ArrayType, T.MapType)):
+        if (isinstance(et, (T.StructType, T.ArrayType, T.MapType))
+                or _surrogate_struct(et) is not None):
             rows += _encode_node(bucket, name, prefix + "values/", values, et)
         else:
             # null elements INSIDE the list need their own validity —

@@ -80,6 +80,24 @@ def spark_type_to_arrow(dt: T.DataType) -> pa.DataType:
             pa.field("value", spark_type_to_arrow(dt.valueType),
                      nullable=dt.valueContainsNull),
         )
+    if isinstance(dt, T.VariantType):
+        # Spark's variant-over-Arrow layout incl. the field-metadata
+        # tag the JVM uses to map the struct back to VariantType
+        # (pyspark to_arrow_type)
+        return pa.struct([
+            pa.field("value", pa.binary(), nullable=False),
+            pa.field("metadata", pa.binary(), nullable=False,
+                     metadata={b"variant": b"true"}),
+        ])
+    if isinstance(dt, (T.GeometryType, T.GeographyType)):
+        kind = (b"geometry" if isinstance(dt, T.GeometryType)
+                else b"geography")
+        return pa.struct([
+            pa.field("srid", pa.int32(), nullable=False),
+            pa.field("wkb", pa.binary(), nullable=False,
+                     metadata={kind: b"true",
+                               b"srid": str(dt.srid).encode()}),
+        ])
     raise NotImplementedError(f"unsupported type {dt}")
 
 
