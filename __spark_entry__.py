@@ -1077,6 +1077,46 @@ def q_roundtrip_variant_extract(spark, sf_dir):
     )
 
 
+_EVOLVED_CACHE: dict[str, str] = {}
+
+
+def q_evolution_union_read(spark, sf_dir):
+    """Iceberg-style schema evolution under the oracle: epoch 0
+    ingests half the documents WITHOUT the lang column, epoch 1 adds
+    it (write_encoded(schema_evolution=True)); the union read must
+    surface epoch-0 rows with NULL lang — which DuckDB reproduces
+    with a CASE over the same doc_id split."""
+    key = os.path.abspath(sf_dir)
+    if key not in _EVOLVED_CACHE:
+        docs = _t(spark, sf_dir, "documents")
+        # deterministic portable split: even ids ingested pre-evolution
+        old = docs.filter(F.col("doc_id").cast("bigint") % 2 == 0) \
+            .select("doc_id", "source", "n_chars")
+        new = docs.filter(F.col("doc_id").cast("bigint") % 2 != 0) \
+            .select("doc_id", "source", "n_chars", "lang")
+        enc = os.path.join(
+            tempfile.gettempdir(), "tokcodec_evolved",
+            key.replace(os.sep, "_"),
+        )
+        import shutil
+
+        shutil.rmtree(enc, ignore_errors=True)
+        write_encoded(old, enc, n_buckets=8, run_id="e0", epoch=0)
+        write_encoded(new, enc, n_buckets=8, run_id="e1", epoch=1,
+                      resume=True, schema_evolution=True)
+        _EVOLVED_CACHE[key] = enc
+    dec = read_encoded(spark, _EVOLVED_CACHE[key])
+    return (
+        dec.groupBy(F.coalesce("lang", F.lit("__pre_evolution__"))
+                    .alias("lang_or_missing"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
 _JDBC_CACHE: dict[str, str] = {}
 
 
@@ -1187,6 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "jdbc_ingest_roundtrip": q_jdbc_ingest_roundtrip,
         "roundtrip_variant_extract": q_roundtrip_variant_extract,
+        "evolution_union_read": q_evolution_union_read,
         "encode_lineage_metrics": q_encode_lineage_metrics,
         "media_feature_stats": q_media_feature_stats,
     }
@@ -1544,6 +1585,14 @@ SELECT event_type,
        COUNT(*) AS n,
        CAST(SUM(length(json(props))) AS BIGINT) AS json_chars
 FROM events GROUP BY event_type""",
+        "evolution_union_read": """
+SELECT CASE WHEN CAST(doc_id AS BIGINT) % 2 = 0
+            THEN '__pre_evolution__'
+            ELSE COALESCE(lang, '__pre_evolution__') END AS lang_or_missing,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS first_doc
+FROM documents GROUP BY lang_or_missing""",
         "simhash_hamming_hist": """
 WITH h AS (
   SELECT doc_id,

@@ -118,10 +118,15 @@ def main() -> None:
             ).alias("msg"),
         )
     )
+    # materialize the fixture BEFORE timing: the 12-hash-per-row
+    # synthesis expression is the corpus generator, not the engine
+    fdf = fdf.persist()
+    fdf.count()
     fsst_path = os.path.join(work, "fsst_enc")
     t0 = time.monotonic()
     write_encoded(fdf, fsst_path, n_buckets=CPUS, run_id="fsst")
     t_fsst = time.monotonic() - t0
+    fdf.unpersist()
     lin = spark.read.parquet(os.path.join(fsst_path, "lineage"))
     codec_rows = [_json.loads(r.codecs) for r in lin.select("codecs").collect()]
     msg_codecs = sorted({c.get("msg") for c in codec_rows})

@@ -236,8 +236,40 @@ def _decode_node(by_comp: dict[str, list[dict]], prefix: str,
     return out
 
 
-def _decode_field(rows: list[dict], dt: T.DataType, target: pa.DataType) -> pa.Array:
-    """rows: this column's block rows for one bucket, all chunks/components."""
+def _decode_field(rows: list[dict], dt: T.DataType, target: pa.DataType,
+                  fills: list[tuple[str, int]] | None = None) -> pa.Array:
+    """rows: this column's block rows for one bucket, all chunks/components.
+
+    ``fills``: schema evolution (Iceberg add-column semantics) — the
+    bucket's committed runs as ordered ``(run_id, n_rows)``; runs
+    written before this column existed have no block rows and are
+    null-filled at their run position. Ordering matches the no-fill
+    path exactly: both are run-major ascending (``_ckey`` sorts by
+    (run_id, chunk)), so columns with and without fills stay
+    row-aligned."""
+    if fills is not None:
+        by_run: dict[str, list[dict]] = {}
+        for r in rows:
+            by_run.setdefault(r["run_id"], []).append(r)
+        unknown = set(by_run) - {rid for rid, _ in fills}
+        if unknown:
+            raise ValueError(
+                f"block rows from runs outside the committed fill set: "
+                f"{sorted(unknown)}"
+            )
+        parts = []
+        for rid, nr in fills:
+            rrows = by_run.get(rid)
+            if rrows:
+                parts.append(_decode_field(rrows, dt, target))
+            elif nr:
+                parts.append(pa.nulls(nr, spark_type_to_arrow(dt)))
+        if not parts:
+            return pa.nulls(0, spark_type_to_arrow(dt))
+        return (parts[0] if len(parts) == 1
+                else pa.concat_arrays([p.combine_chunks()
+                                       if isinstance(p, pa.ChunkedArray)
+                                       else p for p in parts]))
     by_comp: dict[str, list[dict]] = {}
     n = 0
     for r in rows:
@@ -249,8 +281,24 @@ def _decode_field(rows: list[dict], dt: T.DataType, target: pa.DataType) -> pa.A
     return _decode_node(by_comp, "", dt, n)
 
 
-def make_decode_fn(schema: T.StructType, verify_checksums: bool = False):
-    """applyInArrow function: (key, blocks pa.Table) -> decoded pa.Table."""
+def make_decode_fn(schema: T.StructType, verify_checksums: bool = False,
+                   fill_from: str | None = None):
+    """applyInArrow function: (key, blocks pa.Table) -> decoded pa.Table.
+
+    ``fill_from`` activates schema-evolution decode (runs written
+    before a column was added are null-filled at their run position):
+
+    - ``"__bucket_metrics__"`` (METRICS_COLUMN): per-run row counts
+      come from the metrics rows the planner added to the scan — the
+      unpruned-read mode (every committed (run, bucket) has exactly
+      one metrics row, so fill counts are exact and buckets whose
+      scanned data columns are all-fill still appear).
+    - any data column name: per-run counts are derived from that
+      column's SCANNED rows (the filter column of a zone/bloom-pruned
+      read — pruning drops whole (run, bucket, chunk)s across all
+      columns, so the anchor's surviving counts are the right fill
+      sizes; a fully-pruned run correctly fills zero rows).
+    """
     fields = [(f.name, f.dataType) for f in schema.fields]
     out_schema = pa.schema(
         [(n, spark_type_to_arrow(dt)) for n, dt in fields]
@@ -262,12 +310,29 @@ def make_decode_fn(schema: T.StructType, verify_checksums: bool = False):
         recs = table.to_pylist()
         by_col: dict[str, list[dict]] = {}
         for r in recs:
-            if verify_checksums:
+            if verify_checksums and r["column"] != METRICS_COLUMN:
                 verify_block_checksum(r)
             by_col.setdefault(r["column"], []).append(r)
+        fills = None
+        if fill_from is not None:
+            src = by_col.get(fill_from, [])
+            per_run: dict[str, int] = {}
+            if fill_from == METRICS_COLUMN:
+                for r in src:
+                    per_run[r["run_id"]] = (
+                        per_run.get(r["run_id"], 0) + r["n_rows"]
+                    )
+            else:
+                by_run: dict[str, list[dict]] = {}
+                for r in src:
+                    by_run.setdefault(r["run_id"], []).append(r)
+                per_run = {rid: _column_row_count(rs)
+                           for rid, rs in by_run.items()}
+            fills = sorted(per_run.items())
         arrays = []
         for (name, dt), target in zip(fields, out_schema.types):
-            arrays.append(_decode_field(by_col[name], dt, target))
+            rows = by_col[name] if fills is None else by_col.get(name, [])
+            arrays.append(_decode_field(rows, dt, target, fills))
         return pa.Table.from_arrays(arrays, schema=out_schema)
 
     return fn
@@ -275,11 +340,13 @@ def make_decode_fn(schema: T.StructType, verify_checksums: bool = False):
 
 def decode_blocks(blocks: DataFrame, schema: T.StructType,
                   columns: list[str] | None = None,
-                  verify_checksums: bool = False) -> DataFrame:
+                  verify_checksums: bool = False,
+                  fill_from: str | None = None) -> DataFrame:
     """Blocks DataFrame -> decoded rows. ``columns`` = projection.
     ``verify_checksums`` recomputes each block's crc32 before decode
     (the reference's page-checksum knob, CarpetWriter.java:392-406,
-    always recorded here and verified on demand)."""
+    always recorded here and verified on demand). ``fill_from``:
+    schema-evolution decode — see make_decode_fn."""
     if columns is not None:
         by_name = {f.name: f for f in schema.fields}
         missing = set(columns) - set(by_name)
@@ -289,10 +356,14 @@ def decode_blocks(blocks: DataFrame, schema: T.StructType,
             raise ValueError(f"columns not in encoded table: {sorted(missing)}")
         schema = T.StructType([by_name[c] for c in columns])
     wanted = [f.name for f in schema.fields]
-    b = blocks.filter(
-        (F.col("column") != METRICS_COLUMN) & F.col("column").isin(wanted)
-    )
-    fn = make_decode_fn(schema, verify_checksums=verify_checksums)
+    if fill_from == METRICS_COLUMN:
+        keep = F.col("column").isin(wanted + [METRICS_COLUMN])
+    else:
+        keep = (F.col("column") != METRICS_COLUMN) \
+            & F.col("column").isin(wanted)
+    b = blocks.filter(keep)
+    fn = make_decode_fn(schema, verify_checksums=verify_checksums,
+                        fill_from=fill_from)
     return b.groupBy("bucket").applyInArrow(fn, schema=schema)
 
 

@@ -245,6 +245,87 @@ def _uuid_to_binary(df: DataFrame, uuid_columns) -> DataFrame:
     return df
 
 
+def _merge_nullable_types(old_dt: T.DataType, new_dt: T.DataType
+                          ) -> T.DataType:
+    """Same-shaped types (equal simpleString) merged so nullability at
+    EVERY level is the OR of the two sides — rows of either generation
+    must decode under the stored schema."""
+    if isinstance(old_dt, T.StructType):
+        return T.StructType([
+            T.StructField(
+                of.name,
+                _merge_nullable_types(of.dataType, nf.dataType),
+                of.nullable or nf.nullable,
+            )
+            for of, nf in zip(old_dt.fields, new_dt.fields)
+        ])
+    if isinstance(old_dt, T.ArrayType):
+        return T.ArrayType(
+            _merge_nullable_types(old_dt.elementType, new_dt.elementType),
+            old_dt.containsNull or new_dt.containsNull,
+        )
+    if isinstance(old_dt, T.MapType):
+        return T.MapType(
+            _merge_nullable_types(old_dt.keyType, new_dt.keyType),
+            _merge_nullable_types(old_dt.valueType, new_dt.valueType),
+            old_dt.valueContainsNull or new_dt.valueContainsNull,
+        )
+    return old_dt
+
+
+def _force_nullable(dt_field: T.StructField) -> T.StructField:
+    return T.StructField(dt_field.name, dt_field.dataType, True)
+
+
+def _evolve_schema(df: DataFrame, old: T.StructType
+                   ) -> tuple[DataFrame, T.StructType]:
+    """Iceberg-style additive schema evolution on append: conform
+    ``df`` to the UNION of the table's schema and df's schema and
+    return (conformed df, the union schema to STORE).
+
+    - columns in both must have identical types modulo nullability (no
+      in-place type changes — rewrite via compaction instead), and
+      stay nullable if EITHER side is nullable;
+    - table columns missing from df must be nullable and are written
+      as nulls;
+    - new df columns are appended after the table's columns and stored
+      nullable (rows of earlier runs decode as NULL — see
+      make_decode_fn's fill path).
+    """
+    new_by = {f.name: f for f in df.schema.fields}
+    old_names = {f.name for f in old.fields}
+    cols, out_fields = [], []
+    for f in old.fields:
+        nf = new_by.get(f.name)
+        if nf is None:
+            if not f.nullable:
+                raise ValueError(
+                    f"schema evolution: non-nullable table column "
+                    f"{f.name!r} missing from the appended frame"
+                )
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            out_fields.append(f)
+            continue
+        if nf.dataType.simpleString() != f.dataType.simpleString():
+            raise ValueError(
+                f"schema evolution: column {f.name!r} type change "
+                f"{f.dataType.simpleString()} -> "
+                f"{nf.dataType.simpleString()} is not additive; "
+                "re-encode via compact_encoded"
+            )
+        cols.append(F.col(f.name))
+        out_fields.append(T.StructField(
+            f.name, _merge_nullable_types(f.dataType, nf.dataType),
+            f.nullable or nf.nullable,
+        ))
+    for f in df.schema.fields:
+        if f.name in old_names:
+            continue
+        cols.append(F.col(f.name))
+        out_fields.append(_force_nullable(f))
+    return df.select(cols), T.StructType(out_fields)
+
+
 def _inherit_manifest(existing: dict, n_buckets: int,
                       uuid_columns: list[str] | None,
                       enum_columns: dict[str, list[str]] | None):
@@ -298,6 +379,7 @@ def write_encoded(
     uuid_columns: list[str] | None = None,
     bloom_columns: list[str] | None = None,
     enum_columns: dict[str, list[str]] | None = None,
+    schema_evolution: bool = False,
 ) -> dict:
     """Encode ``df`` into ``path``. With ``resume=True``, buckets whose
     lineage commit already exists are skipped (anti-join against the
@@ -333,11 +415,30 @@ def write_encoded(
 
     # compared AFTER uuid conversion: the manifest records the STORED
     # schema (uuid columns as 16-byte binary)
+    stored_schema = df.schema
     if existing is not None and existing["ddl"] != df.schema.simpleString():
-        raise ValueError(
-            "schema mismatch on append: table has "
-            f"{existing['ddl']!r}, got {df.schema.simpleString()!r}"
-        )
+        if not schema_evolution:
+            raise ValueError(
+                "schema mismatch on append: table has "
+                f"{existing['ddl']!r}, got {df.schema.simpleString()!r} "
+                "(pass schema_evolution=True to add/drop nullable "
+                "columns, Iceberg-style)"
+            )
+        df, stored_schema = _evolve_schema(df, manifest_schema(existing))
+    elif existing is not None:
+        # same shape: keep nullability as the OR of both generations
+        # (an append that introduces nulls into a column the first
+        # write happened to declare non-nullable must not make old
+        # readers' schema lie)
+        stored_schema = T.StructType([
+            T.StructField(
+                of.name,
+                _merge_nullable_types(of.dataType, nf.dataType),
+                of.nullable or nf.nullable,
+            )
+            for of, nf in zip(manifest_schema(existing).fields,
+                              df.schema.fields)
+        ])
 
     b = with_bucket(df, n_buckets)
     done: list[int] = []
@@ -356,7 +457,7 @@ def write_encoded(
         b = b.filter(F.col(BUCKET_COL).isin(pending))
 
     files, new_metrics = _write_run(
-        b, df.schema, path, n_buckets, run_id, epoch,
+        b, stored_schema, path, n_buckets, run_id, epoch,
         cluster_by=cluster_by, chunk_max_rows=chunk_max_rows,
         chunk_max_values=chunk_max_values, bloom_columns=bloom_columns,
         enum_columns=enum_columns,
@@ -366,7 +467,7 @@ def write_encoded(
     # known by exact path from the writer's output, never by listing.
     lineage_from_blocks(new_metrics, epoch=epoch).write.mode("append").parquet(lineage_p)
     _write_text(spark, manifest_p,
-                schema_manifest(df.schema, n_buckets, run_id,
+                schema_manifest(stored_schema, n_buckets, run_id,
                                 uuid_columns=uuid_columns,
                                 enum_columns=enum_columns))
 
@@ -470,8 +571,17 @@ def suggest_buckets(total_bytes: int,
     return max(1, int(total_bytes / target_bucket_bytes))
 
 
-def _load_table(spark: SparkSession, path: str):
-    """(manifest, committed-lineage DF). Raises on pre-v2 layouts."""
+def _load_table(spark: SparkSession, path: str,
+                as_of_epoch: int | None = None):
+    """(manifest, committed-lineage DF). Raises on pre-v2 layouts.
+
+    ``as_of_epoch``: snapshot/time-travel read — only lineage rows
+    with epoch <= as_of_epoch participate, reconstructing the table as
+    of that ingest epoch for append-style tables (streaming
+    micro-batches commit epoch=batch_id). Batch re-encodes reuse
+    epoch 0 (latest run wins), and compaction tombstones collapse
+    superseded epochs — both limit history like Iceberg snapshot
+    expiry does."""
     _, lineage_p, manifest_p = _paths(path)
     manifest = json.loads(_read_text(spark, manifest_p))
     if manifest.get("layout", 1) != LAYOUT_VERSION:
@@ -479,8 +589,10 @@ def _load_table(spark: SparkSession, path: str):
             f"table at {path!r} has layout {manifest.get('layout', 1)}; "
             f"this build reads layout {LAYOUT_VERSION} — re-encode"
         )
-    lin = committed(spark.read.schema(LINEAGE_DDL).parquet(lineage_p)) \
-        .select("bucket", "run_id")
+    lineage = spark.read.schema(LINEAGE_DDL).parquet(lineage_p)
+    if as_of_epoch is not None:
+        lineage = lineage.filter(F.col("epoch") <= int(as_of_epoch))
+    lin = committed(lineage).select("bucket", "run_id")
     return manifest, lin
 
 
@@ -498,14 +610,33 @@ def _run_files(spark: SparkSession, path: str, run_ids) -> list[dict]:
     return files
 
 
+def _evolution_fill_columns(files: list[dict], needed) -> bool:
+    """True iff some committed run lacks block files for a needed
+    column — i.e. the column was added by schema evolution after that
+    run was written, so its decode requires run-position null fill."""
+    run_cols: dict[str, set] = {}
+    for f in files:
+        run_cols.setdefault(f["run_id"], set()).add(f["column"])
+    return any(
+        c not in cols
+        for cols in run_cols.values()
+        for c in needed if c != METRICS_COLUMN
+    )
+
+
 def _blocks_df(spark: SparkSession, path: str, lin: DataFrame,
-               columns_needed=None) -> DataFrame:
+               columns_needed=None, files: list[dict] | None = None
+               ) -> DataFrame:
     """Blocks DataFrame planned lineage -> run manifests -> explicit
     file paths. ``columns_needed``: projection pushdown — unrequested
-    columns' files never enter the scan at all (reference P3)."""
+    columns' files never enter the scan at all (reference P3).
+    ``files``: pre-planned run-manifest file rows (avoids re-reading
+    the manifests when the caller already planned them)."""
     blocks_p, _, _ = _paths(path)
-    run_ids = [r.run_id for r in lin.select("run_id").distinct().collect()]
-    files = _run_files(spark, path, run_ids)
+    if files is None:
+        run_ids = [r.run_id
+                   for r in lin.select("run_id").distinct().collect()]
+        files = _run_files(spark, path, run_ids)
     if columns_needed is not None:
         files = [f for f in files if f["column"] in columns_needed]
     else:
@@ -585,6 +716,7 @@ def read_encoded(
     in_filter: tuple[str, list[int]] | None = None,
     eq_filter: tuple[str, str | bytes] | None = None,
     verify_checksums: bool = False,
+    as_of_epoch: int | None = None,
 ) -> DataFrame:
     """Decode an encoded table; ``columns`` is projection pushdown —
     only those columns' block FILES enter the scan (reference P3).
@@ -607,8 +739,13 @@ def read_encoded(
 
     A filter column missing from ``columns`` is decoded anyway and
     dropped from the output (round-2 ADVICE: the residual predicate
-    used to fail with an opaque AnalysisException)."""
-    manifest, lin = _load_table(spark, path)
+    used to fail with an opaque AnalysisException).
+
+    ``as_of_epoch``: time travel — read the table as of that ingest
+    epoch (see _load_table). Schema-evolved tables (columns added by
+    ``write_encoded(schema_evolution=True)``) decode transparently:
+    rows from runs written before a column existed come back NULL."""
+    manifest, lin = _load_table(spark, path, as_of_epoch=as_of_epoch)
     schema = manifest_schema(manifest)
 
     if sum(x is not None for x in (range_filter, in_filter, eq_filter)) > 1:
@@ -624,8 +761,23 @@ def read_encoded(
     if columns is not None and fcol is not None and fcol not in columns:
         decode_cols = list(columns) + [fcol]
 
+    run_ids = [r.run_id for r in lin.select("run_id").distinct().collect()]
+    files = _run_files(spark, path, run_ids)
+    needed_names = ([f.name for f in schema.fields] if decode_cols is None
+                    else list(decode_cols))
+    evolved = _evolution_fill_columns(files, needed_names)
+    # fill-count source for evolution decode: unpruned reads use the
+    # per-(run, bucket) metrics rows (added to the scan — they keep
+    # buckets visible even when every scanned data column is fill);
+    # pruned reads anchor on the filter column's surviving rows
+    fill_from = None
+    if evolved:
+        fill_from = fcol if fcol is not None else METRICS_COLUMN
     needed = None if decode_cols is None else set(decode_cols)
-    blocks = _blocks_df(spark, path, lin, columns_needed=needed)
+    if fill_from == METRICS_COLUMN:
+        needed = set(needed_names) | {METRICS_COLUMN}
+    blocks = _blocks_df(spark, path, lin, columns_needed=needed,
+                        files=files)
 
     def _finish(out: DataFrame) -> DataFrame:
         if columns is not None and fcol is not None and fcol not in columns:
@@ -634,7 +786,8 @@ def read_encoded(
 
     if range_filter is None and in_filter is None and eq_filter is None:
         return _finish(decode_blocks(blocks, schema, decode_cols,
-                                     verify_checksums=verify_checksums))
+                                     verify_checksums=verify_checksums,
+                                     fill_from=fill_from))
     if eq_filter is not None:
         col, value = eq_filter
         if col in manifest.get("uuid_columns", []) and isinstance(value, str):
@@ -644,7 +797,8 @@ def read_encoded(
             value = bytes.fromhex(value.replace("-", ""))
         pruned = _bloom_prune(blocks, col, value)
         out = decode_blocks(pruned, schema, decode_cols,
-                            verify_checksums=verify_checksums)
+                            verify_checksums=verify_checksums,
+                            fill_from=fill_from)
         return _finish(out.filter(F.col(col) == value))
     # zone filters only make sense on integer columns (those are the
     # ones whose values blocks carry [lo, hi]); anything else would
@@ -683,13 +837,15 @@ def read_encoded(
     pruned = blocks.join(F.broadcast(zones), ["run_id", "bucket", "chunk"],
                          "left_semi")
     out = decode_blocks(pruned, schema, decode_cols,
-                        verify_checksums=verify_checksums)
+                        verify_checksums=verify_checksums,
+                        fill_from=fill_from)
     return _finish(out.filter(residual))
 
 
 def read_encoded_direct(
     spark: SparkSession, path: str, columns: list[str] | None = None,
     verify_checksums: bool = False,
+    as_of_epoch: int | None = None,
 ) -> DataFrame:
     """Shuffle-free decode: one task per committed bucket opens that
     bucket's block files directly with pyarrow.
@@ -711,7 +867,7 @@ def read_encoded_direct(
     from tokcodec.decode import make_decode_fn
 
     blocks_p, _, _ = _paths(path)
-    manifest, lin = _load_table(spark, path)
+    manifest, lin = _load_table(spark, path, as_of_epoch=as_of_epoch)
     schema = manifest_schema(manifest)
     if columns is not None:
         by_name = {f.name: f for f in schema.fields}
@@ -723,15 +879,25 @@ def read_encoded_direct(
     accepted: dict[int, list[str]] = {}
     for r in lin.collect():  # one row per (bucket, epoch) — tiny
         accepted.setdefault(int(r.bucket), []).append(r.run_id)
-    inner = make_decode_fn(schema, verify_checksums=verify_checksums)
-    acc_b = spark.sparkContext.broadcast(accepted)
 
     files = _run_files(spark, path, {rid for rs in accepted.values()
                                      for rid in rs})
+    scan_cols = set(wanted)
+    fill_from = None
+    if _evolution_fill_columns(files, wanted):
+        # schema-evolved table: scan the per-(run, bucket) metrics
+        # rows too — they carry the fill counts for runs that predate
+        # a projected column (see make_decode_fn)
+        fill_from = METRICS_COLUMN
+        scan_cols.add(METRICS_COLUMN)
+    inner = make_decode_fn(schema, verify_checksums=verify_checksums,
+                           fill_from=fill_from)
+    acc_b = spark.sparkContext.broadcast(accepted)
+
     acc_sorted = sorted(accepted)
     bucket_files: dict[int, list[tuple[str, str]]] = {}
     for f in files:
-        if f["column"] not in wanted:
+        if f["column"] not in scan_cols:
             continue
         full = posixpath.join(blocks_p, f["path"])
         for lo, hi in f["bucket_ranges"]:
@@ -790,7 +956,15 @@ def read_encoded_as(
 
     manifest, lin = _load_table(spark, path)
     file_schema = manifest_schema(manifest)
-    blocks = _blocks_df(spark, path, lin)
+    run_ids = [r.run_id for r in lin.select("run_id").distinct().collect()]
+    files = _run_files(spark, path, run_ids)
+    if _evolution_fill_columns(files, {f.name for f in file_schema.fields}):
+        raise NotImplementedError(
+            "read_encoded_as on a schema-evolved table: compact first "
+            "(compact_encoded materializes the nulls), or use "
+            "read_encoded + rename/cast in the DataFrame"
+        )
+    blocks = _blocks_df(spark, path, lin, files=files)
     return decode_blocks_as(
         blocks, file_schema, read_schema, aliases=aliases,
         fail_on_missing_column=fail_on_missing_column,
