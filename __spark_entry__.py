@@ -262,6 +262,49 @@ def q_roundtrip_lineitem_pricing(spark, sf_dir):
     )
 
 
+def q_roundtrip_lineitem_daterange(spark, sf_dir):
+    """Date zone-map pruning under the oracle: lineitem encoded
+    CLUSTERED BY l_shipdate (chunks get tight day ranges), then read
+    back through ``range_filter`` on the DATE column — whole chunks
+    outside the 1994 window are never decoded — and aggregated; the
+    oracle recomputes with a plain WHERE BETWEEN over raw parquet."""
+    key = os.path.abspath(sf_dir) + "#lidate"
+    if key not in _DECODED_CACHE:
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            F.col("l_quantity").cast("decimal(12,2)").alias("l_quantity"),
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            .alias("l_extendedprice"),
+            "l_returnflag",
+            F.col("l_shipdate").cast("date").alias("l_shipdate"),
+        )
+        path = os.path.join(
+            tempfile.gettempdir(), "tokcodec_entry_lidate",
+            os.path.abspath(sf_dir).replace(os.sep, "_"),
+        )
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        write_encoded(li, path, n_buckets=8, run_id="lidate",
+                      cluster_by="l_shipdate")
+        _DECODED_CACHE[key] = path
+    dec = read_encoded(
+        spark, _DECODED_CACHE[key],
+        range_filter=("l_shipdate", "1994-01-01", "1994-12-31"),
+    )
+    return (
+        dec.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("l_quantity") * 100).cast("long")).alias("qty_cents"),
+            F.sum((F.col("l_extendedprice") * 100).cast("long"))
+            .alias("base_cents"),
+            F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("min_ship"),
+            F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("max_ship"),
+        )
+    )
+
+
 def q_roundtrip_events_hourly(spark, sf_dir):
     """Timestamps through the engine under the oracle (round-2 verdict
     #9): encode the events table (µs timestamps -> int64 codec path,
@@ -1194,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_point_lookup": q_roundtrip_point_lookup,
         "stream_ingest_roundtrip": q_stream_ingest_roundtrip,
         "roundtrip_lineitem_pricing": q_roundtrip_lineitem_pricing,
+        "roundtrip_lineitem_daterange": q_roundtrip_lineitem_daterange,
         "roundtrip_events_hourly": q_roundtrip_events_hourly,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "join_topcustomers": q_join_topcustomers,
@@ -1291,6 +1335,23 @@ SELECT l_returnflag, l_linestatus,
        strftime(MAX(sd), '%Y-%m-%d') AS max_ship
 FROM li WHERE sd <= DATE '2005-09-02'
 GROUP BY l_returnflag, l_linestatus""",
+        "roundtrip_lineitem_daterange": """
+WITH li AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS DECIMAL(12,2)) AS q,
+         CAST(l_extendedprice AS DECIMAL(12,2)) AS ep,
+         CAST(l_shipdate AS DATE) AS sd
+  FROM lineitem
+)
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(q * 100 AS BIGINT)) AS BIGINT) AS qty_cents,
+       CAST(SUM(CAST(ep * 100 AS BIGINT)) AS BIGINT) AS base_cents,
+       strftime(MIN(sd), '%Y-%m-%d') AS min_ship,
+       strftime(MAX(sd), '%Y-%m-%d') AS max_ship
+FROM li
+WHERE sd BETWEEN DATE '1994-01-01' AND DATE '1994-12-31'
+GROUP BY l_returnflag""",
         "roundtrip_events_hourly": """
 SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
        COUNT(*) AS n,

@@ -55,3 +55,73 @@ def test_empty_range(spark, enc):
     path, _ = enc
     got = read_encoded(spark, path, range_filter=("n_tok", 10**7, 10**8))
     assert got.count() == 0
+
+@pytest.fixture(scope="module")
+def enc_dates(spark, tmp_path_factory):
+    """Events-like frame with date + timestamp columns, clustered by
+    date so chunk zone maps get disjoint day ranges."""
+    path = str(tmp_path_factory.mktemp("zones_dt") / "enc")
+    df = spark.range(20_000).select(
+        F.col("id").alias("event_id"),
+        F.date_add(F.lit("2024-01-01").cast("date"),
+                   (F.col("id") % 365).cast("int")).alias("d"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("id") * 60)).alias("ts"),
+    )
+    write_encoded(df, path, n_buckets=2, run_id="r1", cluster_by="d",
+                  chunk_max_rows=2_000)
+    return path, df
+
+
+def test_date_range_filter(spark, enc_dates):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path, df = enc_dates
+    got = read_encoded(spark, path,
+                       range_filter=("d", "2024-03-01", "2024-03-31"))
+    expect = df.filter(F.col("d").between("2024-03-01", "2024-03-31"))
+    assert got.count() == expect.count() > 0
+    assert got.agg(F.sum("event_id")).collect()[0][0] == \
+        expect.agg(F.sum("event_id")).collect()[0][0]
+
+
+def test_date_range_prunes_chunks(spark, enc_dates):
+    """The day-clustered chunks must actually skip: count surviving
+    zone ranges for a one-month window."""
+    path, _ = enc_dates
+    from tokcodec.schema import BLOCK_DDL
+
+    import datetime
+
+    lo = (datetime.date(2024, 3, 1) - datetime.date(1970, 1, 1)).days
+    hi = lo + 30
+    blocks = spark.read.schema(BLOCK_DDL).option(
+        "recursiveFileLookup", "true").parquet(path + "/blocks")
+    zones = blocks.filter(
+        (F.col("column") == "d") & (F.col("component") == "values"))
+    total = zones.count()
+    surviving = zones.filter(
+        (F.get_json_object("meta", "$.hi").cast("long") >= lo)
+        & (F.get_json_object("meta", "$.lo").cast("long") <= hi)
+    ).count()
+    assert 0 < surviving < total, (surviving, total)
+
+
+def test_timestamp_range_filter(spark, enc_dates):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path, df = enc_dates
+    import datetime
+
+    lo = datetime.datetime(2024, 1, 3, 0, 0, 0)
+    hi = datetime.datetime(2024, 1, 5, 0, 0, 0)
+    got = read_encoded(spark, path, range_filter=("ts", lo, hi))
+    expect = df.filter(F.col("ts").between(lo, hi))
+    assert got.count() == expect.count() > 0
+
+
+def test_date_in_filter(spark, enc_dates):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path, df = enc_dates
+    days = ["2024-02-01", "2024-07-04"]
+    got = read_encoded(spark, path, in_filter=("d", days))
+    expect = df.filter(F.col("d").isin(days))
+    assert got.count() == expect.count() > 0

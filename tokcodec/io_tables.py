@@ -670,6 +670,37 @@ def _expand_uuid_cols(out: DataFrame, uuid_cols) -> DataFrame:
     return out
 
 
+def _zone_value(v, dt: T.DataType) -> tuple[int, object]:
+    """User-supplied zone-filter bound -> (int value in the column's
+    STORAGE lane for zone-map comparison, typed value for the residual
+    predicate). Dates are stored as days since epoch, timestamps as
+    epoch microseconds (UTC); ISO strings, date/datetime objects and
+    raw storage ints are all accepted."""
+    import datetime as _dt
+
+    if isinstance(dt, T.DateType):
+        if isinstance(v, str):
+            v = _dt.date.fromisoformat(v)
+        if isinstance(v, _dt.datetime):
+            v = v.date()
+        if isinstance(v, _dt.date):
+            return (v - _dt.date(1970, 1, 1)).days, v
+        return int(v), _dt.date(1970, 1, 1) + _dt.timedelta(days=int(v))
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        if isinstance(v, str):
+            v = _dt.datetime.fromisoformat(v)
+        if isinstance(v, _dt.datetime):
+            naive = v.tzinfo is None
+            aware = v.replace(tzinfo=_dt.timezone.utc) if naive else v
+            micros = int(aware.timestamp() * 1_000_000)
+            # residual compares in the session TZ (pinned UTC by
+            # convention here); hand Spark the naive-UTC form
+            return micros, aware.replace(tzinfo=None)
+        micros = int(v)
+        return micros, _dt.datetime.utcfromtimestamp(micros / 1_000_000)
+    return int(v), int(v)
+
+
 def _bloom_prune(blocks: DataFrame, col: str, value) -> DataFrame:
     """Keep only (run_id, bucket, chunk)s whose bloom might contain
     ``value``; chunks of ``col`` without a bloom block always survive
@@ -800,31 +831,35 @@ def read_encoded(
                             verify_checksums=verify_checksums,
                             fill_from=fill_from)
         return _finish(out.filter(F.col(col) == value))
-    # zone filters only make sense on integer columns (those are the
-    # ones whose values blocks carry [lo, hi]); anything else would
-    # silently prune every chunk
+    # zone filters work on every int-lane column — integers AND
+    # date/timestamp (stored as days / epoch-µs, so their chunks carry
+    # the same [lo, hi] zone maps); anything else would silently prune
+    # every chunk
     zone_col = (in_filter or range_filter)[0]
     fld = next((f.dataType for f in schema.fields if f.name == zone_col),
                None)
     if not isinstance(fld, (T.ByteType, T.ShortType, T.IntegerType,
-                            T.LongType)):
+                            T.LongType, T.DateType, T.TimestampType,
+                            T.TimestampNTZType)):
         raise ValueError(
-            f"range_filter/in_filter require an integer column with zone "
-            f"maps; {zone_col!r} is {fld}"
+            f"range_filter/in_filter require an integer, date or "
+            f"timestamp column with zone maps; {zone_col!r} is {fld}"
         )
     zlo = F.get_json_object("meta", "$.lo").cast("long")
     zhi = F.get_json_object("meta", "$.hi").cast("long")
     if range_filter is not None:
         col, lo, hi = range_filter
-        zpred = (zhi >= int(lo)) & (zlo <= int(hi))
-        residual = (F.col(col) >= int(lo)) & (F.col(col) <= int(hi))
+        zv_lo, rv_lo = _zone_value(lo, fld)
+        zv_hi, rv_hi = _zone_value(hi, fld)
+        zpred = (zhi >= zv_lo) & (zlo <= zv_hi)
+        residual = (F.col(col) >= F.lit(rv_lo)) & (F.col(col) <= F.lit(rv_hi))
     else:
         col, values = in_filter
-        values = [int(v) for v in values]
+        pairs = [_zone_value(v, fld) for v in values]
         zpred = F.lit(False)
-        for v in values:
-            zpred = zpred | ((zlo <= v) & (zhi >= v))
-        residual = F.col(col).isin(values)
+        for zv, _ in pairs:
+            zpred = zpred | ((zlo <= zv) & (zhi >= zv))
+        residual = F.col(col).isin([rv for _, rv in pairs])
     # zone-map pass: chunks whose stats overlap the predicate — or
     # carry no stats (never a false negative). The zone map lives in
     # the stats column's block meta; all components of a surviving
