@@ -25,12 +25,17 @@ def main() -> None:
     p.add_argument("--columns", default="",
                    help="comma-separated projection (default: all)")
     p.add_argument("--range-filter", default=None,
-                   help="col:lo:hi zone-map slice (ints)")
+                   help="col:lo:hi zone-map slice — int bounds, or "
+                        "YYYY-MM-DD for date columns (timestamp "
+                        "bounds contain ':'; use the library API)")
     p.add_argument("--eq-filter", default=None,
                    help="col:value bloom point lookup")
     p.add_argument("--direct", action="store_true",
                    help="shuffle-free per-bucket reader (see "
                         "read_encoded_direct docstring for when it wins)")
+    p.add_argument("--as-of-epoch", type=int, default=None,
+                   help="time travel: read the table as of this "
+                        "ingest epoch")
     p.add_argument("--verify-checksums", action="store_true")
     args = p.parse_args()
 
@@ -45,19 +50,28 @@ def main() -> None:
         if args.range_filter or args.eq_filter:
             raise SystemExit("--direct supports projection only")
         df = read_encoded_direct(spark, args.input, columns=columns,
-                                 verify_checksums=args.verify_checksums)
+                                 verify_checksums=args.verify_checksums,
+                                 as_of_epoch=args.as_of_epoch)
     else:
         rf = None
         if args.range_filter:
             c, lo, hi = args.range_filter.split(":")
-            rf = (c, int(lo), int(hi))
+            # ints stay ints; dates/timestamps pass through as ISO
+            # strings (read_encoded converts per the column type)
+            def _b(x):
+                try:
+                    return int(x)
+                except ValueError:
+                    return x
+            rf = (c, _b(lo), _b(hi))
         ef = None
         if args.eq_filter:
             c, v = args.eq_filter.split(":", 1)
             ef = (c, v)
         df = read_encoded(spark, args.input, columns=columns,
                           range_filter=rf, eq_filter=ef,
-                          verify_checksums=args.verify_checksums)
+                          verify_checksums=args.verify_checksums,
+                          as_of_epoch=args.as_of_epoch)
     df.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
     print(json.dumps({"rows": n, "output": args.output}))

@@ -40,6 +40,10 @@ def main() -> None:
                    help="comma-separated string columns to bloom-index")
     p.add_argument("--uuid-columns", default="",
                    help="comma-separated UUID string columns stored FIXED(16)")
+    p.add_argument("--schema-evolution", action="store_true",
+                   help="allow additive schema changes on append "
+                        "(Iceberg-style: new columns stored nullable, "
+                        "omitted nullable columns null-filled)")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -64,6 +68,7 @@ def main() -> None:
         resume=args.resume, epoch=args.epoch, cluster_by=args.cluster_by,
         bloom_columns=[c for c in args.bloom_columns.split(",") if c],
         uuid_columns=[c for c in args.uuid_columns.split(",") if c],
+        schema_evolution=args.schema_evolution,
     )
     print(json.dumps(res))
     spark.stop()

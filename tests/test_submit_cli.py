@@ -118,3 +118,49 @@ def test_spark_submit_maintenance(spark, tmp_path):
     assert res["vacuum"]["deleted_files"] > 0
     got = read_encoded(spark, enc)
     assert got.count() == 90
+
+
+def test_spark_submit_evolution_and_time_travel(spark, tmp_path):
+    """CLI flags --schema-evolution (encode) and --as-of-epoch
+    (decode) drive the Iceberg-style features end-to-end from
+    spark-submit processes."""
+    src0 = os.path.join(str(tmp_path), "s0")
+    src1 = os.path.join(str(tmp_path), "s1")
+    enc = os.path.join(str(tmp_path), "enc3")
+    out = os.path.join(str(tmp_path), "dec3")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.filter(F.col("doc_id").cast("bigint") % 2 == 0) \
+        .select("doc_id", "source", "n_chars").write.parquet(src0)
+    docs.filter(F.col("doc_id").cast("bigint") % 2 != 0) \
+        .select("doc_id", "source", "n_chars", "lang").write.parquet(src1)
+    n0 = spark.read.parquet(src0).count()
+    n1 = spark.read.parquet(src1).count()
+
+    submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    env = dict(os.environ, PYTHONPATH="/root/repo",
+               SPARK_LOCAL_DIRS="/dev/shm")
+
+    def run(args):
+        r = subprocess.run(
+            [submit, "--master", "local[4]"] + args,
+            cwd="/root/repo", env=env, capture_output=True, text=True,
+            timeout=420,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads([ln for ln in r.stdout.splitlines()
+                           if ln.startswith("{")][-1])
+
+    run(["scripts/submit_encode.py", "--input", src0, "--output", enc,
+         "--buckets", "2", "--run-id", "e0", "--epoch", "0"])
+    run(["scripts/submit_encode.py", "--input", src1, "--output", enc,
+         "--buckets", "2", "--run-id", "e1", "--epoch", "1", "--resume",
+         "--schema-evolution"])
+
+    res = run(["scripts/submit_decode.py", "--input", enc,
+               "--output", out, "--as-of-epoch", "0"])
+    assert res["rows"] == n0
+    res_all = run(["scripts/submit_decode.py", "--input", enc,
+                   "--output", out])
+    assert res_all["rows"] == n0 + n1
+    back = spark.read.parquet(out)
+    assert back.filter(F.col("lang").isNull()).count() >= n0
