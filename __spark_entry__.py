@@ -157,6 +157,23 @@ def q_roundtrip_point_lookup(spark, sf_dir):
     )
 
 
+def q_roundtrip_docid_range(spark, sf_dir):
+    """String zone-map range scan (parquet truncated-statistics
+    analogue): chunks whose [slo, shi] string bounds miss the
+    lexicographic doc_id window are never decoded; the residual keeps
+    exactness. Oracle = the same VARCHAR BETWEEN over the portable
+    tokenizer output."""
+    _decoded_sequences(spark, sf_dir)  # ensure encoded table exists
+    ranged = read_encoded(spark, _entry_table_path(sf_dir),
+                          range_filter=("doc_id", "200", "219"))
+    return ranged.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("n_tok").alias("sum_tok"),
+        F.min("doc_id").alias("first_id"),
+        F.max("doc_id").alias("last_id"),
+    )
+
+
 def q_stream_ingest_roundtrip(spark, sf_dir):
     """Structured Streaming ingest -> resumable encode sink (foreachBatch
     + per-epoch lineage) -> decode -> aggregate. The oracle recomputes
@@ -1235,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_projection_topn": q_roundtrip_projection_topn,
         "roundtrip_tokens_exact": q_roundtrip_tokens_exact,
         "roundtrip_point_lookup": q_roundtrip_point_lookup,
+        "roundtrip_docid_range": q_roundtrip_docid_range,
         "stream_ingest_roundtrip": q_stream_ingest_roundtrip,
         "roundtrip_lineitem_pricing": q_roundtrip_lineitem_pricing,
         "roundtrip_lineitem_daterange": q_roundtrip_lineitem_daterange,
@@ -1311,6 +1329,14 @@ FROM seq WHERE CAST(doc_id AS BIGINT) % 97 = 0""",
 SELECT doc_id, array_to_string(tokens, ',') AS toks,
        CAST(len(tokens) AS INTEGER) AS n_tok
 FROM seq WHERE doc_id = '123'""",
+        "roundtrip_docid_range": f"""{_SEQ_CTE}
+SELECT source,
+       COUNT(*) AS n,
+       CAST(SUM(len(tokens)) AS BIGINT) AS sum_tok,
+       MIN(doc_id) AS first_id,
+       MAX(doc_id) AS last_id
+FROM seq WHERE doc_id BETWEEN '200' AND '219'
+GROUP BY source""",
         "stream_ingest_roundtrip": f"""{_SEQ_CTE}
 SELECT source,
        COUNT(*) AS n_docs,

@@ -125,3 +125,92 @@ def test_date_in_filter(spark, enc_dates):
     got = read_encoded(spark, path, in_filter=("d", days))
     expect = df.filter(F.col("d").isin(days))
     assert got.count() == expect.count() > 0
+
+
+@pytest.fixture(scope="module")
+def enc_strings(spark, tmp_path_factory):
+    """URL-like sortable string keys + a binary column, clustered so
+    chunks get tight lexicographic ranges."""
+    path = str(tmp_path_factory.mktemp("zones_str") / "enc")
+    df = spark.range(10_000).select(
+        F.col("id").alias("k"),
+        F.format_string("user-%05d", F.col("id")).alias("name"),
+        F.encode(F.format_string("blob-%05d", F.col("id")), "utf-8")
+        .alias("payload"),
+        # long strings sharing a >24-byte prefix: exercises truncation
+        F.concat(F.lit("x" * 30), F.format_string("%05d", F.col("id")))
+        .alias("longkey"),
+    )
+    write_encoded(df, path, n_buckets=2, run_id="r1", cluster_by="name",
+                  chunk_max_rows=1_000)
+    return path, df
+
+
+def test_string_range_filter(spark, enc_strings):
+    path, df = enc_strings
+    got = read_encoded(spark, path,
+                       range_filter=("name", "user-02000", "user-02999"))
+    expect = df.filter(F.col("name").between("user-02000", "user-02999"))
+    assert got.count() == expect.count() == 1000
+    assert got.agg(F.sum("k")).collect()[0][0] == \
+        expect.agg(F.sum("k")).collect()[0][0]
+
+
+def test_string_range_prunes_chunks(spark, enc_strings):
+    import base64
+
+    path, _ = enc_strings
+    from tokcodec.schema import BLOCK_DDL
+
+    blocks = spark.read.schema(BLOCK_DDL).option(
+        "recursiveFileLookup", "true").parquet(path + "/blocks")
+    zones = blocks.filter(
+        (F.col("column") == "name") & (F.col("component") == "values"))
+    total = zones.count()
+    lo = base64.b64encode(b"user-02000").decode()
+    surviving = zones.filter(
+        (F.unbase64(F.get_json_object("meta", "$.shi"))
+         >= F.lit(b"user-02000"))
+        & (F.unbase64(F.get_json_object("meta", "$.slo"))
+           <= F.lit(b"user-02999"))
+    ).count()
+    assert 0 < surviving < total, (surviving, total, lo)
+
+
+def test_string_in_filter(spark, enc_strings):
+    path, df = enc_strings
+    names = ["user-00017", "user-09009"]
+    got = read_encoded(spark, path, in_filter=("name", names))
+    assert sorted(r.name for r in got.collect()) == names
+
+
+def test_binary_range_filter(spark, enc_strings):
+    path, df = enc_strings
+    got = read_encoded(
+        spark, path,
+        range_filter=("payload", b"blob-00100", b"blob-00199"),
+    )
+    expect = df.filter(
+        (F.col("payload") >= F.lit(b"blob-00100"))
+        & (F.col("payload") <= F.lit(b"blob-00199"))
+    )
+    assert got.count() == expect.count() == 100
+
+
+def test_truncated_long_prefix_correct(spark, enc_strings):
+    """Keys share a 30-char prefix, so every stored bound is truncated
+    at 24 bytes; pruning must keep every chunk that can match (the
+    incremented-hi upper bound) and the residual keeps exactness."""
+    path, df = enc_strings
+    lo = "x" * 30 + "00123"
+    hi = "x" * 30 + "00456"
+    got = read_encoded(spark, path, range_filter=("longkey", lo, hi))
+    expect = df.filter(F.col("longkey").between(lo, hi))
+    assert got.count() == expect.count() == 334
+
+
+def test_string_empty_range(spark, enc_strings):
+    path, _ = enc_strings
+    got = read_encoded(spark, path,
+                       range_filter=("name", "zzz-0", "zzz-9"))
+    assert got.count() == 0

@@ -23,6 +23,7 @@ lightweight encodings.
 
 from __future__ import annotations
 
+import base64
 import json
 import zlib
 
@@ -125,6 +126,37 @@ def decode_int_component(row, out_dtype=np.int64) -> np.ndarray:
 
 
 # -------------------------------------------------------- string chunks
+_STR_ZONE_LIMIT = 24
+
+
+def _string_zone_bounds(arr: pa.Array) -> tuple[bytes | None, bytes | None,
+                                                bool]:
+    """(lo, hi, hi_unbounded) chunk bounds for string/binary zone maps,
+    parquet's truncated-statistics semantics: lo is a prefix of the min
+    (a prefix can only sort <= the full value, so it stays a valid
+    lower bound); hi is the max's prefix with its last non-0xFF byte
+    incremented (strictly above everything sharing the prefix). A max
+    prefix of all 0xFF bytes has no finite upper bound ->
+    hi_unbounded."""
+    import pyarrow.compute as pc
+
+    if len(arr) == 0 or arr.null_count == len(arr):
+        return None, None, False
+    mm = pc.min_max(arr)
+    mn, mx = mm["min"].as_py(), mm["max"].as_py()
+    if isinstance(mn, str):
+        mn, mx = mn.encode("utf-8"), mx.encode("utf-8")
+    lo = mn[:_STR_ZONE_LIMIT]
+    if len(mx) <= _STR_ZONE_LIMIT:
+        return lo, mx, False
+    t = bytearray(mx[:_STR_ZONE_LIMIT])
+    for i in range(len(t) - 1, -1, -1):
+        if t[i] < 0xFF:
+            t[i] += 1
+            return lo, bytes(t[: i + 1]), False
+    return lo, None, True
+
+
 def encode_str_component(bucket, column, component, arr: pa.Array,
                          codec: str | None = None) -> dict:
     data, lengths = arrow_to_strchunk(arr)
@@ -136,6 +168,16 @@ def encode_str_component(bucket, column, component, arr: pa.Array,
         payload, meta = fsst_encode(data, lengths, table=table)
     else:
         payload, meta = STR_CODECS[codec][0](data, lengths)
+    if component.endswith("values"):
+        # string/binary zone map (≙ parquet truncated column stats —
+        # the reference gets these free from parquet-java; C5)
+        lo, hi, hi_unbounded = _string_zone_bounds(arr)
+        if lo is not None:
+            meta["slo"] = base64.b64encode(lo).decode("ascii")
+            if hi is not None:
+                meta["shi"] = base64.b64encode(hi).decode("ascii")
+            elif hi_unbounded:
+                meta["shi_inf"] = 1
     payload = _outer_compress(payload, meta)
     lenw = int(lengths.max()).bit_length() if len(lengths) else 0
     orig = len(data) + (len(lengths) * lenw + 7) // 8

@@ -701,6 +701,29 @@ def _zone_value(v, dt: T.DataType) -> tuple[int, object]:
     return int(v), int(v)
 
 
+def _str_bytes(v) -> bytes:
+    return v.encode("utf-8") if isinstance(v, str) else bytes(v)
+
+
+def _str_zone_preds():
+    """(no_stats, overlap(lo_bytes, hi_bytes)) Column builders over the
+    string zone bounds in block meta: ``slo``/``shi`` are
+    base64-truncated min/max (see blocks._string_zone_bounds);
+    ``shi_inf`` marks a max whose truncation has no finite upper bound.
+    Comparison is Spark binary ordering = unsigned lexicographic, the
+    same order the bounds were computed in."""
+    slo = F.unbase64(F.get_json_object("meta", "$.slo"))
+    shi = F.unbase64(F.get_json_object("meta", "$.shi"))
+    shi_inf = F.get_json_object("meta", "$.shi_inf").isNotNull()
+    no_stats = slo.isNull() & ~shi_inf
+
+    def overlap(lo_b: bytes, hi_b: bytes):
+        upper_ok = shi_inf | shi.isNull() | (shi >= F.lit(lo_b))
+        return upper_ok & (slo <= F.lit(hi_b))
+
+    return no_stats, overlap
+
+
 def _bloom_prune(blocks: DataFrame, col: str, value) -> DataFrame:
     """Keep only (run_id, bucket, chunk)s whose bloom might contain
     ``value``; chunks of ``col`` without a bloom block always survive
@@ -833,33 +856,52 @@ def read_encoded(
         return _finish(out.filter(F.col(col) == value))
     # zone filters work on every int-lane column — integers AND
     # date/timestamp (stored as days / epoch-µs, so their chunks carry
-    # the same [lo, hi] zone maps); anything else would silently prune
-    # every chunk
+    # the same [lo, hi] zone maps) — and on string/binary columns via
+    # the truncated min/max bounds (parquet-style statistics);
+    # anything else would silently prune every chunk
     zone_col = (in_filter or range_filter)[0]
     fld = next((f.dataType for f in schema.fields if f.name == zone_col),
                None)
-    if not isinstance(fld, (T.ByteType, T.ShortType, T.IntegerType,
-                            T.LongType, T.DateType, T.TimestampType,
-                            T.TimestampNTZType)):
+    str_lane = isinstance(fld, (T.StringType, T.BinaryType))
+    if not str_lane and not isinstance(
+            fld, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                  T.DateType, T.TimestampType, T.TimestampNTZType)):
         raise ValueError(
-            f"range_filter/in_filter require an integer, date or "
-            f"timestamp column with zone maps; {zone_col!r} is {fld}"
+            f"range_filter/in_filter require an integer, date, "
+            f"timestamp, string or binary column with zone maps; "
+            f"{zone_col!r} is {fld}"
         )
-    zlo = F.get_json_object("meta", "$.lo").cast("long")
-    zhi = F.get_json_object("meta", "$.hi").cast("long")
-    if range_filter is not None:
-        col, lo, hi = range_filter
-        zv_lo, rv_lo = _zone_value(lo, fld)
-        zv_hi, rv_hi = _zone_value(hi, fld)
-        zpred = (zhi >= zv_lo) & (zlo <= zv_hi)
-        residual = (F.col(col) >= F.lit(rv_lo)) & (F.col(col) <= F.lit(rv_hi))
+    if str_lane:
+        no_stats, zover = _str_zone_preds()
+        if range_filter is not None:
+            col, lo, hi = range_filter
+            zpred = zover(_str_bytes(lo), _str_bytes(hi))
+            residual = ((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+        else:
+            col, values = in_filter
+            zpred = F.lit(False)
+            for v in values:
+                vb = _str_bytes(v)
+                zpred = zpred | zover(vb, vb)
+            residual = F.col(col).isin(list(values))
     else:
-        col, values = in_filter
-        pairs = [_zone_value(v, fld) for v in values]
-        zpred = F.lit(False)
-        for zv, _ in pairs:
-            zpred = zpred | ((zlo <= zv) & (zhi >= zv))
-        residual = F.col(col).isin([rv for _, rv in pairs])
+        zlo = F.get_json_object("meta", "$.lo").cast("long")
+        zhi = F.get_json_object("meta", "$.hi").cast("long")
+        no_stats = zlo.isNull() | zhi.isNull()
+        if range_filter is not None:
+            col, lo, hi = range_filter
+            zv_lo, rv_lo = _zone_value(lo, fld)
+            zv_hi, rv_hi = _zone_value(hi, fld)
+            zpred = (zhi >= zv_lo) & (zlo <= zv_hi)
+            residual = ((F.col(col) >= F.lit(rv_lo))
+                        & (F.col(col) <= F.lit(rv_hi)))
+        else:
+            col, values = in_filter
+            pairs = [_zone_value(v, fld) for v in values]
+            zpred = F.lit(False)
+            for zv, _ in pairs:
+                zpred = zpred | ((zlo <= zv) & (zhi >= zv))
+            residual = F.col(col).isin([rv for _, rv in pairs])
     # zone-map pass: chunks whose stats overlap the predicate — or
     # carry no stats (never a false negative). The zone map lives in
     # the stats column's block meta; all components of a surviving
@@ -867,7 +909,7 @@ def read_encoded(
     # by run_id too: multi-epoch appends reuse chunk numbers).
     zones = blocks.filter(
         (F.col("column") == col) & (F.col("component") == "values")
-        & (zpred | zlo.isNull() | zhi.isNull())
+        & (zpred | no_stats)
     ).select("run_id", "bucket", "chunk").distinct()
     pruned = blocks.join(F.broadcast(zones), ["run_id", "bucket", "chunk"],
                          "left_semi")
