@@ -139,14 +139,21 @@ def test_uuid_eq_filter_and_validation(spark, tmp_path):
                       run_id="b", uuid_columns=["id"])
 
 
-def test_zone_filter_rejects_non_int_columns(spark, tmp_path):
+def test_zone_filter_rejects_unzonable(spark, tmp_path):
+    """Zone filters cover int/date/timestamp/string/binary lanes; a
+    float column (no zone maps) is rejected, and int bounds against a
+    string column fail loudly instead of building garbage byte
+    bounds."""
     import pytest
     from pyspark.sql import Row
 
-    df = spark.createDataFrame([Row(doc_id="a", n=1)], "doc_id string, n int")
+    df = spark.createDataFrame(
+        [Row(doc_id="a", n=1, x=1.5)], "doc_id string, n int, x double")
     path = os.path.join(str(tmp_path), "zi")
     write_encoded(df, path, n_buckets=1, run_id="z")
-    with pytest.raises(ValueError, match="integer column"):
-        read_encoded(spark, path, range_filter=("doc_id", 0, 10))
-    with pytest.raises(ValueError, match="integer column"):
-        read_encoded(spark, path, in_filter=("doc_id", [1]))
+    with pytest.raises(ValueError, match="zone maps"):
+        read_encoded(spark, path, range_filter=("x", 0, 10))
+    with pytest.raises(ValueError, match="must be str or bytes"):
+        read_encoded(spark, path, range_filter=("doc_id", 0, 10)).count()
+    with pytest.raises(ValueError, match="must be str or bytes"):
+        read_encoded(spark, path, in_filter=("doc_id", [1])).count()

@@ -214,3 +214,39 @@ def test_string_empty_range(spark, enc_strings):
     got = read_encoded(spark, path,
                        range_filter=("name", "zzz-0", "zzz-9"))
     assert got.count() == 0
+
+
+def test_combined_filters(spark, enc_strings):
+    """range + in + eq filters compose as a conjunction: survivors are
+    the intersection of each filter's surviving chunks, residuals AND."""
+    path, df = enc_strings
+    got = read_encoded(
+        spark, path,
+        range_filter=("name", "user-01000", "user-01999"),
+        in_filter=("k", list(range(1500, 1600))),
+    )
+    expect = df.filter(
+        F.col("name").between("user-01000", "user-01999")
+        & F.col("k").isin(list(range(1500, 1600)))
+    )
+    assert got.count() == expect.count() == 100
+
+    # contradictory conjunction -> empty, cheaply
+    none = read_encoded(
+        spark, path,
+        range_filter=("name", "user-01000", "user-01999"),
+        eq_filter=("name", "user-09000"),
+    )
+    assert none.count() == 0
+
+
+def test_combined_filters_projection(spark, enc_strings):
+    path, df = enc_strings
+    got = read_encoded(
+        spark, path, columns=["payload"],
+        range_filter=("name", "user-00100", "user-00199"),
+        in_filter=("k", [150, 151]),
+    )
+    assert got.columns == ["payload"]
+    assert sorted(r.payload for r in got.collect()) == \
+        [b"blob-00150", b"blob-00151"]

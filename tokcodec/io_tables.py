@@ -702,7 +702,15 @@ def _zone_value(v, dt: T.DataType) -> tuple[int, object]:
 
 
 def _str_bytes(v) -> bytes:
-    return v.encode("utf-8") if isinstance(v, str) else bytes(v)
+    if isinstance(v, str):
+        return v.encode("utf-8")
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
+    # bytes(int) would silently build a zero-filled buffer — reject
+    raise ValueError(
+        f"string/binary zone filter bound must be str or bytes, "
+        f"got {type(v).__name__}: {v!r}"
+    )
 
 
 def _str_zone_preds():
@@ -791,6 +799,13 @@ def read_encoded(
     bloom definitively excludes the value are skipped; chunks with no
     bloom block always survive (no false negatives).
 
+    The three filters COMPOSE (logical AND): e.g. a date
+    ``range_filter`` plus an ``eq_filter`` point lookup prunes to the
+    intersection of each filter's surviving chunks, then applies both
+    residuals. range/in accept integer, date, timestamp, string and
+    binary columns (ints/dates/timestamps via [lo, hi] zone maps;
+    strings/binary via truncated min/max bounds).
+
     A filter column missing from ``columns`` is decoded anyway and
     dropped from the output (round-2 ADVICE: the residual predicate
     used to fail with an opaque AnalysisException).
@@ -802,18 +817,25 @@ def read_encoded(
     manifest, lin = _load_table(spark, path, as_of_epoch=as_of_epoch)
     schema = manifest_schema(manifest)
 
-    if sum(x is not None for x in (range_filter, in_filter, eq_filter)) > 1:
-        raise ValueError("range_filter, in_filter and eq_filter are "
-                         "mutually exclusive")
-    fcol = None
-    for filt in (range_filter, in_filter, eq_filter):
-        if filt is not None:
-            fcol = filt[0]
-    if fcol is not None and fcol not in {f.name for f in schema.fields}:
-        raise ValueError(f"filter column {fcol!r} not in encoded table")
+    filts: list[tuple[str, tuple]] = []
+    if range_filter is not None:
+        filts.append(("range", tuple(range_filter)))
+    if in_filter is not None:
+        filts.append(("in", tuple(in_filter)))
+    if eq_filter is not None:
+        filts.append(("eq", tuple(eq_filter)))
+    names = {f.name for f in schema.fields}
+    fcols: list[str] = []
+    for _, spec in filts:
+        if spec[0] not in names:
+            raise ValueError(
+                f"filter column {spec[0]!r} not in encoded table")
+        if spec[0] not in fcols:
+            fcols.append(spec[0])
     decode_cols = columns
-    if columns is not None and fcol is not None and fcol not in columns:
-        decode_cols = list(columns) + [fcol]
+    if columns is not None and fcols:
+        decode_cols = list(columns) + [c for c in fcols
+                                       if c not in columns]
 
     run_ids = [r.run_id for r in lin.select("run_id").distinct().collect()]
     files = _run_files(spark, path, run_ids)
@@ -826,7 +848,7 @@ def read_encoded(
     # pruned reads anchor on the filter column's surviving rows
     fill_from = None
     if evolved:
-        fill_from = fcol if fcol is not None else METRICS_COLUMN
+        fill_from = fcols[0] if fcols else METRICS_COLUMN
     needed = None if decode_cols is None else set(decode_cols)
     if fill_from == METRICS_COLUMN:
         needed = set(needed_names) | {METRICS_COLUMN}
@@ -834,34 +856,48 @@ def read_encoded(
                         files=files)
 
     def _finish(out: DataFrame) -> DataFrame:
-        if columns is not None and fcol is not None and fcol not in columns:
-            out = out.drop(fcol)
+        if columns is not None:
+            for c in fcols:
+                if c not in columns:
+                    out = out.drop(c)
         return _expand_uuid_cols(out, manifest.get("uuid_columns", []))
 
-    if range_filter is None and in_filter is None and eq_filter is None:
+    if not filts:
         return _finish(decode_blocks(blocks, schema, decode_cols,
                                      verify_checksums=verify_checksums,
                                      fill_from=fill_from))
-    if eq_filter is not None:
-        col, value = eq_filter
+    residual = F.lit(True)
+    for kind, spec in filts:
+        blocks, res = _prune_one(blocks, schema, manifest, kind, spec)
+        residual = residual & res
+    out = decode_blocks(blocks, schema, decode_cols,
+                        verify_checksums=verify_checksums,
+                        fill_from=fill_from)
+    return _finish(out.filter(residual))
+
+
+def _prune_one(blocks: DataFrame, schema: T.StructType, manifest: dict,
+               kind: str, spec: tuple) -> tuple[DataFrame, object]:
+    """One pruning pass -> (blocks restricted to surviving
+    (run_id, bucket, chunk)s, exact residual predicate). Passes
+    compose: the surviving set of a conjunction is the intersection of
+    each filter's survivors, and the residuals AND together.
+
+    ``eq`` prunes via per-chunk blooms; ``range``/``in`` prune via
+    zone maps, which exist on every int-lane column (integers,
+    date = days, timestamp = epoch-µs) and on string/binary columns
+    (truncated min/max bounds). Chunks with no stats always survive —
+    never a false negative."""
+    if kind == "eq":
+        col, value = spec
         if col in manifest.get("uuid_columns", []) and isinstance(value, str):
             # the column is stored as 16-byte binary: probe the bloom
             # and compare with the stored representation (the decoded
             # frame is uuid-expanded only afterwards)
             value = bytes.fromhex(value.replace("-", ""))
-        pruned = _bloom_prune(blocks, col, value)
-        out = decode_blocks(pruned, schema, decode_cols,
-                            verify_checksums=verify_checksums,
-                            fill_from=fill_from)
-        return _finish(out.filter(F.col(col) == value))
-    # zone filters work on every int-lane column — integers AND
-    # date/timestamp (stored as days / epoch-µs, so their chunks carry
-    # the same [lo, hi] zone maps) — and on string/binary columns via
-    # the truncated min/max bounds (parquet-style statistics);
-    # anything else would silently prune every chunk
-    zone_col = (in_filter or range_filter)[0]
-    fld = next((f.dataType for f in schema.fields if f.name == zone_col),
-               None)
+        return _bloom_prune(blocks, col, value), F.col(col) == value
+    col = spec[0]
+    fld = next((f.dataType for f in schema.fields if f.name == col), None)
     str_lane = isinstance(fld, (T.StringType, T.BinaryType))
     if not str_lane and not isinstance(
             fld, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -869,16 +905,16 @@ def read_encoded(
         raise ValueError(
             f"range_filter/in_filter require an integer, date, "
             f"timestamp, string or binary column with zone maps; "
-            f"{zone_col!r} is {fld}"
+            f"{col!r} is {fld}"
         )
     if str_lane:
         no_stats, zover = _str_zone_preds()
-        if range_filter is not None:
-            col, lo, hi = range_filter
+        if kind == "range":
+            _, lo, hi = spec
             zpred = zover(_str_bytes(lo), _str_bytes(hi))
             residual = ((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
         else:
-            col, values = in_filter
+            _, values = spec
             zpred = F.lit(False)
             for v in values:
                 vb = _str_bytes(v)
@@ -888,35 +924,30 @@ def read_encoded(
         zlo = F.get_json_object("meta", "$.lo").cast("long")
         zhi = F.get_json_object("meta", "$.hi").cast("long")
         no_stats = zlo.isNull() | zhi.isNull()
-        if range_filter is not None:
-            col, lo, hi = range_filter
+        if kind == "range":
+            _, lo, hi = spec
             zv_lo, rv_lo = _zone_value(lo, fld)
             zv_hi, rv_hi = _zone_value(hi, fld)
             zpred = (zhi >= zv_lo) & (zlo <= zv_hi)
             residual = ((F.col(col) >= F.lit(rv_lo))
                         & (F.col(col) <= F.lit(rv_hi)))
         else:
-            col, values = in_filter
+            _, values = spec
             pairs = [_zone_value(v, fld) for v in values]
             zpred = F.lit(False)
             for zv, _ in pairs:
                 zpred = zpred | ((zlo <= zv) & (zhi >= zv))
             residual = F.col(col).isin([rv for _, rv in pairs])
     # zone-map pass: chunks whose stats overlap the predicate — or
-    # carry no stats (never a false negative). The zone map lives in
-    # the stats column's block meta; all components of a surviving
-    # (run_id, bucket, chunk) are kept so row alignment holds (keyed
-    # by run_id too: multi-epoch appends reuse chunk numbers).
+    # carry no stats. All components of a surviving (run_id, bucket,
+    # chunk) are kept so row alignment holds (keyed by run_id too:
+    # multi-epoch appends reuse chunk numbers).
     zones = blocks.filter(
         (F.col("column") == col) & (F.col("component") == "values")
         & (zpred | no_stats)
     ).select("run_id", "bucket", "chunk").distinct()
-    pruned = blocks.join(F.broadcast(zones), ["run_id", "bucket", "chunk"],
-                         "left_semi")
-    out = decode_blocks(pruned, schema, decode_cols,
-                        verify_checksums=verify_checksums,
-                        fill_from=fill_from)
-    return _finish(out.filter(residual))
+    return blocks.join(F.broadcast(zones), ["run_id", "bucket", "chunk"],
+                       "left_semi"), residual
 
 
 def read_encoded_direct(
