@@ -26,17 +26,25 @@ def main() -> None:
     p.add_argument("--table", required=True, help="encoded table path")
     p.add_argument("--compact", action="store_true")
     p.add_argument("--vacuum", action="store_true")
+    p.add_argument("--describe", action="store_true",
+                   help="print schema/codec/ratio stats from metadata "
+                        "only (no block payload read)")
     p.add_argument("--buckets", type=int, default=0,
                    help="re-bucket during compaction (0 = keep)")
     p.add_argument("--cluster-by", default=None)
     p.add_argument("--run-id", default=None)
     args = p.parse_args()
-    if not (args.compact or args.vacuum):
-        p.error("nothing to do: pass --compact and/or --vacuum")
+    if not (args.compact or args.vacuum or args.describe):
+        p.error("nothing to do: pass --compact, --vacuum and/or "
+                "--describe")
 
     from pyspark.sql import SparkSession
 
-    from tokcodec.io_tables import compact_encoded, vacuum_encoded
+    from tokcodec.io_tables import (
+        compact_encoded,
+        describe_encoded,
+        vacuum_encoded,
+    )
 
     spark = SparkSession.builder.appName("tokcodec-maintenance").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -48,6 +56,8 @@ def main() -> None:
         )
     if args.vacuum:
         out["vacuum"] = vacuum_encoded(spark, args.table)
+    if args.describe:
+        out["describe"] = describe_encoded(spark, args.table)
     print(json.dumps(out))
     spark.stop()
 

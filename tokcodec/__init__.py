@@ -17,6 +17,8 @@ from tokcodec.decode import decode_blocks  # noqa: F401
 from tokcodec.encode import encode_table, with_bucket  # noqa: F401
 from tokcodec.io_tables import (  # noqa: F401
     compact_encoded,
+    count_encoded,
+    describe_encoded,
     encoded_size_bytes,
     parquet_size_bytes,
     read_encoded,

@@ -150,6 +150,7 @@ def _string_zone_bounds(arr: pa.Array) -> tuple[bytes | None, bytes | None,
     if len(mx) <= _STR_ZONE_LIMIT:
         return lo, mx, False
     t = bytearray(mx[:_STR_ZONE_LIMIT])
+    # bounded: walks at most _STR_ZONE_LIMIT bytes, once per chunk
     for i in range(len(t) - 1, -1, -1):
         if t[i] < 0xFF:
             t[i] += 1

@@ -572,7 +572,8 @@ def suggest_buckets(total_bytes: int,
 
 
 def _load_table(spark: SparkSession, path: str,
-                as_of_epoch: int | None = None):
+                as_of_epoch: int | None = None,
+                full_lineage: bool = False):
     """(manifest, committed-lineage DF). Raises on pre-v2 layouts.
 
     ``as_of_epoch``: snapshot/time-travel read — only lineage rows
@@ -592,7 +593,9 @@ def _load_table(spark: SparkSession, path: str,
     lineage = spark.read.schema(LINEAGE_DDL).parquet(lineage_p)
     if as_of_epoch is not None:
         lineage = lineage.filter(F.col("epoch") <= int(as_of_epoch))
-    lin = committed(lineage).select("bucket", "run_id")
+    lin = committed(lineage)
+    if not full_lineage:
+        lin = lin.select("bucket", "run_id")
     return manifest, lin
 
 
@@ -1188,6 +1191,53 @@ def vacuum_encoded(spark: SparkSession, path: str) -> dict:
             stale += 1
     return {"deleted_files": deleted, "deleted_run_manifests": stale,
             "referenced_files": len(referenced)}
+
+
+def count_encoded(spark: SparkSession, path: str,
+                  as_of_epoch: int | None = None) -> int:
+    """Exact row count from commit metadata alone — no block file is
+    opened (the SELECT COUNT(*) fast path; at 100 TB this reads a few
+    MB of lineage instead of the table). Counts the winning lineage
+    row per (bucket, epoch), honoring tombstones and time travel."""
+    _, lin = _load_table(spark, path, as_of_epoch=as_of_epoch,
+                         full_lineage=True)
+    n = lin.agg(F.sum("n_rows")).collect()[0][0]
+    return int(n or 0)
+
+
+def describe_encoded(spark: SparkSession, path: str) -> dict:
+    """Table observability from metadata only: schema, bucket count,
+    per-column codec selection frequencies, bytes in/out and overall
+    ratio — the reference's footer/stats introspection
+    (ParquetMetadata / CarpetReader schema dump) for an encoded table.
+    Reads the manifest + lineage, never a block payload."""
+    manifest = json.loads(_read_text(spark, os.path.join(
+        path, "_manifest.json")))
+    _, lin = _load_table(spark, path, full_lineage=True)
+    rows = lin.collect()
+    codec_freq: dict[str, dict[str, int]] = {}
+    orig = enc = n_rows = 0
+    for r in rows:
+        n_rows += r.n_rows or 0
+        orig += r.orig_bytes or 0
+        enc += r.enc_bytes or 0
+        for col, codec in json.loads(r.codecs or "{}").items():
+            codec_freq.setdefault(col, {})
+            codec_freq[col][codec] = codec_freq[col].get(codec, 0) + 1
+    return {
+        "ddl": manifest["ddl"],
+        "layout": manifest.get("layout", 1),
+        "n_buckets": manifest["n_buckets"],
+        "uuid_columns": manifest.get("uuid_columns", []),
+        "enum_columns": manifest.get("enum_columns", {}),
+        "rows": n_rows,
+        "committed_buckets": len({r.bucket for r in rows}),
+        "epochs": sorted({int(r.epoch) for r in rows}),
+        "orig_bytes": orig,
+        "enc_bytes": enc,
+        "ratio": (enc / orig) if orig else None,
+        "codecs": codec_freq,
+    }
 
 
 def encoded_size_bytes(path: str) -> int:
