@@ -840,8 +840,14 @@ def read_encoded(
         decode_cols = list(columns) + [c for c in fcols
                                        if c not in columns]
 
-    run_ids = [r.run_id for r in lin.select("run_id").distinct().collect()]
+    # ONE small driver job collects the committed (bucket, run_id)
+    # pairs; run ids, the file plan, and the reader-side semi-join all
+    # derive from it locally (collecting lineage is O(buckets x epochs)
+    # — the same driver-side footprint the direct reader has)
+    lin_rows = [(int(r.bucket), r.run_id) for r in lin.collect()]
+    run_ids = sorted({rid for _, rid in lin_rows})
     files = _run_files(spark, path, run_ids)
+    lin_local = spark.createDataFrame(lin_rows, "bucket int, run_id string")
     needed_names = ([f.name for f in schema.fields] if decode_cols is None
                     else list(decode_cols))
     evolved = _evolution_fill_columns(files, needed_names)
@@ -855,7 +861,7 @@ def read_encoded(
     needed = None if decode_cols is None else set(decode_cols)
     if fill_from == METRICS_COLUMN:
         needed = set(needed_names) | {METRICS_COLUMN}
-    blocks = _blocks_df(spark, path, lin, columns_needed=needed,
+    blocks = _blocks_df(spark, path, lin_local, columns_needed=needed,
                         files=files)
 
     def _finish(out: DataFrame) -> DataFrame:
