@@ -157,6 +157,18 @@ def q_roundtrip_point_lookup(spark, sf_dir):
     )
 
 
+def q_metadata_rowcount(spark, sf_dir):
+    """COUNT(*) served from commit metadata alone (count_encoded sums
+    the winning lineage rows; no block payload is opened) must equal
+    DuckDB's COUNT over the source — the metadata fast path a 10^12-row
+    table needs, under the hash gate."""
+    from tokcodec.io_tables import count_encoded
+
+    _decoded_sequences(spark, sf_dir)  # ensure encoded table exists
+    n = count_encoded(spark, _entry_table_path(sf_dir))
+    return spark.createDataFrame([(n,)], "n_rows bigint")
+
+
 def q_roundtrip_docid_range(spark, sf_dir):
     """String zone-map range scan (parquet truncated-statistics
     analogue): chunks whose [slo, shi] string bounds miss the
@@ -1253,6 +1265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_tokens_exact": q_roundtrip_tokens_exact,
         "roundtrip_point_lookup": q_roundtrip_point_lookup,
         "roundtrip_docid_range": q_roundtrip_docid_range,
+        "metadata_rowcount": q_metadata_rowcount,
         "stream_ingest_roundtrip": q_stream_ingest_roundtrip,
         "roundtrip_lineitem_pricing": q_roundtrip_lineitem_pricing,
         "roundtrip_lineitem_daterange": q_roundtrip_lineitem_daterange,
@@ -1337,6 +1350,8 @@ SELECT source,
        MAX(doc_id) AS last_id
 FROM seq WHERE doc_id BETWEEN '200' AND '219'
 GROUP BY source""",
+        "metadata_rowcount": f"""{_SEQ_CTE}
+SELECT COUNT(*) AS n_rows FROM seq""",
         "stream_ingest_roundtrip": f"""{_SEQ_CTE}
 SELECT source,
        COUNT(*) AS n_docs,

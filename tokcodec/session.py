@@ -56,6 +56,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # block files are self-contained per-column payloads, often
+        # well under the 4 MB default openCost; at that default every
+        # file becomes its own scan partition (maxSplitBytes collapses
+        # to openCost when bytesPerCore is small), turning a 255-file
+        # table into 200+ scheduler-bound tasks. 128 KB packs several
+        # block files per task; irrelevant for large files.
+        .config("spark.sql.files.openCostInBytes", str(128 << 10))
         .config("spark.ui.enabled", "false")
     )
     if local_dir:
