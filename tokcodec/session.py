@@ -63,6 +63,14 @@ def get_spark(
         # table into 200+ scheduler-bound tasks. 128 KB packs several
         # block files per task; irrelevant for large files.
         .config("spark.sql.files.openCostInBytes", str(128 << 10))
+        # reads plan EXPLICIT file lists from the run manifests; above
+        # this many paths Spark launches a distributed listing job
+        # (one task per path) before every scan — pure fixed latency
+        # for the file counts a run produces. Driver-side getFileStatus
+        # is cheap up to a few thousand paths; beyond that (huge
+        # many-run tables) the distributed listing earns its keep.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+                "2048")
         .config("spark.ui.enabled", "false")
     )
     if local_dir:
