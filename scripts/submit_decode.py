@@ -46,32 +46,26 @@ def main() -> None:
     spark = SparkSession.builder.appName("tokcodec-decode").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     columns = [c for c in args.columns.split(",") if c] or None
-    if args.direct:
-        if args.range_filter or args.eq_filter:
-            raise SystemExit("--direct supports projection only")
-        df = read_encoded_direct(spark, args.input, columns=columns,
-                                 verify_checksums=args.verify_checksums,
-                                 as_of_epoch=args.as_of_epoch)
-    else:
-        rf = None
-        if args.range_filter:
-            c, lo, hi = args.range_filter.split(":")
-            # ints stay ints; dates/timestamps pass through as ISO
-            # strings (read_encoded converts per the column type)
-            def _b(x):
-                try:
-                    return int(x)
-                except ValueError:
-                    return x
-            rf = (c, _b(lo), _b(hi))
-        ef = None
-        if args.eq_filter:
-            c, v = args.eq_filter.split(":", 1)
-            ef = (c, v)
-        df = read_encoded(spark, args.input, columns=columns,
-                          range_filter=rf, eq_filter=ef,
-                          verify_checksums=args.verify_checksums,
-                          as_of_epoch=args.as_of_epoch)
+    rf = None
+    if args.range_filter:
+        c, lo, hi = args.range_filter.split(":")
+        # ints stay ints; dates pass through as ISO strings
+        # (read_encoded converts per the column type)
+        def _b(x):
+            try:
+                return int(x)
+            except ValueError:
+                return x
+        rf = (c, _b(lo), _b(hi))
+    ef = None
+    if args.eq_filter:
+        c, v = args.eq_filter.split(":", 1)
+        ef = (c, v)
+    reader = read_encoded_direct if args.direct else read_encoded
+    df = reader(spark, args.input, columns=columns,
+                range_filter=rf, eq_filter=ef,
+                verify_checksums=args.verify_checksums,
+                as_of_epoch=args.as_of_epoch)
     df.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
     print(json.dumps({"rows": n, "output": args.output}))

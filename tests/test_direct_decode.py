@@ -64,3 +64,45 @@ def test_direct_uuid_expansion(spark, tmp_path):
     out = {r["n"]: r["id"] for r in read_encoded_direct(spark, path).collect()}
     for i, u in enumerate(us):
         assert out[i] == u
+
+
+def test_direct_filters_match_grouped(spark, tmp_path):
+    """The direct reader's executor-side chunk pruning (zone bounds +
+    blooms evaluated in the task) must return exactly what the grouped
+    reader's DataFrame-side pruning returns, for every filter kind and
+    their conjunction."""
+    from pyspark.sql import functions as F
+
+    from tokcodec.io_tables import read_encoded, read_encoded_direct
+
+    path = str(tmp_path / "encf")
+    df = spark.range(8_000).select(
+        F.format_string("d%05d", F.col("id")).alias("doc_id"),
+        F.col("id").cast("int").alias("k"),
+        F.date_add(F.lit("2024-01-01").cast("date"),
+                   (F.col("id") % 200).cast("int")).alias("d"),
+    )
+    write_encoded(df, path, n_buckets=4, run_id="r", cluster_by="k",
+                  chunk_max_rows=500, bloom_columns=["doc_id"])
+
+    cases = [
+        {"range_filter": ("k", 1000, 1999)},
+        {"range_filter": ("d", "2024-03-01", "2024-03-31")},
+        {"in_filter": ("k", [17, 4242, 7999])},
+        {"eq_filter": ("doc_id", "d00777")},
+        {"range_filter": ("k", 500, 2500),
+         "eq_filter": ("doc_id", "d00777")},
+        {"range_filter": ("doc_id", "d00100", "d00199"),
+         "in_filter": ("k", list(range(150, 260)))},
+    ]
+    for case in cases:
+        a = sorted(read_encoded(spark, path, **case).collect())
+        b = sorted(read_encoded_direct(spark, path, **case).collect())
+        assert a == b, (case, len(a), len(b))
+        assert len(a) > 0, case
+    # projection + filter on a non-projected column
+    a = sorted(read_encoded(spark, path, columns=["doc_id"],
+                            range_filter=("k", 10, 20)).collect())
+    b = sorted(read_encoded_direct(spark, path, columns=["doc_id"],
+                                   range_filter=("k", 10, 20)).collect())
+    assert a == b and len(a) == 11

@@ -885,12 +885,11 @@ def read_encoded(
     return _finish(out.filter(residual))
 
 
-def _prune_one(blocks: DataFrame, schema: T.StructType, manifest: dict,
-               kind: str, spec: tuple) -> tuple[DataFrame, object]:
-    """One pruning pass -> (blocks restricted to surviving
-    (run_id, bucket, chunk)s, exact residual predicate). Passes
-    compose: the surviving set of a conjunction is the intersection of
-    each filter's survivors, and the residuals AND together.
+def _normalize_filter(schema: T.StructType, manifest: dict,
+                      kind: str, spec: tuple) -> dict:
+    """One filter -> {kind, col, lane, bounds, value, residual}:
+    normalized storage-lane bounds for zone/bloom pruning (shared by
+    the grouped and the direct reader) plus the exact residual Column.
 
     ``eq`` prunes via per-chunk blooms; ``range``/``in`` prune via
     zone maps, which exist on every int-lane column (integers,
@@ -904,7 +903,8 @@ def _prune_one(blocks: DataFrame, schema: T.StructType, manifest: dict,
             # and compare with the stored representation (the decoded
             # frame is uuid-expanded only afterwards)
             value = bytes.fromhex(value.replace("-", ""))
-        return _bloom_prune(blocks, col, value), F.col(col) == value
+        return {"kind": "eq", "col": col, "value": value,
+                "residual": F.col(col) == value}
     col = spec[0]
     fld = next((f.dataType for f in schema.fields if f.name == col), None)
     str_lane = isinstance(fld, (T.StringType, T.BinaryType))
@@ -917,36 +917,54 @@ def _prune_one(blocks: DataFrame, schema: T.StructType, manifest: dict,
             f"{col!r} is {fld}"
         )
     if str_lane:
-        no_stats, zover = _str_zone_preds()
         if kind == "range":
             _, lo, hi = spec
-            zpred = zover(_str_bytes(lo), _str_bytes(hi))
+            bounds = [(_str_bytes(lo), _str_bytes(hi))]
             residual = ((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
         else:
             _, values = spec
-            zpred = F.lit(False)
-            for v in values:
-                vb = _str_bytes(v)
-                zpred = zpred | zover(vb, vb)
+            bounds = [(_str_bytes(v), _str_bytes(v)) for v in values]
             residual = F.col(col).isin(list(values))
+        return {"kind": "zone", "col": col, "lane": "str",
+                "bounds": bounds, "residual": residual}
+    if kind == "range":
+        _, lo, hi = spec
+        zv_lo, rv_lo = _zone_value(lo, fld)
+        zv_hi, rv_hi = _zone_value(hi, fld)
+        bounds = [(zv_lo, zv_hi)]
+        residual = ((F.col(col) >= F.lit(rv_lo))
+                    & (F.col(col) <= F.lit(rv_hi)))
+    else:
+        _, values = spec
+        pairs = [_zone_value(v, fld) for v in values]
+        bounds = [(zv, zv) for zv, _ in pairs]
+        residual = F.col(col).isin([rv for _, rv in pairs])
+    return {"kind": "zone", "col": col, "lane": "int",
+            "bounds": bounds, "residual": residual}
+
+
+def _prune_one(blocks: DataFrame, schema: T.StructType, manifest: dict,
+               kind: str, spec: tuple) -> tuple[DataFrame, object]:
+    """One pruning pass -> (blocks restricted to surviving
+    (run_id, bucket, chunk)s, exact residual predicate). Passes
+    compose: the surviving set of a conjunction is the intersection of
+    each filter's survivors, and the residuals AND together."""
+    nf = _normalize_filter(schema, manifest, kind, spec)
+    col = nf["col"]
+    if nf["kind"] == "eq":
+        return _bloom_prune(blocks, col, nf["value"]), nf["residual"]
+    if nf["lane"] == "str":
+        no_stats, zover = _str_zone_preds()
+        zpred = F.lit(False)
+        for lo_b, hi_b in nf["bounds"]:
+            zpred = zpred | zover(lo_b, hi_b)
     else:
         zlo = F.get_json_object("meta", "$.lo").cast("long")
         zhi = F.get_json_object("meta", "$.hi").cast("long")
         no_stats = zlo.isNull() | zhi.isNull()
-        if kind == "range":
-            _, lo, hi = spec
-            zv_lo, rv_lo = _zone_value(lo, fld)
-            zv_hi, rv_hi = _zone_value(hi, fld)
-            zpred = (zhi >= zv_lo) & (zlo <= zv_hi)
-            residual = ((F.col(col) >= F.lit(rv_lo))
-                        & (F.col(col) <= F.lit(rv_hi)))
-        else:
-            _, values = spec
-            pairs = [_zone_value(v, fld) for v in values]
-            zpred = F.lit(False)
-            for zv, _ in pairs:
-                zpred = zpred | ((zlo <= zv) & (zhi >= zv))
-            residual = F.col(col).isin([rv for _, rv in pairs])
+        zpred = F.lit(False)
+        for zv_lo, zv_hi in nf["bounds"]:
+            zpred = zpred | ((zhi >= zv_lo) & (zlo <= zv_hi))
     # zone-map pass: chunks whose stats overlap the predicate — or
     # carry no stats. All components of a surviving (run_id, bucket,
     # chunk) are kept so row alignment holds (keyed by run_id too:
@@ -956,13 +974,16 @@ def _prune_one(blocks: DataFrame, schema: T.StructType, manifest: dict,
         & (zpred | no_stats)
     ).select("run_id", "bucket", "chunk").distinct()
     return blocks.join(F.broadcast(zones), ["run_id", "bucket", "chunk"],
-                       "left_semi"), residual
+                       "left_semi"), nf["residual"]
 
 
 def read_encoded_direct(
     spark: SparkSession, path: str, columns: list[str] | None = None,
     verify_checksums: bool = False,
     as_of_epoch: int | None = None,
+    range_filter: tuple | None = None,
+    in_filter: tuple | None = None,
+    eq_filter: tuple | None = None,
 ) -> DataFrame:
     """Shuffle-free decode: one task per committed bucket opens that
     bucket's block files directly with pyarrow.
@@ -980,18 +1001,40 @@ def read_encoded_direct(
     The bucket->files map is planned from the committed runs' file
     manifests (exact per-file bucket ranges recorded at write time):
     no directory listing, no footer walk, O(committed files) driver
-    work — the round-2 footer-statistics walk is gone."""
+    work — the round-2 footer-statistics walk is gone.
+
+    ``range_filter``/``in_filter``/``eq_filter`` match read_encoded's
+    semantics and compose as a conjunction; chunk pruning happens
+    executor-side from the bucket's own block metas (zone bounds /
+    blooms evaluated in the task), so non-surviving chunks are never
+    decoded, and the exact residual runs JVM-side afterwards."""
     from tokcodec.decode import make_decode_fn
 
     blocks_p, _, _ = _paths(path)
     manifest, lin = _load_table(spark, path, as_of_epoch=as_of_epoch)
-    schema = manifest_schema(manifest)
+    full_schema = manifest_schema(manifest)
+    filts: list[tuple[str, tuple]] = []
+    if range_filter is not None:
+        filts.append(("range", tuple(range_filter)))
+    if in_filter is not None:
+        filts.append(("in", tuple(in_filter)))
+    if eq_filter is not None:
+        filts.append(("eq", tuple(eq_filter)))
+    nfs = [_normalize_filter(full_schema, manifest, k, s)
+           for k, s in filts]
+    fcols: list[str] = []
+    for nf in nfs:
+        if nf["col"] not in fcols:
+            fcols.append(nf["col"])
+    schema = full_schema
     if columns is not None:
         by_name = {f.name: f for f in schema.fields}
         missing = set(columns) - set(by_name)
         if missing:
             raise ValueError(f"columns not in encoded table: {sorted(missing)}")
-        schema = T.StructType([by_name[c] for c in columns])
+        decode_names = list(columns) + [c for c in fcols
+                                        if c not in columns]
+        schema = T.StructType([by_name[c] for c in decode_names])
     wanted = {f.name for f in schema.fields}
     accepted: dict[int, list[str]] = {}
     for r in lin.collect():  # one row per (bucket, epoch) — tiny
@@ -1002,13 +1045,23 @@ def read_encoded_direct(
     scan_cols = set(wanted)
     fill_from = None
     if _evolution_fill_columns(files, wanted):
-        # schema-evolved table: scan the per-(run, bucket) metrics
-        # rows too — they carry the fill counts for runs that predate
-        # a projected column (see make_decode_fn)
-        fill_from = METRICS_COLUMN
-        scan_cols.add(METRICS_COLUMN)
+        if fcols:
+            # pruned read: anchor fill counts on a filter column's
+            # surviving rows (metrics counts would be stale after
+            # chunk pruning — same rule as the grouped reader)
+            fill_from = fcols[0]
+        else:
+            # schema-evolved table: scan the per-(run, bucket) metrics
+            # rows too — they carry the fill counts for runs that
+            # predate a projected column (see make_decode_fn)
+            fill_from = METRICS_COLUMN
+            scan_cols.add(METRICS_COLUMN)
     inner = make_decode_fn(schema, verify_checksums=verify_checksums,
                            fill_from=fill_from)
+    # executor-side pruning spec: picklable parts only (no Columns)
+    prune_specs = [
+        {k: v for k, v in nf.items() if k != "residual"} for nf in nfs
+    ]
     acc_b = spark.sparkContext.broadcast(accepted)
 
     acc_sorted = sorted(accepted)
@@ -1047,7 +1100,12 @@ def read_encoded_direct(
                         parts.append(t)
                 if not parts:
                     continue
-                out = inner((bucket,), pa.concat_tables(parts))
+                tbl = pa.concat_tables(parts)
+                if prune_specs:
+                    tbl = _prune_block_table(tbl, prune_specs)
+                    if tbl.num_rows == 0:
+                        continue
+                out = inner((bucket,), tbl)
                 yield from out.to_batches()
 
     buckets_df = spark.createDataFrame(
@@ -1058,7 +1116,88 @@ def read_encoded_direct(
     out = buckets_df.repartition(n_tasks, F.col("bucket")).mapInArrow(
         fn, schema=schema
     )
+    for nf in nfs:
+        out = out.filter(nf["residual"])
+    if columns is not None:
+        for c in fcols:
+            if c not in columns:
+                out = out.drop(c)
     return _expand_uuid_cols(out, manifest.get("uuid_columns", []))
+
+
+def _prune_block_table(tbl, specs: list[dict]):
+    """Executor-side chunk pruning for the direct reader: evaluate
+    each filter's surviving (run_id, chunk) set from ONE bucket's
+    block rows (zone bounds in the values metas; blooms for eq), then
+    keep only rows of the intersection. Mirrors _prune_one's
+    DataFrame-side semantics: chunks with no stats survive; a run
+    lacking the filter column entirely contributes nothing (NULL never
+    matches a filter). All loops are bounded by chunks-per-bucket."""
+    import base64 as _b64
+    import json as _json
+
+    import numpy as np
+    import pyarrow as pa
+
+    from tokcodec.bloom import bloom_might_contain, bloom_params
+
+    runs = tbl.column("run_id").to_pylist()
+    chunks = tbl.column("chunk").to_pylist()
+    colnames = tbl.column("column").to_pylist()
+    comps = tbl.column("component").to_pylist()
+    allowed: set | None = None
+    for nf in specs:
+        col = nf["col"]
+        surv: set = set()
+        if nf["kind"] == "eq":
+            g1, g2 = bloom_params(
+                nf["value"].encode("utf-8")
+                if isinstance(nf["value"], str) else bytes(nf["value"]))
+            blooms: dict = {}
+            for i, (c, cp) in enumerate(zip(colnames, comps)):
+                if c == col and cp == "bloom":
+                    blooms[(runs[i], chunks[i])] = bool(
+                        bloom_might_contain(
+                            tbl.column("payload")[i].as_py(), g1, g2))
+            for i, (c, cp) in enumerate(zip(colnames, comps)):
+                if c == col and cp == "values":
+                    key = (runs[i], chunks[i])
+                    if blooms.get(key, True):  # no bloom -> survive
+                        surv.add(key)
+        else:
+            for i, (c, cp) in enumerate(zip(colnames, comps)):
+                if c != col or cp != "values":
+                    continue
+                meta = _json.loads(tbl.column("meta")[i].as_py())
+                key = (runs[i], chunks[i])
+                if nf["lane"] == "int":
+                    zlo, zhi = meta.get("lo"), meta.get("hi")
+                    if zlo is None or zhi is None:
+                        surv.add(key)  # no stats: never a false negative
+                        continue
+                    if any(zhi >= b_lo and zlo <= b_hi
+                           for b_lo, b_hi in nf["bounds"]):
+                        surv.add(key)
+                else:
+                    slo = meta.get("slo")
+                    if slo is None and not meta.get("shi_inf"):
+                        surv.add(key)
+                        continue
+                    slo_b = _b64.b64decode(slo) if slo else b""
+                    shi = meta.get("shi")
+                    shi_b = _b64.b64decode(shi) if shi else None
+                    for b_lo, b_hi in nf["bounds"]:
+                        upper_ok = (shi_b is None) or (shi_b >= b_lo)
+                        if upper_ok and slo_b <= b_hi:
+                            surv.add(key)
+                            break
+        allowed = surv if allowed is None else (allowed & surv)
+    if allowed is None:
+        return tbl
+    mask = np.array(
+        [(r, ck) in allowed for r, ck in zip(runs, chunks)], dtype=bool
+    )
+    return tbl.filter(pa.array(mask))
 
 
 def read_encoded_as(
