@@ -11,10 +11,13 @@ oracle recomputes the same aggregates from the raw documents table via
 a portable tokenizer — any bit error in any codec breaks the match.
 The q_* queries cover the relational operator categories of
 SURVEY.md §2.2; docs_* / dedup_* / emb_* cover training-data pipeline
-ops. Only encode_lineage_metrics / media_feature_stats are rows-only
-(engine-internal metrics and a stubbed media decode); everything else
-— including minhash, simhash, and the IVF probe (gated against exact
-brute-force top-k) — is oracle-checked.
+ops; round 3 adds JDBC-through-Derby, variant extraction, schema
+evolution, string/date zone scans and the metadata COUNT(*) under the
+same hash gate (43 oracled). Only encode_lineage_metrics /
+media_feature_stats are rows-only (engine-internal metrics and a
+stubbed media decode); everything else — including minhash, simhash,
+and the IVF probe (gated against exact brute-force top-k) — is
+oracle-checked.
 """
 
 from __future__ import annotations
