@@ -128,20 +128,32 @@ def test_incompatible_evolutions_raise(spark, evolved):
                       resume=True, epoch=9, schema_evolution=True)
 
 
-def test_read_as_refuses_evolved(spark, evolved):
+def test_read_as_on_evolved(spark, evolved):
+    """Schema-on-read works on an evolved table: runs that predate a
+    requested column null-fill at their run position, and the
+    name-mapping/widening policy applies on top."""
     from pyspark.sql import types as T
 
     from tokcodec.io_tables import read_encoded_as
 
-    with pytest.raises(NotImplementedError, match="compact"):
-        read_encoded_as(
-            spark, evolved,
-            T.StructType([
-                T.StructField("doc_id", T.StringType(), False),
-                T.StructField("n_tok", T.IntegerType(), False),
-            ]),
-            fail_on_missing_column=False,
-        )
+    out = read_encoded_as(
+        spark, evolved,
+        T.StructType([
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("n_tok", T.LongType(), False),  # widened
+        ]),
+        fail_on_missing_column=False,
+    )
+    # expectations relative to the default reader: earlier tests in
+    # this module append more epochs to the shared fixture
+    ref = read_encoded(spark, evolved)
+    assert out.count() == ref.count()
+    assert out.filter(F.col("lang").isNull()).count() == \
+        ref.filter(F.col("lang").isNull()).count()
+    assert dict(out.dtypes)["n_tok"] == "bigint"
+    assert out.agg(F.sum("n_tok")).collect()[0][0] == \
+        ref.agg(F.sum("n_tok")).collect()[0][0]
 
 
 def test_time_travel_as_of_epoch(spark, evolved):

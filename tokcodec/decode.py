@@ -388,7 +388,8 @@ def decode_blocks_as(blocks: DataFrame, file_schema: T.StructType,
                      read_schema: T.StructType,
                      aliases: dict[str, str] | None = None,
                      fail_on_missing_column: bool = True,
-                     fail_on_narrowing: bool = False) -> DataFrame:
+                     fail_on_narrowing: bool = False,
+                     fill_from: str | None = None) -> DataFrame:
     """Schema-on-read decode with the reference's mismatch policy
     (SchemaValidation.java:63-124 + ColumnToFieldMapper):
 
@@ -413,9 +414,14 @@ def decode_blocks_as(blocks: DataFrame, file_schema: T.StructType,
         plan.append((rf, file_by_name[col] if col is not None else None))
 
     present = [ff.name for _, ff in plan if ff is not None]
-    b = blocks.filter(
-        (F.col("column") != METRICS_COLUMN) & F.col("column").isin(present)
-    )
+    if fill_from == METRICS_COLUMN:
+        # schema-evolved table: the metrics rows carry per-run fill
+        # counts (see make_decode_fn)
+        keep = F.col("column").isin(present + [METRICS_COLUMN])
+    else:
+        keep = ((F.col("column") != METRICS_COLUMN)
+                & F.col("column").isin(present))
+    b = blocks.filter(keep)
     out_schema = pa.schema(
         [(rf.name, spark_type_to_arrow(rf.dataType)) for rf, _ in plan]
     )
@@ -425,14 +431,26 @@ def decode_blocks_as(blocks: DataFrame, file_schema: T.StructType,
         by_col: dict[str, list[dict]] = {}
         for r in recs:
             by_col.setdefault(r["column"], []).append(r)
-        n = _column_row_count(next(iter(by_col.values())))
+        fills = None
+        if fill_from == METRICS_COLUMN:
+            per_run: dict[str, int] = {}
+            for r in by_col.get(METRICS_COLUMN, []):
+                per_run[r["run_id"]] = (
+                    per_run.get(r["run_id"], 0) + r["n_rows"]
+                )
+            fills = sorted(per_run.items())
+            n = sum(nr for _, nr in fills)
+        else:
+            n = _column_row_count(next(iter(by_col.values())))
         arrays = []
         for (rf, ff), target in zip(plan, out_schema.types):
             if ff is None:
                 arrays.append(_default_array(rf.dataType, n, rf.nullable))
                 continue
             ftarget = spark_type_to_arrow(ff.dataType)
-            arr = _decode_field(by_col[ff.name], ff.dataType, ftarget)
+            rows = (by_col[ff.name] if fills is None
+                    else by_col.get(ff.name, []))
+            arr = _decode_field(rows, ff.dataType, ftarget, fills)
             if arr.type != target:
                 arr = arr.cast(target, safe=bool(fail_on_narrowing))
             arrays.append(arr)

@@ -1214,17 +1214,20 @@ def read_encoded_as(
     file_schema = manifest_schema(manifest)
     run_ids = [r.run_id for r in lin.select("run_id").distinct().collect()]
     files = _run_files(spark, path, run_ids)
+    fill_from = None
+    needed = None
     if _evolution_fill_columns(files, {f.name for f in file_schema.fields}):
-        raise NotImplementedError(
-            "read_encoded_as on a schema-evolved table: compact first "
-            "(compact_encoded materializes the nulls), or use "
-            "read_encoded + rename/cast in the DataFrame"
-        )
-    blocks = _blocks_df(spark, path, lin, files=files)
+        # schema-evolved table: decode with per-run null fill, counts
+        # from the metrics rows (same mechanism as read_encoded)
+        fill_from = METRICS_COLUMN
+        needed = {f.name for f in file_schema.fields} | {METRICS_COLUMN}
+    blocks = _blocks_df(spark, path, lin, columns_needed=needed,
+                        files=files)
     return decode_blocks_as(
         blocks, file_schema, read_schema, aliases=aliases,
         fail_on_missing_column=fail_on_missing_column,
         fail_on_narrowing=fail_on_narrowing,
+        fill_from=fill_from,
     )
 
 
