@@ -139,6 +139,8 @@ def main() -> None:
     headline = [
         "roundtrip_source_agg",
         "roundtrip_global_checksum",
+        "roundtrip_lineitem_daterange",
+        "roundtrip_variant_extract",
         "lineitem_pricing_summary",
         "join_topcustomers",
         "window_top_order",
