@@ -337,6 +337,53 @@ def q_roundtrip_lineitem_daterange(spark, sf_dir):
     )
 
 
+def q_roundtrip_join_revenue(spark, sf_dir):
+    """TWO engine-encoded tables joined on the DECODED side: orders
+    (dates, DECIMAL totalprice, dict priorities) and customer (strings,
+    dict segments) each round-trip through encode/decode, then a
+    broadcast join + rollup must hash-match DuckDB joining the raw
+    parquet — multi-table relational work entirely over engine
+    output."""
+    key = os.path.abspath(sf_dir) + "#join"
+    if key not in _DECODED_CACHE:
+        import shutil
+
+        base = os.path.join(
+            tempfile.gettempdir(), "tokcodec_entry_join",
+            os.path.abspath(sf_dir).replace(os.sep, "_"),
+        )
+        shutil.rmtree(base, ignore_errors=True)
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey",
+            F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"),
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        c = _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_mktsegment", "c_nationkey",
+        )
+        write_encoded(o, os.path.join(base, "orders"), n_buckets=8,
+                      run_id="o")
+        write_encoded(c, os.path.join(base, "customer"), n_buckets=4,
+                      run_id="c")
+        _DECODED_CACHE[key] = base
+    base = _DECODED_CACHE[key]
+    od = read_encoded(spark, os.path.join(base, "orders"))
+    cd = read_encoded(spark, os.path.join(base, "customer"))
+    return (
+        od.join(F.broadcast(cd), od.o_custkey == cd.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum((F.col("o_totalprice") * 100).cast("long"))
+            .alias("rev_cents"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd")
+            .alias("last_order"),
+        )
+    )
+
+
 def q_roundtrip_events_hourly(spark, sf_dir):
     """Timestamps through the engine under the oracle (round-2 verdict
     #9): encode the events table (µs timestamps -> int64 codec path,
@@ -1273,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_lineitem_pricing": q_roundtrip_lineitem_pricing,
         "roundtrip_lineitem_daterange": q_roundtrip_lineitem_daterange,
         "roundtrip_events_hourly": q_roundtrip_events_hourly,
+        "roundtrip_join_revenue": q_roundtrip_join_revenue,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "join_topcustomers": q_join_topcustomers,
         "anti_join": q_anti_join,
@@ -1403,6 +1451,15 @@ SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
        CAST(SUM(user_id) AS BIGINT) AS sum_uid,
        CAST(SUM(length(props)) AS BIGINT) AS props_chars
 FROM events GROUP BY hour, event_type HAVING COUNT(*) >= 2""",
+        "roundtrip_join_revenue": """
+SELECT c_mktsegment, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+            AS BIGINT) AS rev_cents,
+       CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+       strftime(MAX(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS last_order
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment, o_orderpriority""",
         "lineitem_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
