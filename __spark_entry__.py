@@ -724,6 +724,52 @@ def q_emb_label_stats(spark, sf_dir):
     )
 
 
+def q_emb_quantized_roundtrip(spark, sf_dir):
+    """Int8 embedding quantization — the 4x storage compression a
+    training-data pipeline applies to embedding shards — THROUGH the
+    engine under the hash gate: per-vector absmax scale, symmetric
+    int8 codes (floor(x/s*127 + 0.5) — floor-based so Spark and DuckDB
+    round identically in IEEE double), encoded (int lists ride the
+    bitpack lane), decoded, and integer-only aggregates over the
+    DECODED codes must match DuckDB recomputing the same quantization
+    from the raw floats."""
+    key = os.path.abspath(sf_dir) + "#q8"
+    if key not in _DECODED_CACHE:
+        import shutil
+
+        e = _t(spark, sf_dir, "embeddings")
+        q = e.select(
+            "vec_id", "label",
+            F.expr(
+                "transform(embedding, x -> cast(floor("
+                "cast(x as double) / greatest(cast(array_max("
+                "transform(embedding, v -> abs(v))) as double), 1e-30)"
+                " * 127.0 + 0.5) as int))"
+            ).alias("codes"),
+        )
+        path = os.path.join(
+            tempfile.gettempdir(), "tokcodec_entry_q8",
+            os.path.abspath(sf_dir).replace(os.sep, "_"),
+        )
+        shutil.rmtree(path, ignore_errors=True)
+        write_encoded(q, path, n_buckets=4, run_id="q8")
+        _DECODED_CACHE[key] = path
+    dec = read_encoded(spark, _DECODED_CACHE[key])
+    return (
+        dec.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr(
+                "aggregate(codes, 0L, (a, c) -> a + c)")).alias("sum_q"),
+            F.sum(F.expr(
+                "aggregate(codes, 0L, (a, c) -> a + cast(c as bigint) * c)"
+            )).alias("sumsq_q"),
+            F.min(F.expr("array_min(codes)")).alias("min_q"),
+            F.max(F.expr("array_max(codes)")).alias("max_q"),
+        )
+    )
+
+
 def q_roundtrip_embeddings_topk(spark, sf_dir):
     """float-array round-trip under a real workload: encode the
     embeddings table through the engine, decode, brute-force cosine
@@ -1342,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup_lsh": q_emb_neardup_lsh,
         "emb_label_stats": q_emb_label_stats,
         "roundtrip_embeddings_topk": q_roundtrip_embeddings_topk,
+        "emb_quantized_roundtrip": q_emb_quantized_roundtrip,
         "cube_orders": q_cube_orders,
         "intersect_parts": q_intersect_parts,
         "docs_stopword_quality": q_docs_stopword_quality,
@@ -1614,6 +1661,22 @@ JOIN ve y ON y.vec_id = v2
 WHERE list_dot_product(x.v, y.v)
       / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
       >= 0.2""",
+        "emb_quantized_roundtrip": """
+WITH q AS (
+  SELECT label,
+         list_transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) / greatest(
+             CAST(list_max(list_transform(embedding, v -> abs(v)))
+                  AS DOUBLE), 1e-30) * 127.0 + 0.5) AS INT)) AS codes
+  FROM embeddings
+)
+SELECT label, COUNT(*) AS n,
+       CAST(SUM(list_aggregate(codes, 'sum')) AS BIGINT) AS sum_q,
+       CAST(SUM(list_aggregate(list_transform(codes,
+            c -> CAST(c AS BIGINT) * c), 'sum')) AS BIGINT) AS sumsq_q,
+       MIN(list_aggregate(codes, 'min')) AS min_q,
+       MAX(list_aggregate(codes, 'max')) AS max_q
+FROM q GROUP BY label""",
         "emb_label_stats": """
 SELECT label, COUNT(*) AS n, MAX(len(embedding)) AS dim
 FROM embeddings GROUP BY label""",
