@@ -1245,6 +1245,48 @@ def q_roundtrip_variant_extract(spark, sf_dir):
     )
 
 
+_COMPACTED_CACHE: dict[str, str] = {}
+
+
+def q_compaction_roundtrip(spark, sf_dir):
+    """Maintenance (Iceberg rewrite_data_files analogue) under the
+    oracle: two streaming-style epoch appends, then compact_encoded
+    rewrites them into ONE run (tombstones + commits in a single
+    atomic lineage append) and vacuum deletes the superseded files —
+    and the aggregate over the compacted table must still hash-match
+    DuckDB over the raw parquet."""
+    from tokcodec.io_tables import compact_encoded, vacuum_encoded
+
+    key = os.path.abspath(sf_dir)
+    if key not in _COMPACTED_CACHE:
+        import shutil
+
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id", "source", "lang", "n_chars")
+        enc = os.path.join(
+            tempfile.gettempdir(), "tokcodec_compacted",
+            key.replace(os.sep, "_"),
+        )
+        shutil.rmtree(enc, ignore_errors=True)
+        half = docs.filter(F.col("doc_id").cast("bigint") % 2 == 0)
+        rest = docs.filter(F.col("doc_id").cast("bigint") % 2 != 0)
+        write_encoded(half, enc, n_buckets=4, run_id="c0", epoch=0)
+        write_encoded(rest, enc, n_buckets=4, run_id="c1", epoch=1,
+                      resume=True)
+        compact_encoded(spark, enc, run_id="compacted")
+        vacuum_encoded(spark, enc)
+        _COMPACTED_CACHE[key] = enc
+    dec = read_encoded(spark, _COMPACTED_CACHE[key])
+    return (
+        dec.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
 _EVOLVED_CACHE: dict[str, str] = {}
 
 
@@ -1401,6 +1443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jdbc_ingest_roundtrip": q_jdbc_ingest_roundtrip,
         "roundtrip_variant_extract": q_roundtrip_variant_extract,
         "evolution_union_read": q_evolution_union_read,
+        "compaction_roundtrip": q_compaction_roundtrip,
         "encode_lineage_metrics": q_encode_lineage_metrics,
         "media_feature_stats": q_media_feature_stats,
     }
@@ -1818,6 +1861,12 @@ SELECT CASE WHEN CAST(doc_id AS BIGINT) % 2 = 0
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        MIN(doc_id) AS first_doc
 FROM documents GROUP BY lang_or_missing""",
+        "compaction_roundtrip": """
+SELECT source, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS first_doc
+FROM documents GROUP BY source, lang""",
         "simhash_hamming_hist": """
 WITH h AS (
   SELECT doc_id,
