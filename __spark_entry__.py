@@ -36,6 +36,16 @@ from tokcodec.tokenize import TOKENS_SQL_DUCKDB, documents_to_sequences  # noqa:
 
 _DECODED_CACHE: dict[str, DataFrame] = {}
 
+# Max members an LSH bucket contributes to pair generation (both the
+# minhash and the embedding-LSH pair generators). A pathological
+# all-duplicates corpus puts N docs in one bucket; the cap bounds
+# worst-case pairs at CAP^2/2 per (band, bucket) and the per-task
+# collect_list array at CAP entries. Deterministic (first CAP members
+# in sort order) and mirrored in the DuckDB oracle, so correctness
+# checks hold whether or not the cap triggers. Far above any real
+# bucket at tested scales (sf0.1 max occupancy ~ tens).
+LSH_BUCKET_CAP = 1000
+
 
 def _decoded_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> sequences -> ENCODE -> DECODE (cached per sf_dir).
@@ -682,9 +692,16 @@ def q_emb_neardup_lsh(spark, sf_dir):
         .select("vec_id", F.col("bb.band").alias("band"),
                 F.col("bb.bkt").alias("bkt"))
     )
+    # bucket cap (round-3 verdict #3): a pathological all-duplicate
+    # corpus would put N vectors in one bucket — quadratic pairs AND
+    # one giant array in one task. sort_array+slice keeps the first
+    # LSH_BUCKET_CAP members deterministically (mirrored bit-for-bit
+    # in the oracle via a row_number rank filter), bounding worst-case
+    # work at CAP^2/2 pairs per bucket x n_buckets x bands.
     grp = (
         banded.groupBy("band", "bkt")
-        .agg(F.collect_list("vec_id").alias("vs"))
+        .agg(F.slice(F.sort_array(F.collect_list("vec_id")),
+                     1, LSH_BUCKET_CAP).alias("vs"))
         .filter(F.size("vs") >= 2)
     )
     pairs = (
@@ -1039,9 +1056,14 @@ def q_minhash_neardup_pairs(spark, sf_dir):
     # side. Bucket membership lists are tiny (LSH spreads docs across
     # 2^128 buckets); a pathological all-duplicates bucket is quadratic
     # in any LSH pair enumeration.
+    # bucket cap (round-3 verdict #3): bounds a pathological
+    # all-duplicates bucket to CAP^2/2 pairs and a CAP-sized array per
+    # task; deterministic (first CAP doc_ids in sort order) and
+    # mirrored in the oracle with a row_number rank filter
     grp = (
         banded.groupBy("band", "bucket")
-        .agg(F.collect_list("doc_id").alias("ds"))
+        .agg(F.slice(F.sort_array(F.collect_list("doc_id")),
+                     1, LSH_BUCKET_CAP).alias("ds"))
         .filter(F.size("ds") >= 2)
     )
     pairs = (
@@ -1682,13 +1704,21 @@ ORDER BY list_dot_product(
                                     list_transform(qv, x -> CAST(x AS DOUBLE))))) DESC,
          vec_id
 LIMIT 10""",
-        "emb_neardup_lsh": """
-WITH banded AS (
+        "emb_neardup_lsh": f"""
+WITH banded0 AS (
   SELECT vec_id, t.band AS band,
          CAST(list_sum(list_transform(range(1, 17),
               i -> (CASE WHEN embedding[t.band * 16 + i] > 0
                     THEN 1 ELSE 0 END) << (16 - i))) AS BIGINT) AS bkt
   FROM embeddings CROSS JOIN (SELECT UNNEST(range(0, 4)) AS band) t
+), banded AS (
+  -- mirror of Spark's sort_array+slice bucket cap: keep the first
+  -- LSH_BUCKET_CAP members of each (band, bkt) in vec_id order
+  SELECT vec_id, band, bkt FROM (
+    SELECT vec_id, band, bkt,
+           row_number() OVER (PARTITION BY band, bkt
+                              ORDER BY vec_id) AS rn
+    FROM banded0) WHERE rn <= {LSH_BUCKET_CAP}
 ), pairs AS (
   SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
   FROM banded a JOIN banded b
@@ -1799,8 +1829,15 @@ WITH d AS (
   SELECT doc_id,
 {",".join(f"    list_aggregate(list_transform(b, x -> (x % 1073741824 + {i} * (2 * (x // 1073741824) + 1)) % 2147483647), 'min') AS h{i}" for i in range(16))}
   FROM base
-), banded AS (
+), banded0 AS (
 {" UNION ALL ".join(f"  SELECT doc_id, {b} AS band, md5(h{b * 4}::VARCHAR || '-' || h{b * 4 + 1}::VARCHAR || '-' || h{b * 4 + 2}::VARCHAR || '-' || h{b * 4 + 3}::VARCHAR) AS bucket FROM sig" for b in range(4))}
+), banded AS (
+  -- mirror of Spark's sort_array+slice bucket cap
+  SELECT doc_id, band, bucket FROM (
+    SELECT doc_id, band, bucket,
+           row_number() OVER (PARTITION BY band, bucket
+                              ORDER BY doc_id) AS rn
+    FROM banded0) WHERE rn <= {LSH_BUCKET_CAP}
 ), pairs AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
   FROM banded a JOIN banded b

@@ -27,6 +27,23 @@ _SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
 SYNTH_ROWS = int(os.environ.get("SPARK_GRAFT_SYNTH_ROWS", str(int(2_000_000 * _SF))))
 
 
+def _memcpy_probe_gbps(n_bytes: int = 1 << 28) -> float:
+    """Single-thread host memory bandwidth right now, GB/s. Recorded
+    next to the engine timings so a host-stalled rep is self-evident
+    in the artifact (quiet host ~12-16 GB/s single-thread; a shared-
+    sandbox stall shows up as a much lower probe)."""
+    import numpy as np
+
+    src = np.ones(n_bytes, dtype=np.uint8)
+    dst = np.empty_like(src)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.monotonic()
+        np.copyto(dst, src)
+        best = min(best, time.monotonic() - t0)
+    return round(n_bytes / best / 1e9, 2)
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -65,22 +82,28 @@ def main() -> None:
     warm = synth_df(spark, CPUS * 256, seed=1, partitions=CPUS)
     encode_table(warm, n_buckets=CPUS * 4, run_id="warmup").count()
 
-    # best-of-2 to damp shared-sandbox noise (steady-state throughput
-    # is the quantity of interest)
-    enc_times, dec_times = [], []
-    for rep in range(2):
+    # min-of-3 to damp shared-sandbox noise (steady-state throughput is
+    # the quantity of interest; round-3 verdict #1: min-of-2 let a
+    # host-stalled pair masquerade as a regression). A memcpy bandwidth
+    # probe brackets every rep so a degraded host phase is
+    # self-diagnosing in the recorded artifact: if probes during a rep
+    # read far below the quiet-host ~12-16 GB/s, that rep's wall is
+    # host noise, not engine behavior.
+    enc_times, dec_times, memcpy_gbps = [], [], [_memcpy_probe_gbps()]
+    for rep in range(3):
         enc_path = os.path.join(work, f"enc{rep}")
         t0 = time.monotonic()
         write_encoded(df, enc_path, n_buckets=n_buckets, run_id="bench")
-        enc_times.append(time.monotonic() - t0)
+        enc_times.append(round(time.monotonic() - t0, 3))
         t0 = time.monotonic()
         dec = read_encoded(spark, enc_path)
         n_dec = dec.agg(
             F.count("*"), F.sum("n_tok"),
             F.sum(F.expr("aggregate(tokens, 0L, (a, x) -> a + x)")),
         ).collect()[0]
-        dec_times.append(time.monotonic() - t0)
+        dec_times.append(round(time.monotonic() - t0, 3))
         assert n_dec[0] == SYNTH_ROWS and n_dec[1] == total_tokens
+        memcpy_gbps.append(_memcpy_probe_gbps())
     enc_path = os.path.join(work, "enc0")
     t_encode = min(enc_times)
     t_decode = min(dec_times)
@@ -176,6 +199,9 @@ def main() -> None:
         "synth_tokens": int(total_tokens),
         "encode_tokens_per_sec": int(total_tokens / t_encode),
         "decode_tokens_per_sec": int(total_tokens / t_decode),
+        "encode_rep_secs": enc_times,
+        "decode_rep_secs": dec_times,
+        "memcpy_probe_gbps": memcpy_gbps,
         "compression_ratio_vs_snappy": round(ratio, 4),
         "fsst_vocab": {
             "msg_codecs_chosen": msg_codecs,

@@ -49,14 +49,24 @@ def main() -> None:
     rf = None
     if args.range_filter:
         c, lo, hi = args.range_filter.split(":")
-        # ints stay ints; dates pass through as ISO strings
-        # (read_encoded converts per the column type)
-        def _b(x):
-            try:
-                return int(x)
-            except ValueError:
-                return x
-        rf = (c, _b(lo), _b(hi))
+        # resolve the bound type from the table's manifest schema —
+        # guessing from the literal would turn a digit-only slice on a
+        # string column (e.g. doc_id:200:219) into int bounds
+        from pyspark.sql import types as T
+
+        from tokcodec.io_tables import _load_table
+        from tokcodec.schema import manifest_schema
+
+        manifest, _ = _load_table(spark, args.input)
+        sch = manifest_schema(manifest)
+        fld = next((f.dataType for f in sch.fields if f.name == c), None)
+        if isinstance(fld, (T.StringType, T.BinaryType)) or fld is None:
+            rf = (c, lo, hi)  # reader validates unknown columns
+        elif isinstance(fld, (T.DateType, T.TimestampType,
+                              T.TimestampNTZType)):
+            rf = (c, lo, hi)  # ISO strings; reader converts per type
+        else:
+            rf = (c, int(lo), int(hi))
     ef = None
     if args.eq_filter:
         c, v = args.eq_filter.split(":", 1)

@@ -32,6 +32,7 @@ _NP_DTYPE = {
     T.BooleanType: np.int8, T.ByteType: np.int8, T.ShortType: np.int16,
     T.IntegerType: np.int32, T.LongType: np.int64, T.DateType: np.int32,
     T.TimestampType: np.int64, T.TimestampNTZType: np.int64,
+    T.TimeType: np.int64,
 }
 
 

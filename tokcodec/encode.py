@@ -36,6 +36,7 @@ METRICS_COLUMN = "__bucket_metrics__"
 _INT_ITEMSIZE = {
     T.BooleanType: 1, T.ByteType: 1, T.ShortType: 2, T.IntegerType: 4,
     T.LongType: 8, T.DateType: 4, T.TimestampType: 8, T.TimestampNTZType: 8,
+    T.TimeType: 8,  # nanos since midnight (time64[ns] over Arrow)
 }
 
 
@@ -57,7 +58,7 @@ def _to_native_np(arr: pa.Array) -> np.ndarray:
         arr = arr.cast(pa.int8())
     elif pa.types.is_date32(t):
         arr = arr.cast(pa.int32())
-    elif pa.types.is_timestamp(t):
+    elif pa.types.is_timestamp(t) or pa.types.is_time(t):
         arr = arr.cast(pa.int64())
     if arr.null_count:
         arr = arr.fill_null(0)

@@ -56,6 +56,10 @@ def spark_type_to_arrow(dt: T.DataType) -> pa.DataType:
         T.DateType: pa.date32(),
         T.TimestampType: pa.timestamp("us", tz="UTC"),
         T.TimestampNTZType: pa.timestamp("us"),
+        # TIME logical type (reference TimeWrite.java:46-52,
+        # LogicalTypeConverters.java:163-171): Spark 4.1 TimeType
+        # crosses Arrow as time64[ns] regardless of declared precision
+        T.TimeType: pa.time64("ns"),
         T.BinaryType: pa.binary(),
     }
     if type(dt) in m:

@@ -71,6 +71,10 @@ def get_spark(
         # many-run tables) the distributed listing earns its keep.
         .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
                 "2048")
+        # unlock TIME-typed expressions (make_time/hour/...): the
+        # engine stores TimeType columns on the int64 nanos lane and
+        # Spark 4.1 gates the SQL surface behind this flag
+        .config("spark.sql.timeType.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
     if local_dir:
