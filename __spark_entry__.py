@@ -13,11 +13,12 @@ The q_* queries cover the relational operator categories of
 SURVEY.md §2.2; docs_* / dedup_* / emb_* cover training-data pipeline
 ops; round 3 adds JDBC-through-Derby, variant extraction, schema
 evolution, string/date zone scans and the metadata COUNT(*) under the
-same hash gate (43 oracled). Only encode_lineage_metrics /
-media_feature_stats are rows-only (engine-internal metrics and a
-stubbed media decode); everything else — including minhash, simhash,
-and the IVF probe (gated against exact brute-force top-k) — is
-oracle-checked.
+same hash gate. Round 4 moves media_feature_stats under the oracle
+too (real PPM/WAV/framed-RGB decode with closed-form sums — see
+multimodal.py); only encode_lineage_metrics remains rows-only
+(engine-internal metrics have no external recomputation).
+Everything else — including minhash, simhash, and the IVF probe
+(gated against exact brute-force top-k) — is oracle-checked.
 """
 
 from __future__ import annotations
@@ -423,6 +424,43 @@ def q_roundtrip_events_hourly(spark, sf_dir):
             F.sum(F.length("props").cast("long")).alias("props_chars"),
         )
         .filter(F.col("n") >= 2)
+    )
+
+
+def q_roundtrip_time_of_day(spark, sf_dir):
+    """TIME logical type under the driver oracle (round-3 verdict
+    gap #1; reference TimeWrite.java:46-52): events timestamps ->
+    TIME-of-day column -> ENGINE encode/decode on the int64 nanos
+    lane -> per-hour integer aggregates. usec_sum uses Postgres-style
+    seconds-within-minute microseconds so DuckDB's extract(
+    microseconds FROM ...) recomputes it exactly."""
+    import shutil
+
+    spark.conf.set("spark.sql.timeType.enabled", "true")
+    key = f"timeofday::{sf_dir}"
+    if key not in _DECODED_CACHE:
+        e = _t(spark, sf_dir, "events").select(
+            F.expr("make_time(hour(ts), minute(ts), "
+                   "extract(SECOND FROM ts))").alias("t"),
+            "user_id",
+        )
+        path = os.path.join(
+            tempfile.gettempdir(),
+            "tokcodec_timeq_" + os.path.abspath(sf_dir).replace(os.sep, "_"))
+        shutil.rmtree(path, ignore_errors=True)
+        write_encoded(e, path, n_buckets=4, run_id="tod")
+        _DECODED_CACHE[key] = read_encoded(spark, path).persist()
+    dec = _DECODED_CACHE[key]
+    return (
+        dec.groupBy(F.hour("t").alias("hr"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.minute("t").cast("long")).alias("min_sum"),
+            F.sum(F.expr(
+                "cast(extract(SECOND FROM t) * 1000000 as bigint)"
+            )).alias("usec_sum"),
+            F.sum("user_id").alias("uid_sum"),
+        )
     )
 
 
@@ -949,18 +987,34 @@ def q_docs_ngram_overlap(spark, sf_dir):
 
 # ------------------------------------------- non-SQL (rows-only) queries
 def q_media_feature_stats(spark, sf_dir):
-    """Multimodal plumbing: synth media blobs -> engine round-trip ->
-    stubbed feature extraction -> per-kind stats (rows-only; the fake
-    decode is deterministic but not SQL-expressible)."""
-    from tokcodec.multimodal import extract_features, synth_media
+    """Multimodal, REAL decode under the oracle (round-3 verdict #5):
+    documents.doc_id -> real-format payloads (binary PPM / RIFF-WAV /
+    framed-RGB video) -> ENGINE round-trip (binary + struct codecs) ->
+    genuine header parse + pixel/sample summation -> integer per-kind
+    stats. The byte patterns are chosen so the decoded sums have
+    closed forms (see multimodal.py), which is what the DuckDB oracle
+    recomputes — a bit error anywhere in the binary round-trip or the
+    container parsing breaks the hash match."""
+    import shutil
 
-    media = synth_media(spark, 500, seed=11)
-    feats = extract_features(media)
+    from tokcodec.multimodal import decode_media, synth_media_real
+
+    key = f"media::{sf_dir}"
+    if key not in _DECODED_CACHE:
+        media = synth_media_real(_t(spark, sf_dir, "documents"))
+        path = os.path.join(
+            tempfile.gettempdir(),
+            "tokcodec_media_" + os.path.abspath(sf_dir).replace(os.sep, "_"))
+        shutil.rmtree(path, ignore_errors=True)
+        write_encoded(media, path, n_buckets=4, run_id="media")
+        _DECODED_CACHE[key] = read_encoded(spark, path).persist()
+    feats = decode_media(_DECODED_CACHE[key])
     return feats.groupBy("kind").agg(
         F.count("*").alias("n"),
-        F.round(F.sum(F.expr(
-            "aggregate(feature, 0D, (s, x) -> s + cast(x as double) * x)"
-        )), 4).alias("sum_sq_norm"),
+        F.sum("value_sum").alias("px_sum"),
+        F.sum("units").alias("unit_n"),
+        F.sum("width").cast("long").alias("w_sum"),
+        F.sum("height").cast("long").alias("h_sum"),
     )
 
 
@@ -1441,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_topk": q_sort_topk,
         "string_date_funcs": q_string_date_funcs,
         "events_hourly": q_events_hourly,
+        "roundtrip_time_of_day": q_roundtrip_time_of_day,
         "events_json_extract": q_events_json_extract,
         "docs_lang_quality": q_docs_lang_quality,
         "docs_token_count": q_docs_token_count,
@@ -1631,6 +1686,15 @@ SELECT strftime(o_orderdate, '%Y-%m') AS ym,
        UPPER(o_orderpriority[1]) AS pfx,
        COUNT(*) AS n
 FROM orders GROUP BY ym, pfx""",
+        "roundtrip_time_of_day": """
+SELECT CAST(extract(hour FROM CAST(ts AS TIME)) AS INTEGER) AS hr,
+       COUNT(*) AS n,
+       CAST(SUM(extract(minute FROM CAST(ts AS TIME))) AS BIGINT)
+         AS min_sum,
+       CAST(SUM(extract(microseconds FROM CAST(ts AS TIME))) AS BIGINT)
+         AS usec_sum,
+       CAST(SUM(user_id) AS BIGINT) AS uid_sum
+FROM events GROUP BY hr""",
         "events_hourly": """
 SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
        COUNT(*) AS n,
@@ -1881,6 +1945,37 @@ SELECT n_regionkey,
        MIN(n_name) AS first_name,
        CAST(SUM(length(n_name)) AS BIGINT) AS name_chars
 FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+        # real multimodal decode, closed-form mirror: payload content
+        # is (a + step*j) mod 256 with body lengths that are multiples
+        # of 256, so each decoded sum collapses to count-of-periods x
+        # 32640 (= sum of residues 0..255); see multimodal.py
+        "media_feature_stats": """
+WITH s AS (
+  SELECT
+    CASE CAST(doc_id AS BIGINT) % 3 WHEN 0 THEN 'image'
+         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+    CASE CAST(doc_id AS BIGINT) % 3
+      WHEN 0 THEN 97920 * (1 + doc_id % 3) * (1 + doc_id % 5)
+      WHEN 1 THEN 32640 * (1 + doc_id % 4)
+      ELSE 97920 * (1 + doc_id % 2) * (1 + doc_id % 2) * (1 + doc_id % 3)
+    END AS value_sum,
+    CASE CAST(doc_id AS BIGINT) % 3
+      WHEN 0 THEN 768 * (1 + doc_id % 3) * (1 + doc_id % 5)
+      WHEN 1 THEN 256 * (1 + doc_id % 4)
+      ELSE 768 * (1 + doc_id % 2) * (1 + doc_id % 2) * (1 + doc_id % 3)
+    END AS units,
+    CASE CAST(doc_id AS BIGINT) % 3 WHEN 0 THEN 16 * (1 + doc_id % 3)
+         WHEN 1 THEN 0 ELSE 16 * (1 + doc_id % 2) END AS width,
+    CASE CAST(doc_id AS BIGINT) % 3 WHEN 0 THEN 16 * (1 + doc_id % 5)
+         WHEN 1 THEN 0 ELSE 16 * (1 + doc_id % 3) END AS height
+  FROM documents
+)
+SELECT kind, COUNT(*) AS n,
+       CAST(SUM(value_sum) AS BIGINT) AS px_sum,
+       CAST(SUM(units) AS BIGINT) AS unit_n,
+       CAST(SUM(width) AS BIGINT) AS w_sum,
+       CAST(SUM(height) AS BIGINT) AS h_sum
+FROM s GROUP BY kind""",
         "roundtrip_variant_extract": """
 SELECT event_type,
        CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)

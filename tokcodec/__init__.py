@@ -24,6 +24,7 @@ from tokcodec.io_tables import (  # noqa: F401
     read_encoded,
     read_encoded_as,
     read_encoded_direct,
+    register_encoded,
     suggest_buckets,
     vacuum_encoded,
     write_encoded,

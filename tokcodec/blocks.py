@@ -93,6 +93,12 @@ def encode_int_component(bucket, column, component, v: np.ndarray, itemsize: int
     st = None
     if codec is None:
         codec, st = select_int_codec(v, itemsize)
+    elif codec == "bitpack" and len(v) and int(v.min()) < 0:
+        # the selector only offers bitpack at min >= 0; an override
+        # must not silently corrupt negative values
+        raise ValueError(
+            f"column {column!r}: codec_override 'bitpack' requires "
+            "non-negative values (use 'for' or 'plain')")
     payload, meta = encode_ints(v, codec)
     if len(v) and component.endswith("values"):
         # zone map for chunk skipping (PAPERS.md: Global Range
@@ -211,13 +217,19 @@ def split_decode(payload: bytes, meta: dict, n: int) -> np.ndarray:
     return np.ascontiguousarray(planes.T).reshape(-1).view(dt)
 
 
-def encode_float_component(bucket, column, component, v: np.ndarray) -> dict:
-    # pick plain vs split by which zstd-compresses a sample better
-    samp = v[: min(len(v), 1 << 14)]
-    zp = len(_ZSTD.compress(np.ascontiguousarray(samp).tobytes()).to_pybytes())
-    sp_payload, _ = split_encode(samp)
-    zs = len(_ZSTD.compress(sp_payload).to_pybytes())
-    if zs < zp:
+def encode_float_component(bucket, column, component, v: np.ndarray,
+                           codec: str | None = None) -> dict:
+    if codec is None:
+        # pick plain vs split by which zstd-compresses a sample better
+        samp = v[: min(len(v), 1 << 14)]
+        zp = len(_ZSTD.compress(
+            np.ascontiguousarray(samp).tobytes()).to_pybytes())
+        sp_payload, _ = split_encode(samp)
+        zs = len(_ZSTD.compress(sp_payload).to_pybytes())
+        split_wins = zs < zp
+    else:
+        split_wins = codec == "split"
+    if split_wins:
         payload, meta = split_encode(v)
         codec = "split"
     else:

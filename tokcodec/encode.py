@@ -120,7 +120,7 @@ def _surrogate_struct(dt: T.DataType) -> T.StructType | None:
 
 
 def _encode_node(bucket: int, name: str, prefix: str, arr: pa.Array,
-                 dt: T.DataType) -> list[dict]:
+                 dt: T.DataType, leaf_codec: str | None = None) -> list[dict]:
     """Recursive component-path encoder. Component paths:
     scalar -> '<p>values'; list -> '<p>lengths' + element under
     '<p>values[/...]' (flat lists keep the legacy '<p>values' leaf);
@@ -134,10 +134,12 @@ def _encode_node(bucket: int, name: str, prefix: str, arr: pa.Array,
         # which work on maps directly. (An explicit cast to the list
         # type is a re-validating view that rejects legitimate nulls in
         # non-nullable struct fields under null map values.)
-        return _encode_node(bucket, name, prefix, arr, _map_as_list(dt))
+        return _encode_node(bucket, name, prefix, arr, _map_as_list(dt),
+                            leaf_codec=leaf_codec)
     sur = _surrogate_struct(dt)
     if sur is not None:
-        return _encode_node(bucket, name, prefix, arr, sur)
+        return _encode_node(bucket, name, prefix, arr, sur,
+                            leaf_codec=leaf_codec)
     rows: list[dict] = []
     if arr.null_count:
         valid = arr.is_valid().to_numpy(zero_copy_only=False).astype(np.int8)
@@ -166,7 +168,8 @@ def _encode_node(bucket: int, name: str, prefix: str, arr: pa.Array,
         et = dt.elementType
         if (isinstance(et, (T.StructType, T.ArrayType, T.MapType))
                 or _surrogate_struct(et) is not None):
-            rows += _encode_node(bucket, name, prefix + "values/", values, et)
+            rows += _encode_node(bucket, name, prefix + "values/", values, et,
+                                 leaf_codec=leaf_codec)
         else:
             # null elements INSIDE the list need their own validity —
             # _encode_leaf fills nulls with type defaults, so without
@@ -180,15 +183,17 @@ def _encode_node(bucket: int, name: str, prefix: str, arr: pa.Array,
                                          prefix + "values/validity",
                                          evalid, 1, codec="bitpack")
                 )
-            rows += _encode_leaf(bucket, name, prefix + "values", values, et)
+            rows += _encode_leaf(bucket, name, prefix + "values", values, et,
+                                 codec=leaf_codec)
         return rows
     if isinstance(dt, T.StructType):
         children = arr.flatten()  # offset-correct on sliced arrays
         for f, child in zip(dt.fields, children):
             rows += _encode_node(bucket, name, f"{prefix}f:{f.name}/", child,
-                                 f.dataType)
+                                 f.dataType, leaf_codec=leaf_codec)
         return rows
-    return rows + _encode_leaf(bucket, name, prefix + "values", arr, dt)
+    return rows + _encode_leaf(bucket, name, prefix + "values", arr, dt,
+                               codec=leaf_codec)
 
 
 def _decimal_unscaled(arr: pa.Array) -> np.ndarray:
@@ -223,31 +228,35 @@ def _decimal_bytes(arr: pa.Array) -> pa.Array:
 
 
 def _encode_leaf(bucket: int, name: str, component: str, arr: pa.Array,
-                 dt: T.DataType) -> list[dict]:
+                 dt: T.DataType, codec: str | None = None) -> list[dict]:
     if isinstance(dt, T.DecimalType):
         if dt.precision > 18:
             return [encode_str_component(bucket, name, component,
-                                         _decimal_bytes(arr))]
+                                         _decimal_bytes(arr), codec=codec)]
         v = _decimal_unscaled(arr)
-        return [encode_int_component(bucket, name, component, v, 8)]
+        return [encode_int_component(bucket, name, component, v, 8,
+                                     codec=codec)]
     if isinstance(dt, (T.StringType, T.BinaryType)):
         # binary (opaque multimodal blobs) shares the string layout
-        return [encode_str_component(bucket, name, component, arr)]
+        return [encode_str_component(bucket, name, component, arr,
+                                     codec=codec)]
     if isinstance(dt, (T.FloatType, T.DoubleType)):
         if arr.null_count:
             arr = arr.fill_null(0.0)
         v = arr.to_numpy(zero_copy_only=False)
-        return [encode_float_component(bucket, name, component, v)]
+        return [encode_float_component(bucket, name, component, v,
+                                       codec=codec)]
     if type(dt) in _INT_ITEMSIZE:
         v = _to_native_np(arr)
         return [encode_int_component(bucket, name, component, v,
-                                     _INT_ITEMSIZE[type(dt)])]
+                                     _INT_ITEMSIZE[type(dt)], codec=codec)]
     raise NotImplementedError(f"column {name}: unsupported leaf type {dt}")
 
 
-def _encode_column(bucket: int, name: str, arr: pa.Array, dt: T.DataType) -> list[dict]:
+def _encode_column(bucket: int, name: str, arr: pa.Array, dt: T.DataType,
+                   leaf_codec: str | None = None) -> list[dict]:
     """One Arrow column chunk -> block rows (component tree)."""
-    return _encode_node(bucket, name, "", arr, dt)
+    return _encode_node(bucket, name, "", arr, dt, leaf_codec=leaf_codec)
 
 
 def _chunk_bounds(n_rows: int, list_lengths: np.ndarray | None,
@@ -279,7 +288,8 @@ def make_encode_fn(schema: T.StructType, run_id: str,
                    chunk_max_rows: int = CHUNK_MAX_ROWS,
                    chunk_max_values: int = CHUNK_MAX_VALUES,
                    bloom_columns: tuple[str, ...] = (),
-                   enum_columns: dict[str, list[str]] | None = None):
+                   enum_columns: dict[str, list[str]] | None = None,
+                   codec_override: dict[str, str] | None = None):
     """Returns the applyInArrow function: (key, pa.Table) -> pa.Table
     of BLOCK_DDL rows for one bucket.
 
@@ -288,6 +298,11 @@ def make_encode_fn(schema: T.StructType, run_id: str,
     lengthens runs (RLE) and makes per-chunk zone maps selective
     (chunk skipping). Row order inside the encoded table is an
     implementation detail (decode output order is undefined anyway).
+
+    ``codec_override``: {column: codec} — pin this column's leaf codec
+    instead of the auto-selector (the reference's per-column encoding
+    knobs, CarpetWriter.java:335-374). Validate with
+    validate_codec_override before shipping to executors.
     """
     fields = [(f.name, f.dataType) for f in schema.fields if f.name != BUCKET_COL]
     list_col = next(
@@ -328,7 +343,9 @@ def make_encode_fn(schema: T.StructType, run_id: str,
             sl = table.slice(lo, hi - lo)
             for name, dt in fields:
                 arr = sl.column(name).combine_chunks()
-                for r in _encode_column(bucket, name, arr, dt):
+                for r in _encode_column(
+                        bucket, name, arr, dt,
+                        leaf_codec=(codec_override or {}).get(name)):
                     r["run_id"] = run_id
                     r["chunk"] = ci
                     rows.append(r)
@@ -390,7 +407,8 @@ def make_encode_map_fn(schema: T.StructType, run_id: str,
                        chunk_max_rows: int = CHUNK_MAX_ROWS,
                        chunk_max_values: int = CHUNK_MAX_VALUES,
                        bloom_columns: tuple[str, ...] = (),
-                       enum_columns: dict[str, list[str]] | None = None):
+                       enum_columns: dict[str, list[str]] | None = None,
+                       codec_override: dict[str, str] | None = None):
     """mapInArrow variant: one partition may hold several whole buckets
     (repartition(n, bucket) colocates each bucket in exactly one
     partition); group by bucket here instead of paying applyInArrow's
@@ -400,7 +418,8 @@ def make_encode_map_fn(schema: T.StructType, run_id: str,
                            chunk_max_rows=chunk_max_rows,
                            chunk_max_values=chunk_max_values,
                            bloom_columns=bloom_columns,
-                           enum_columns=enum_columns)
+                           enum_columns=enum_columns,
+                           codec_override=codec_override)
 
     def fn(batches):
         import pyarrow as pa
@@ -428,7 +447,8 @@ def make_encode_sorted_fn(schema: T.StructType, run_id: str,
                           chunk_max_rows: int = CHUNK_MAX_ROWS,
                           chunk_max_values: int = CHUNK_MAX_VALUES,
                           bloom_columns: tuple[str, ...] = (),
-                          enum_columns: dict[str, list[str]] | None = None):
+                          enum_columns: dict[str, list[str]] | None = None,
+                          codec_override: dict[str, str] | None = None):
     """mapInArrow variant for input SORTED by bucket within each
     partition (repartition + sortWithinPartitions): buckets are
     processed one at a time as their rows stream in, so task memory is
@@ -439,7 +459,8 @@ def make_encode_sorted_fn(schema: T.StructType, run_id: str,
                            chunk_max_rows=chunk_max_rows,
                            chunk_max_values=chunk_max_values,
                            bloom_columns=bloom_columns,
-                           enum_columns=enum_columns)
+                           enum_columns=enum_columns,
+                           codec_override=codec_override)
 
     def fn(batches):
         import pyarrow as pa
@@ -509,13 +530,61 @@ def validate_annotations(schema: T.StructType,
             )
 
 
+_LANE_CODECS = {
+    "int": ("plain", "bitpack", "for", "delta", "rle", "dict"),
+    "str": ("plain_str", "dict_str", "fsst"),
+    "float": ("plain_f", "split"),
+}
+
+
+def _leaf_lane(dt: T.DataType) -> str | None:
+    """Codec lane of a column's leaf values, descending through list
+    nesting; None when the leaf is ambiguous (struct/map/variant —
+    multiple leaves with possibly different lanes)."""
+    while isinstance(dt, T.ArrayType):
+        dt = dt.elementType
+    if isinstance(dt, T.DecimalType):
+        return "int" if dt.precision <= 18 else "str"
+    if isinstance(dt, (T.StringType, T.BinaryType)):
+        return "str"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if type(dt) in _INT_ITEMSIZE:
+        return "int"
+    return None
+
+
+def validate_codec_override(schema: T.StructType,
+                            codec_override: dict[str, str] | None) -> None:
+    """Fail at plan time when an override names a missing column, a
+    column whose leaf lane is ambiguous, or a codec outside the
+    column's lane (reference C1 exposes exactly such per-column
+    encoding knobs, CarpetWriter.java:335-374; the auto-selector
+    remains the default)."""
+    for c, codec in (codec_override or {}).items():
+        f = next((f for f in schema.fields if f.name == c), None)
+        if f is None:
+            raise ValueError(f"codec_override column {c!r} not in schema")
+        lane = _leaf_lane(f.dataType)
+        if lane is None:
+            raise ValueError(
+                f"codec_override column {c!r}: leaf codec is ambiguous "
+                f"for {f.dataType.simpleString()} (struct/map/variant "
+                "columns have multiple leaves)")
+        if codec not in _LANE_CODECS[lane]:
+            raise ValueError(
+                f"codec_override column {c!r}: {codec!r} is not a "
+                f"{lane}-lane codec; choose from {_LANE_CODECS[lane]}")
+
+
 def encode_bucketed(b: DataFrame, schema: T.StructType, n_buckets: int,
                     run_id: str, mode: str = "group",
                     cluster_by: str | None = None,
                     chunk_max_rows: int = CHUNK_MAX_ROWS,
                     chunk_max_values: int = CHUNK_MAX_VALUES,
                     bloom_columns: tuple[str, ...] = (),
-                    enum_columns: dict[str, list[str]] | None = None
+                    enum_columns: dict[str, list[str]] | None = None,
+                    codec_override: dict[str, str] | None = None
                     ) -> DataFrame:
     """Encode an already-bucketed DataFrame (has BUCKET_COL).
     ``bloom_columns``: string/binary columns that get a per-chunk bloom
@@ -523,18 +592,21 @@ def encode_bucketed(b: DataFrame, schema: T.StructType, n_buckets: int,
     ``enum_columns``: {column: allowed values} — enum-as-type check,
     enforced per chunk during encode (reference E2 enum writer)."""
     validate_annotations(schema, bloom_columns, enum_columns)
+    validate_codec_override(schema, codec_override)
     if mode == "group":
         fn = make_encode_fn(schema, run_id, cluster_by=cluster_by,
                             chunk_max_rows=chunk_max_rows,
                             chunk_max_values=chunk_max_values,
                             bloom_columns=bloom_columns,
-                            enum_columns=enum_columns)
+                            enum_columns=enum_columns,
+                            codec_override=codec_override)
         return b.groupBy(BUCKET_COL).applyInArrow(fn, schema=BLOCK_DDL)
     fn = make_encode_map_fn(schema, run_id, cluster_by=cluster_by,
                             chunk_max_rows=chunk_max_rows,
                             chunk_max_values=chunk_max_values,
                             bloom_columns=bloom_columns,
-                            enum_columns=enum_columns)
+                            enum_columns=enum_columns,
+                            codec_override=codec_override)
     return b.repartition(n_buckets, F.col(BUCKET_COL)).mapInArrow(
         fn, schema=BLOCK_DDL
     )

@@ -380,6 +380,7 @@ def write_encoded(
     bloom_columns: list[str] | None = None,
     enum_columns: dict[str, list[str]] | None = None,
     schema_evolution: bool = False,
+    codec_override: dict[str, str] | None = None,
 ) -> dict:
     """Encode ``df`` into ``path``. With ``resume=True``, buckets whose
     lineage commit already exists are skipped (anti-join against the
@@ -394,6 +395,12 @@ def write_encoded(
     ``_manifest.json``. The only pre-existing state a commit reads is
     the table manifest (one small JSON) and, with ``resume``, the
     lineage table (one row per committed bucket).
+
+    ``codec_override``: {column: codec} — pin a column's leaf codec
+    instead of the auto-selector (reference C1 per-column encoding
+    knobs, CarpetWriter.java:335-374). Validated against the column's
+    codec lane at plan time; the actual codec used per chunk is
+    recorded in lineage either way.
 
     ``uuid_columns``: string columns holding canonical UUIDs are stored
     as 16-byte binary (the reference's FIXED_LEN_BYTE_ARRAY(16) UUID
@@ -475,7 +482,7 @@ def write_encoded(
         b, stored_schema, path, n_buckets, run_id, epoch,
         cluster_by=cluster_by, chunk_max_rows=chunk_max_rows,
         chunk_max_values=chunk_max_values, bloom_columns=bloom_columns,
-        enum_columns=enum_columns,
+        enum_columns=enum_columns, codec_override=codec_override,
     )
     # commit point: lineage written only after blocks + run manifest are
     # durable. The commit reads back ONLY this run's metrics files —
@@ -514,18 +521,20 @@ def _write_run(b: DataFrame, schema: T.StructType, path: str,
                cluster_by: str | None = None,
                chunk_max_rows: int | None = None,
                chunk_max_values: int | None = None,
-               bloom_columns=None, enum_columns=None):
+               bloom_columns=None, enum_columns=None,
+               codec_override: dict[str, str] | None = None):
     """Encode an already-bucketed DataFrame and persist its blocks +
     run manifest (everything of a write EXCEPT the lineage commit —
     write_encoded appends lineage directly; compact_encoded bundles its
     commit with tombstones in one atomic append). Returns (file rows,
     metrics-blocks DataFrame)."""
-    from tokcodec.encode import validate_annotations
+    from tokcodec.encode import validate_annotations, validate_codec_override
 
     spark = b.sparkSession
     blocks_p, _, _ = _paths(path)
     validate_annotations(schema, tuple(bloom_columns or ()),
                          enum_columns or None)
+    validate_codec_override(schema, codec_override)
     from tokcodec.encode import make_encode_sorted_fn
 
     enc = make_encode_sorted_fn(
@@ -534,6 +543,7 @@ def _write_run(b: DataFrame, schema: T.StructType, path: str,
         chunk_max_values=chunk_max_values or CHUNK_MAX_VALUES,
         bloom_columns=tuple(bloom_columns or ()),
         enum_columns=enum_columns or None,
+        codec_override=codec_override,
     )
     writer = _make_block_writer(blocks_p, run_id)
 
@@ -1160,27 +1170,31 @@ def read_encoded_direct(
     ]
     acc_b = spark.sparkContext.broadcast(accepted)
 
-    acc_sorted = sorted(accepted)
-    bucket_files: dict[int, list[tuple[str, str]]] = {}
-    for f in files:
-        if f["column"] not in scan_cols:
-            continue
-        full = posixpath.join(blocks_p, f["path"])
-        for lo, hi in f["bucket_ranges"]:
-            i = bisect.bisect_left(acc_sorted, lo)
-            j = bisect.bisect_right(acc_sorted, hi)
-            for bkt in acc_sorted[i:j]:
-                bucket_files.setdefault(bkt, []).append((full, f["column"]))
-    files_b = spark.sparkContext.broadcast(bucket_files)
+    # broadcast the per-file bucket RANGES, O(files) — materializing a
+    # bucket->files dict driver-side would be O(buckets x files) and at
+    # production scale (~400k buckets) a multi-hundred-MB broadcast
+    # (round-3 verdict #6). Each task expands only ITS buckets' file
+    # lists from the ranges (one bisect pass per batch).
+    file_rows = _direct_file_rows(files, scan_cols, blocks_p)
+    files_b = spark.sparkContext.broadcast(file_rows)
 
     def fn(batches):
+        import bisect as _bisect
+
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         for batch in batches:
+            bks = sorted(set(batch.column("bucket").to_pylist()))
+            local: dict[int, list[tuple[str, str]]] = {}
+            for lo, hi, fp, colname in files_b.value:
+                i = _bisect.bisect_left(bks, lo)
+                j = _bisect.bisect_right(bks, hi)
+                for bkt in bks[i:j]:
+                    local.setdefault(bkt, []).append((fp, colname))
             for bucket in batch.column("bucket").to_pylist():
                 runs = acc_b.value.get(bucket)
-                flist = files_b.value.get(bucket, [])
+                flist = local.get(bucket, [])
                 if not runs or not flist:
                     continue
                 parts = []
@@ -1219,6 +1233,36 @@ def read_encoded_direct(
             if c not in columns:
                 out = out.drop(c)
     return _expand_uuid_cols(out, manifest.get("uuid_columns", []))
+
+
+def register_encoded(spark: SparkSession, path: str, name: str,
+                     direct: bool = False, **read_kwargs) -> DataFrame:
+    """Expose an encoded table to SQL: plans the decode (read_encoded,
+    or read_encoded_direct with ``direct=True``; filters/projection/
+    as_of_epoch pass through via ``read_kwargs``) and registers it as
+    temp view ``name``, so ``spark.sql("SELECT ... FROM name")`` works
+    like any table format. The view re-decodes per query — persist the
+    returned DataFrame for repeated interactive use."""
+    reader = read_encoded_direct if direct else read_encoded
+    df = reader(spark, path, **read_kwargs)
+    df.createOrReplaceTempView(name)
+    return df
+
+
+def _direct_file_rows(files: list[dict], scan_cols,
+                      blocks_p: str) -> list[tuple[int, int, str, str]]:
+    """Direct-reader broadcast payload: one (lo, hi, path, column) row
+    per file bucket-range — size is O(file ranges), independent of the
+    table's bucket count (wide-range files do NOT fan out here)."""
+    rows: list[tuple[int, int, str, str]] = []
+    for f in files:
+        if f["column"] not in scan_cols:
+            continue
+        full = posixpath.join(blocks_p, f["path"])
+        for lo, hi in f["bucket_ranges"]:
+            rows.append((int(lo), int(hi), full, f["column"]))
+    rows.sort()
+    return rows
 
 
 def _prune_block_table(tbl, specs: list[dict]):

@@ -119,3 +119,160 @@ def extract_features(df: DataFrame, decode_stub: str = "fake") -> DataFrame:
             )
 
     return df.mapInArrow(fn, schema=out_ddl)
+
+
+# ---------------------------------------------------------------------------
+# Real, dependency-free media formats (round-3 verdict #5): payloads
+# are genuine binary PPM images (P6), RIFF/WAV 16-bit PCM audio, and a
+# minimal framed-RGB video container ("TVID"), synthesized from doc_id
+# with modular byte patterns chosen so each payload's decoded value sum
+# has a CLOSED FORM — sum_{j<256} (a + 7j) mod 256 = 32640 for any a
+# (gcd(7,256)=1 → each 256-long window covers every residue once), and
+# every body length is a multiple of 256. A SQL oracle can therefore
+# recompute the decoded statistics exactly, while the engine path does
+# the real work: binary round-trip through the codecs, then header
+# parsing + pixel/sample summation of the actual bytes.
+
+def _pattern(a: int, step: int, n: int) -> np.ndarray:
+    return ((a + step * np.arange(n, dtype=np.int64)) % 256).astype(np.uint8)
+
+
+def synth_media_real(docs: DataFrame) -> DataFrame:
+    """documents(doc_id) -> MEDIA_SCHEMA rows with real-format payloads.
+    doc_id % 3 picks the kind; dims/sizes/content derive from doc_id,
+    so the table is deterministic given the documents table."""
+    def fn(batches):
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            payloads, kinds, ws, hs = [], [], [], []
+            for i in ids:
+                i = int(i)
+                k = i % 3
+                if k == 0:
+                    w, h = 16 * (1 + i % 3), 16 * (1 + i % 5)
+                    body = _pattern(31 * i % 256, 7, w * h * 3)
+                    payloads.append(b"P6\n%d %d\n255\n" % (w, h) + body.tobytes())
+                    kinds.append("image"); ws.append(w); hs.append(h)
+                elif k == 1:
+                    ns = 256 * (1 + i % 4)
+                    samples = _pattern(13 * i % 256, 11, ns).astype("<i2")
+                    data = samples.tobytes()
+                    hdr = (b"RIFF" + (36 + len(data)).to_bytes(4, "little")
+                           + b"WAVEfmt " + (16).to_bytes(4, "little")
+                           + (1).to_bytes(2, "little")      # PCM
+                           + (1).to_bytes(2, "little")      # mono
+                           + (8000).to_bytes(4, "little")   # rate
+                           + (16000).to_bytes(4, "little")  # byte rate
+                           + (2).to_bytes(2, "little")      # block align
+                           + (16).to_bytes(2, "little")     # bits
+                           + b"data" + len(data).to_bytes(4, "little"))
+                    payloads.append(hdr + data)
+                    kinds.append("audio"); ws.append(0); hs.append(0)
+                else:
+                    w, h, nf = 16 * (1 + i % 2), 16 * (1 + i % 3), 1 + i % 2
+                    frames = b"".join(
+                        _pattern((29 * i + 17 * f) % 256, 7, w * h * 3).tobytes()
+                        for f in range(nf))
+                    hdr = (b"TVID" + nf.to_bytes(4, "little")
+                           + w.to_bytes(4, "little") + h.to_bytes(4, "little"))
+                    payloads.append(hdr + frames)
+                    kinds.append("video"); ws.append(w); hs.append(h)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([f"m{int(i):08d}" for i in ids], pa.string()),
+                 pa.array(payloads, pa.binary()),
+                 pa.StructArray.from_arrays(
+                     [pa.array(kinds, pa.string()),
+                      pa.array(np.array(ws, dtype=np.int32)),
+                      pa.array(np.array(hs, dtype=np.int32)),
+                      pa.array(np.array([len(p) for p in payloads],
+                                        dtype=np.int32))],
+                     fields=[
+                         pa.field("kind", pa.string(), nullable=False),
+                         pa.field("width", pa.int32(), nullable=False),
+                         pa.field("height", pa.int32(), nullable=False),
+                         pa.field("n_bytes", pa.int32(), nullable=False),
+                     ]),
+                 pa.array(["synth"] * len(ids), pa.string())],
+                names=["doc_id", "media", "meta", "source"],
+            )
+
+    return docs.select(F.col("doc_id").cast("long")).mapInArrow(
+        fn, schema=MEDIA_SCHEMA)
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """REAL media decode — no stub: parses each payload's container
+    header (PPM ASCII dims / RIFF-WAVE chunk walk / TVID frame header)
+    and reduces the decoded pixel/sample values with numpy. Returns
+    one row per media item:
+
+        doc_id, kind, width, height, units, value_sum
+
+    where units = decoded element count (RGB bytes for image/video,
+    PCM samples for audio) and value_sum = integer sum of all decoded
+    element values. The per-row work is a header parse (tens of
+    bytes); the body reduction is a numpy sum over the payload slice.
+    Plug point for real libraries: replace the three parser branches
+    with PIL/soundfile/ffmpeg calls yielding the same row shape."""
+    out_ddl = ("doc_id string, kind string, width int, height int, "
+               "units bigint, value_sum bigint")
+
+    def fn(batches):
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            media = tbl.column("media").combine_chunks()
+            doc_ids = tbl.column("doc_id").combine_chunks()
+            kinds, ws, hs, units, sums = [], [], [], [], []
+            # per-item container-header parse (media decode is
+            # per-item by nature — exactly where PIL/ffmpeg would
+            # sit); python work bounded at tens of header bytes/row
+            for row in range(len(media)):
+                buf = media[row].as_py()
+                if buf.startswith(b"P6\n"):
+                    dims_end = buf.index(b"\n", 3)
+                    w, h = map(int, buf[3:dims_end].split())
+                    body_off = buf.index(b"\n", dims_end + 1) + 1
+                    body = np.frombuffer(buf, np.uint8, w * h * 3, body_off)
+                    kinds.append("image"); ws.append(w); hs.append(h)
+                    units.append(body.size)
+                    sums.append(int(body.sum(dtype=np.int64)))
+                elif buf.startswith(b"RIFF") and buf[8:12] == b"WAVE":
+                    # chunk walk: find the data chunk (fmt_ validated)
+                    off, data = 12, None
+                    while off + 8 <= len(buf):
+                        cid = buf[off:off + 4]
+                        clen = int.from_bytes(buf[off + 4:off + 8], "little")
+                        if cid == b"fmt ":
+                            bits = int.from_bytes(
+                                buf[off + 22:off + 24], "little")
+                            assert bits == 16, f"unsupported bits {bits}"
+                        elif cid == b"data":
+                            data = np.frombuffer(
+                                buf, "<i2", clen // 2, off + 8)
+                        off += 8 + clen + (clen & 1)
+                    assert data is not None, "WAV without data chunk"
+                    kinds.append("audio"); ws.append(0); hs.append(0)
+                    units.append(data.size)
+                    sums.append(int(data.astype(np.int64).sum()))
+                elif buf.startswith(b"TVID"):
+                    nf = int.from_bytes(buf[4:8], "little")
+                    w = int.from_bytes(buf[8:12], "little")
+                    h = int.from_bytes(buf[12:16], "little")
+                    body = np.frombuffer(buf, np.uint8, nf * w * h * 3, 16)
+                    kinds.append("video"); ws.append(w); hs.append(h)
+                    units.append(body.size)
+                    sums.append(int(body.sum(dtype=np.int64)))
+                else:
+                    raise ValueError(
+                        f"unknown media container: {buf[:8]!r}")
+            yield pa.RecordBatch.from_arrays(
+                [doc_ids, pa.array(kinds, pa.string()),
+                 pa.array(np.array(ws, np.int32)),
+                 pa.array(np.array(hs, np.int32)),
+                 pa.array(np.array(units, np.int64)),
+                 pa.array(np.array(sums, np.int64))],
+                names=["doc_id", "kind", "width", "height",
+                       "units", "value_sum"],
+            )
+
+    return df.mapInArrow(fn, schema=out_ddl)
