@@ -172,6 +172,8 @@ def main() -> None:
         "emb_cosine_topk",
         "minhash_neardup_pairs",
         "simhash_hamming_hist",
+        "roundtrip_time_of_day",
+        "media_feature_stats",
     ]
     qs = entrymod.queries()
     for name in headline:

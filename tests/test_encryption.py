@@ -1,0 +1,156 @@
+"""Column encryption (reference C6 parquet-modular-encryption
+passthrough, CarpetWriter.java:235-238): AES-GCM block payloads,
+AAD-bound to block position, plaintext-footer mode (stats/zone maps/
+blooms readable without the key)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+from pyspark.sql import types as T
+
+from tokcodec.crypto import block_aad, decrypt_block_row, encrypt_block_row
+from tokcodec.io_tables import (
+    compact_encoded,
+    read_encoded,
+    read_encoded_direct,
+    write_encoded,
+)
+
+KEY = bytes(range(32))
+SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("tokens", T.ArrayType(T.IntegerType(), False), False),
+    T.StructField("n_tok", T.IntegerType(), False),
+    T.StructField("source", T.StringType(), False),
+])
+
+
+def _mk(spark, n=200):
+    return spark.createDataFrame(
+        [Row(doc_id=f"d{i:04d}", tokens=[i, i + 1, i + 2], n_tok=3,
+             source=f"s{i % 3}") for i in range(n)], SCHEMA)
+
+
+def test_unit_roundtrip_and_aad_binding():
+    row = {"run_id": "r1", "bucket": 3, "chunk": 0, "column": "c",
+           "component": "values", "payload": b"secret payload bytes",
+           "meta": "{}", "enc_bytes": 0, "checksum": 0}
+    encrypt_block_row(KEY, row)
+    assert row["payload"][12:] != b"secret payload bytes"
+    assert "gcm" in row["meta"]
+    moved = dict(row, bucket=4)  # same bytes, different position
+    with pytest.raises(ValueError, match="moved|wrong"):
+        decrypt_block_row(KEY, moved)
+    with pytest.raises(ValueError, match="wrong"):
+        decrypt_block_row(bytes(32), dict(row))
+    decrypt_block_row(KEY, row)
+    assert row["payload"] == b"secret payload bytes"
+    assert block_aad(row) == b"r1|3|0|c|values"
+
+
+def test_table_roundtrip_encrypted(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = _mk(spark)
+    write_encoded(df, path, n_buckets=2, run_id="r1", encryption_key=KEY)
+    m = json.loads(open(os.path.join(path, "_manifest.json")).read())
+    assert m["encrypted_columns"] == ["doc_id", "n_tok", "source", "tokens"]
+    got = {r.doc_id: r.tokens for r in
+           read_encoded(spark, path, encryption_key=KEY).collect()}
+    assert got == {r.doc_id: r.tokens for r in df.collect()}
+    # direct reader too
+    d = read_encoded_direct(spark, path, columns=["doc_id", "n_tok"],
+                            encryption_key=KEY)
+    assert d.count() == 200
+
+
+def test_ciphertext_on_disk_and_key_required(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_encoded(_mk(spark), path, n_buckets=2, run_id="r1",
+                  encryption_key=KEY, encrypted_columns=["doc_id"])
+    # the plaintext of an unencrypted column IS findable in the block
+    # files; the encrypted column's is not
+    blob = b""
+    for root, _d, fs in os.walk(os.path.join(path, "blocks")):
+        for f in fs:
+            blob += open(os.path.join(root, f), "rb").read()
+    assert b"d0001" not in blob          # encrypted column
+    with pytest.raises(ValueError, match="encrypted"):
+        read_encoded(spark, path).collect()
+    # unencrypted projection needs no key
+    assert read_encoded(spark, path, columns=["n_tok"]).count() == 200
+    # wrong key -> clear executor error
+    with pytest.raises(Exception, match="wrong key|decryption failed"):
+        read_encoded(spark, path,
+                     encryption_key=bytes(32)).collect()
+
+
+def test_partial_encryption_with_filters(spark, tmp_path):
+    """Plaintext-footer mode: zone pruning on an UNencrypted column
+    still works while another column is encrypted."""
+    path = str(tmp_path / "t")
+    write_encoded(_mk(spark), path, n_buckets=2, run_id="r1",
+                  chunk_max_rows=32,
+                  encryption_key=KEY, encrypted_columns=["doc_id"])
+    out = read_encoded(spark, path, range_filter=("n_tok", 3, 3),
+                       encryption_key=KEY)
+    assert out.count() == 200
+
+
+def test_append_inherits_and_compaction_reencrypts(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_encoded(_mk(spark, 100), path, n_buckets=2, run_id="r1",
+                  encryption_key=KEY, encrypted_columns=["doc_id"])
+    # append without key -> rejected; with key -> inherits column set
+    with pytest.raises(ValueError, match="requires encryption_key"):
+        write_encoded(_mk(spark, 10), path, n_buckets=2, run_id="r2")
+    with pytest.raises(ValueError, match="mismatch"):
+        write_encoded(_mk(spark, 10), path, n_buckets=2, run_id="r3",
+                      encryption_key=KEY, encrypted_columns=["source"])
+    write_encoded(_mk(spark, 100), path, n_buckets=2, run_id="r4",
+                  epoch=1, encryption_key=KEY)
+    info = compact_encoded(spark, path, encryption_key=KEY)
+    assert info["rows"] == 200
+    m = json.loads(open(os.path.join(path, "_manifest.json")).read())
+    assert m["encrypted_columns"] == ["doc_id"]
+    out = read_encoded(spark, path, encryption_key=KEY)
+    assert out.select(F.countDistinct("doc_id")).collect()[0][0] == 100
+
+
+def test_key_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="16/24/32"):
+        write_encoded(_mk(spark, 5), str(tmp_path / "x"), n_buckets=1,
+                      run_id="r", encryption_key=b"short")
+    with pytest.raises(ValueError, match="requires encryption_key"):
+        write_encoded(_mk(spark, 5), str(tmp_path / "y"), n_buckets=1,
+                      run_id="r", encrypted_columns=["doc_id"])
+
+
+def test_stream_encode_encryption_passthrough(spark, tmp_path):
+    """stream_encode forwards write kwargs: every micro-batch of an
+    encrypted stream commits ciphertext under the same key and the
+    table reads back whole."""
+    import os
+
+    from tokcodec.sources import stream_encode
+    from tokcodec.synth import synth_df
+
+    src_dir = str(tmp_path / "in")
+    os.makedirs(src_dir)
+    full = synth_df(spark, 300, seed=3, partitions=2)
+    full.write.mode("overwrite").parquet(src_dir)
+    enc_path = str(tmp_path / "enc")
+    stream = (spark.readStream.schema(full.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src_dir))
+    q = stream_encode(stream, enc_path, n_buckets=2,
+                      checkpoint_dir=str(tmp_path / "ckpt"),
+                      trigger_once=True,
+                      encryption_key=KEY, encrypted_columns=["tokens"])
+    q.awaitTermination(300)
+    m = json.loads(open(os.path.join(enc_path, "_manifest.json")).read())
+    assert m["encrypted_columns"] == ["tokens"]
+    with pytest.raises(ValueError, match="encrypted"):
+        read_encoded(spark, enc_path).collect()
+    dec = read_encoded(spark, enc_path, encryption_key=KEY)
+    assert dec.count() == 300

@@ -283,7 +283,8 @@ def _decode_field(rows: list[dict], dt: T.DataType, target: pa.DataType,
 
 
 def make_decode_fn(schema: T.StructType, verify_checksums: bool = False,
-                   fill_from: str | None = None):
+                   fill_from: str | None = None,
+                   encryption_key: bytes | None = None):
     """applyInArrow function: (key, blocks pa.Table) -> decoded pa.Table.
 
     ``fill_from`` activates schema-evolution decode (runs written
@@ -307,12 +308,17 @@ def make_decode_fn(schema: T.StructType, verify_checksums: bool = False,
 
     def fn(key: tuple, table: pa.Table) -> pa.Table:
         from tokcodec.blocks import verify_block_checksum
+        from tokcodec.crypto import decrypt_block_row, is_encrypted
 
         recs = table.to_pylist()
         by_col: dict[str, list[dict]] = {}
         for r in recs:
             if verify_checksums and r["column"] != METRICS_COLUMN:
+                # crc covers STORED bytes — verifiable before (and
+                # without) decryption, like parquet page crcs
                 verify_block_checksum(r)
+            if is_encrypted(r):
+                decrypt_block_row(encryption_key, r)
             by_col.setdefault(r["column"], []).append(r)
         fills = None
         if fill_from is not None:
@@ -342,7 +348,8 @@ def make_decode_fn(schema: T.StructType, verify_checksums: bool = False,
 def decode_blocks(blocks: DataFrame, schema: T.StructType,
                   columns: list[str] | None = None,
                   verify_checksums: bool = False,
-                  fill_from: str | None = None) -> DataFrame:
+                  fill_from: str | None = None,
+                  encryption_key: bytes | None = None) -> DataFrame:
     """Blocks DataFrame -> decoded rows. ``columns`` = projection.
     ``verify_checksums`` recomputes each block's crc32 before decode
     (the reference's page-checksum knob, CarpetWriter.java:392-406,
@@ -364,7 +371,7 @@ def decode_blocks(blocks: DataFrame, schema: T.StructType,
             & F.col("column").isin(wanted)
     b = blocks.filter(keep)
     fn = make_decode_fn(schema, verify_checksums=verify_checksums,
-                        fill_from=fill_from)
+                        fill_from=fill_from, encryption_key=encryption_key)
     return b.groupBy("bucket").applyInArrow(fn, schema=schema)
 
 
@@ -390,7 +397,8 @@ def decode_blocks_as(blocks: DataFrame, file_schema: T.StructType,
                      aliases: dict[str, str] | None = None,
                      fail_on_missing_column: bool = True,
                      fail_on_narrowing: bool = False,
-                     fill_from: str | None = None) -> DataFrame:
+                     fill_from: str | None = None,
+                     encryption_key: bytes | None = None) -> DataFrame:
     """Schema-on-read decode with the reference's mismatch policy
     (SchemaValidation.java:63-124 + ColumnToFieldMapper):
 
@@ -428,9 +436,13 @@ def decode_blocks_as(blocks: DataFrame, file_schema: T.StructType,
     )
 
     def fn(key: tuple, table: pa.Table) -> pa.Table:
+        from tokcodec.crypto import decrypt_block_row, is_encrypted
+
         recs = table.to_pylist()
         by_col: dict[str, list[dict]] = {}
         for r in recs:
+            if is_encrypted(r):
+                decrypt_block_row(encryption_key, r)
             by_col.setdefault(r["column"], []).append(r)
         fills = None
         if fill_from == METRICS_COLUMN:

@@ -289,9 +289,16 @@ def make_encode_fn(schema: T.StructType, run_id: str,
                    chunk_max_values: int = CHUNK_MAX_VALUES,
                    bloom_columns: tuple[str, ...] = (),
                    enum_columns: dict[str, list[str]] | None = None,
-                   codec_override: dict[str, str] | None = None):
+                   codec_override: dict[str, str] | None = None,
+                   encrypted_columns: tuple[str, ...] = (),
+                   encryption_key: bytes | None = None):
     """Returns the applyInArrow function: (key, pa.Table) -> pa.Table
     of BLOCK_DDL rows for one bucket.
+
+    ``encrypted_columns``/``encryption_key``: AES-GCM these columns'
+    block payloads, AAD-bound to block position (see tokcodec.crypto —
+    the reference's parquet modular encryption passthrough, C6).
+    Bloom blocks stay plaintext (plaintext-stats mode).
 
     ``cluster_by``: sort the bucket's rows by this column before
     chunking — the SIGMOD 2020 column-permutation idea: clustering
@@ -348,6 +355,11 @@ def make_encode_fn(schema: T.StructType, run_id: str,
                         leaf_codec=(codec_override or {}).get(name)):
                     r["run_id"] = run_id
                     r["chunk"] = ci
+                    if name in encrypted_columns:
+                        # after run_id/chunk: both are in the AAD
+                        from tokcodec.crypto import encrypt_block_row
+
+                        encrypt_block_row(encryption_key, r)
                     rows.append(r)
                     if r["component"] == "values":
                         codec_log[name] = r["codec"]
@@ -448,7 +460,9 @@ def make_encode_sorted_fn(schema: T.StructType, run_id: str,
                           chunk_max_values: int = CHUNK_MAX_VALUES,
                           bloom_columns: tuple[str, ...] = (),
                           enum_columns: dict[str, list[str]] | None = None,
-                          codec_override: dict[str, str] | None = None):
+                          codec_override: dict[str, str] | None = None,
+                          encrypted_columns: tuple[str, ...] = (),
+                          encryption_key: bytes | None = None):
     """mapInArrow variant for input SORTED by bucket within each
     partition (repartition + sortWithinPartitions): buckets are
     processed one at a time as their rows stream in, so task memory is
@@ -460,7 +474,9 @@ def make_encode_sorted_fn(schema: T.StructType, run_id: str,
                            chunk_max_values=chunk_max_values,
                            bloom_columns=bloom_columns,
                            enum_columns=enum_columns,
-                           codec_override=codec_override)
+                           codec_override=codec_override,
+                           encrypted_columns=encrypted_columns,
+                           encryption_key=encryption_key)
 
     def fn(batches):
         import pyarrow as pa

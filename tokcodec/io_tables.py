@@ -365,6 +365,26 @@ def _inherit_manifest(existing: dict, n_buckets: int,
     return uuid_columns, enum_columns
 
 
+def _inherit_encrypted(existing: dict,
+                       encrypted_columns: list[str] | None,
+                       have_key: bool) -> list[str]:
+    """Appends must keep the encrypted column set stable — a mixed
+    table (epoch N ciphertext, epoch N+1 plaintext for the same
+    column) silently downgrades protection and breaks reads."""
+    prev = existing.get("encrypted_columns", [])
+    if encrypted_columns is None:
+        encrypted_columns = prev
+    elif sorted(encrypted_columns) != prev:
+        raise ValueError(
+            f"encrypted_columns mismatch on append: table declares "
+            f"{prev}, got {sorted(encrypted_columns)}")
+    if encrypted_columns and not have_key:
+        raise ValueError(
+            f"appending to a table with encrypted columns "
+            f"{prev} requires encryption_key")
+    return encrypted_columns
+
+
 def write_encoded(
     df: DataFrame,
     path: str,
@@ -381,6 +401,8 @@ def write_encoded(
     enum_columns: dict[str, list[str]] | None = None,
     schema_evolution: bool = False,
     codec_override: dict[str, str] | None = None,
+    encryption_key: bytes | None = None,
+    encrypted_columns: list[str] | None = None,
 ) -> dict:
     """Encode ``df`` into ``path``. With ``resume=True``, buckets whose
     lineage commit already exists are skipped (anti-join against the
@@ -401,6 +423,13 @@ def write_encoded(
     knobs, CarpetWriter.java:335-374). Validated against the column's
     codec lane at plan time; the actual codec used per chunk is
     recorded in lineage either way.
+
+    ``encryption_key`` (+ optional ``encrypted_columns``, default all
+    data columns): AES-GCM column encryption in plaintext-footer mode
+    — the reference's parquet-modular-encryption passthrough (C6,
+    CarpetWriter.java:235-238); see tokcodec.crypto. The manifest
+    records WHICH columns are encrypted, never the key; reads of
+    those columns require the same key.
 
     ``uuid_columns``: string columns holding canonical UUIDs are stored
     as 16-byte binary (the reference's FIXED_LEN_BYTE_ARRAY(16) UUID
@@ -429,10 +458,25 @@ def write_encoded(
         existing = json.loads(_read_text(spark, manifest_p))
     except FileNotFoundError:
         existing = None
+    if encryption_key is not None:
+        from tokcodec.crypto import validate_key
+
+        validate_key(encryption_key)
+        if encrypted_columns is None and existing is None:
+            encrypted_columns = [c for c in df.columns if c != BUCKET_COL]
+    elif encrypted_columns:
+        raise ValueError("encrypted_columns requires encryption_key")
     if existing is not None:
         uuid_columns, enum_columns = _inherit_manifest(
             existing, n_buckets, uuid_columns, enum_columns
         )
+        encrypted_columns = _inherit_encrypted(
+            existing, encrypted_columns, encryption_key is not None)
+    encrypted_columns = sorted(encrypted_columns or [])
+    unknown_enc = set(encrypted_columns) - set(df.columns)
+    if unknown_enc:
+        raise ValueError(
+            f"encrypted_columns not in schema: {sorted(unknown_enc)}")
     df = _uuid_to_binary(df, uuid_columns)
 
     # compared AFTER uuid conversion: the manifest records the STORED
@@ -483,6 +527,8 @@ def write_encoded(
         cluster_by=cluster_by, chunk_max_rows=chunk_max_rows,
         chunk_max_values=chunk_max_values, bloom_columns=bloom_columns,
         enum_columns=enum_columns, codec_override=codec_override,
+        encrypted_columns=tuple(encrypted_columns),
+        encryption_key=encryption_key,
     )
     # commit point: lineage written only after blocks + run manifest are
     # durable. The commit reads back ONLY this run's metrics files —
@@ -491,7 +537,8 @@ def write_encoded(
     _write_text(spark, manifest_p,
                 schema_manifest(stored_schema, n_buckets, run_id,
                                 uuid_columns=uuid_columns,
-                                enum_columns=enum_columns))
+                                enum_columns=enum_columns,
+                                encrypted_columns=encrypted_columns))
 
     lin = spark.read.schema(LINEAGE_DDL).parquet(lineage_p)
     agg = (
@@ -522,7 +569,9 @@ def _write_run(b: DataFrame, schema: T.StructType, path: str,
                chunk_max_rows: int | None = None,
                chunk_max_values: int | None = None,
                bloom_columns=None, enum_columns=None,
-               codec_override: dict[str, str] | None = None):
+               codec_override: dict[str, str] | None = None,
+               encrypted_columns: tuple[str, ...] = (),
+               encryption_key: bytes | None = None):
     """Encode an already-bucketed DataFrame and persist its blocks +
     run manifest (everything of a write EXCEPT the lineage commit —
     write_encoded appends lineage directly; compact_encoded bundles its
@@ -544,6 +593,8 @@ def _write_run(b: DataFrame, schema: T.StructType, path: str,
         bloom_columns=tuple(bloom_columns or ()),
         enum_columns=enum_columns or None,
         codec_override=codec_override,
+        encrypted_columns=tuple(encrypted_columns or ()),
+        encryption_key=encryption_key,
     )
     writer = _make_block_writer(blocks_p, run_id)
 
@@ -882,6 +933,7 @@ def read_encoded(
     eq_filter: tuple[str, str | bytes] | None = None,
     verify_checksums: bool = False,
     as_of_epoch: int | None = None,
+    encryption_key: bytes | None = None,
 ) -> DataFrame:
     """Decode an encoded table; ``columns`` is projection pushdown —
     only those columns' block FILES enter the scan (reference P3).
@@ -939,6 +991,7 @@ def read_encoded(
     if columns is not None and fcols:
         decode_cols = list(columns) + [c for c in fcols
                                        if c not in columns]
+    _check_encryption_key(manifest, decode_cols, encryption_key)
 
     # ONE small driver job collects the committed (bucket, run_id)
     # pairs; run ids, the file plan, and the reader-side semi-join all
@@ -974,15 +1027,36 @@ def read_encoded(
     if not filts:
         return _finish(decode_blocks(blocks, schema, decode_cols,
                                      verify_checksums=verify_checksums,
-                                     fill_from=fill_from))
+                                     fill_from=fill_from,
+                                     encryption_key=encryption_key))
     residual = F.lit(True)
     for kind, spec in filts:
         blocks, res = _prune_one(blocks, schema, manifest, kind, spec)
         residual = residual & res
     out = decode_blocks(blocks, schema, decode_cols,
                         verify_checksums=verify_checksums,
-                        fill_from=fill_from)
+                        fill_from=fill_from,
+                        encryption_key=encryption_key)
     return _finish(out.filter(residual))
+
+
+def _check_encryption_key(manifest: dict, columns, key: bytes | None) -> None:
+    """Fail fast at plan time when the projection touches encrypted
+    columns and no key was supplied (the executor-side decrypt would
+    raise too, but per-task and later)."""
+    enc_cols = set(manifest.get("encrypted_columns", []))
+    if not enc_cols:
+        return
+    touched = enc_cols if columns is None else enc_cols & set(columns)
+    if touched and key is None:
+        raise ValueError(
+            f"columns {sorted(touched)} are encrypted — pass "
+            "encryption_key (the table manifest stores the column "
+            "list, never the key)")
+    if key is not None:
+        from tokcodec.crypto import validate_key
+
+        validate_key(key)
 
 
 def _normalize_filter(schema: T.StructType, manifest: dict,
@@ -1090,6 +1164,7 @@ def read_encoded_direct(
     range_filter: tuple | None = None,
     in_filter: tuple | None = None,
     eq_filter: tuple | None = None,
+    encryption_key: bytes | None = None,
 ) -> DataFrame:
     """Shuffle-free decode: one task per committed bucket opens that
     bucket's block files directly with pyarrow.
@@ -1162,8 +1237,11 @@ def read_encoded_direct(
             # predate a projected column (see make_decode_fn)
             fill_from = METRICS_COLUMN
             scan_cols.add(METRICS_COLUMN)
+    _check_encryption_key(manifest, [f.name for f in schema.fields],
+                          encryption_key)
     inner = make_decode_fn(schema, verify_checksums=verify_checksums,
-                           fill_from=fill_from)
+                           fill_from=fill_from,
+                           encryption_key=encryption_key)
     # executor-side pruning spec: picklable parts only (no Columns)
     prune_specs = [
         {k: v for k, v in nf.items() if k != "residual"} for nf in nfs
@@ -1345,6 +1423,7 @@ def read_encoded_as(
     aliases: dict[str, str] | None = None,
     fail_on_missing_column: bool = True,
     fail_on_narrowing: bool = False,
+    encryption_key: bytes | None = None,
 ) -> DataFrame:
     """Schema-on-read decode with the reference's name-mapping and
     mismatch policy (reference P4/P5; see decode.decode_blocks_as)."""
@@ -1363,11 +1442,13 @@ def read_encoded_as(
         needed = {f.name for f in file_schema.fields} | {METRICS_COLUMN}
     blocks = _blocks_df(spark, path, lin, columns_needed=needed,
                         files=files)
+    _check_encryption_key(manifest, None, encryption_key)
     return decode_blocks_as(
         blocks, file_schema, read_schema, aliases=aliases,
         fail_on_missing_column=fail_on_missing_column,
         fail_on_narrowing=fail_on_narrowing,
         fill_from=fill_from,
+        encryption_key=encryption_key,
     )
 
 
@@ -1376,6 +1457,7 @@ def compact_encoded(
     n_buckets: int | None = None, cluster_by: str | None = None,
     chunk_max_rows: int | None = None,
     chunk_max_values: int | None = None,
+    encryption_key: bytes | None = None,
 ) -> dict:
     """Rewrite everything committed into ONE fresh run (the Iceberg
     `rewrite_data_files` maintenance action). Streaming ingest leaves
@@ -1405,14 +1487,18 @@ def compact_encoded(
     nb = int(n_buckets or manifest["n_buckets"])
     uuid_cols = manifest.get("uuid_columns", [])
     enum_cols = manifest.get("enum_columns", {})
+    enc_cols = manifest.get("encrypted_columns", [])
 
-    dec = read_encoded(spark, path)  # uuid columns come back expanded
+    # uuid columns come back expanded; encrypted tables re-encrypt
+    # with fresh nonces under the same key
+    dec = read_encoded(spark, path, encryption_key=encryption_key)
     df = _uuid_to_binary(dec, uuid_cols)
     b = with_bucket(df, nb)
     files, new_metrics = _write_run(
         b, df.schema, path, nb, run_id, new_epoch,
         cluster_by=cluster_by, chunk_max_rows=chunk_max_rows,
         chunk_max_values=chunk_max_values, enum_columns=enum_cols or None,
+        encrypted_columns=tuple(enc_cols), encryption_key=encryption_key,
     )
     commits = lineage_from_blocks(new_metrics, epoch=new_epoch)
     ts = float(time.time())
@@ -1426,7 +1512,8 @@ def compact_encoded(
     _write_text(spark, manifest_p,
                 schema_manifest(df.schema, nb, run_id,
                                 uuid_columns=uuid_cols,
-                                enum_columns=enum_cols))
+                                enum_columns=enum_cols,
+                                encrypted_columns=enc_cols))
     # a metrics FILE row's n_rows counts its metrics block rows = the
     # buckets it covers; data rows come from the committed lineage
     buckets = sum(f["n_rows"] for f in files

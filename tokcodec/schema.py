@@ -114,13 +114,18 @@ LAYOUT_VERSION = 2
 
 def schema_manifest(schema: T.StructType, n_buckets: int, run_id: str,
                     uuid_columns: list[str] | None = None,
-                    enum_columns: dict[str, list[str]] | None = None) -> str:
+                    enum_columns: dict[str, list[str]] | None = None,
+                    encrypted_columns: list[str] | None = None) -> str:
     return json.dumps(
         {"layout": LAYOUT_VERSION,
          "ddl": schema.simpleString(), "json": schema.jsonValue(),
          "n_buckets": n_buckets, "run_id": run_id,
          "uuid_columns": sorted(uuid_columns or []),
-         "enum_columns": enum_columns or {}},
+         "enum_columns": enum_columns or {},
+         # which columns' payloads are AES-GCM encrypted — the list is
+         # public metadata (plaintext-footer mode); the key never
+         # touches the table
+         "encrypted_columns": sorted(encrypted_columns or [])},
         separators=(",", ":"),
     )
 

@@ -87,10 +87,14 @@ def stream_encode(
     n_buckets: int,
     checkpoint_dir: str,
     trigger_once: bool = False,
+    **write_kwargs,
 ):
     """Structured-Streaming sink: each micro-batch is encoded with the
     resumable batch writer; bucket-level lineage makes redelivered
     batches idempotent for already-committed buckets.
+
+    ``write_kwargs`` forward to write_encoded per batch (bloom/enum/
+    uuid columns, codec_override, encryption_key, ...).
 
     Returns the StreamingQuery (caller awaits/stops it)."""
 
@@ -105,7 +109,7 @@ def stream_encode(
         write_encoded(
             batch_df, path, n_buckets=n_buckets,
             run_id=f"stream-{batch_id}-{uuid.uuid4().hex[:8]}",
-            resume=True, epoch=batch_id,
+            resume=True, epoch=batch_id, **write_kwargs,
         )
 
     writer = (
