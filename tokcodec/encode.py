@@ -283,8 +283,56 @@ def _chunk_bounds(n_rows: int, list_lengths: np.ndarray | None,
     return bounds
 
 
+def _spread1(x: np.ndarray) -> np.ndarray:
+    """Spread a 32-bit lane's bits to even positions of 64 (Morton)."""
+    x = x.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+    x = (x | (x << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x3333333333333333)
+    x = (x | (x << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return x
+
+
+def _spread2(x: np.ndarray) -> np.ndarray:
+    """Spread a 21-bit lane's bits to every 3rd position of 64."""
+    x = x.astype(np.uint64) & np.uint64(0x1FFFFF)
+    x = (x | (x << np.uint64(32))) & np.uint64(0x1F00000000FFFF)
+    x = (x | (x << np.uint64(16))) & np.uint64(0x1F0000FF0000FF)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x100F00F00F00F00F)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x10C30C30C30C30C3)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x1249249249249249)
+    return x
+
+
+def _zorder_key(arrs) -> np.ndarray:
+    """Morton code over 2 or 3 int-lane Arrow columns. Each column is
+    offset to zero at its (bucket-local) min and right-shifted until
+    it fits the per-dimension bit budget (32 bits for 2 dims, 21 for
+    3) — rank-free normalization, one vectorized pass."""
+    if not 2 <= len(arrs) <= 3:
+        raise ValueError("z-order cluster_by supports 2 or 3 columns")
+    bits = 32 if len(arrs) == 2 else 21
+    lanes = []
+    for a in arrs:
+        v = _to_native_np(a.combine_chunks()
+                          if isinstance(a, pa.ChunkedArray) else a)
+        if not np.issubdtype(v.dtype, np.integer):
+            raise ValueError(
+                "z-order cluster_by requires int-lane columns "
+                f"(got {v.dtype})")
+        u = v.astype(np.int64) - int(v.min())
+        hi = int(u.max())
+        shift = max(0, hi.bit_length() - bits)
+        lanes.append((u >> shift).astype(np.uint64))
+    if len(lanes) == 2:
+        return (_spread1(lanes[0]) << np.uint64(1)) | _spread1(lanes[1])
+    return ((_spread2(lanes[0]) << np.uint64(2))
+            | (_spread2(lanes[1]) << np.uint64(1)) | _spread2(lanes[2]))
+
+
 def make_encode_fn(schema: T.StructType, run_id: str,
-                   cluster_by: str | None = None,
+                   cluster_by: str | list[str] | None = None,
                    chunk_max_rows: int = CHUNK_MAX_ROWS,
                    chunk_max_values: int = CHUNK_MAX_VALUES,
                    bloom_columns: tuple[str, ...] = (),
@@ -333,7 +381,21 @@ def make_encode_fn(schema: T.StructType, run_id: str,
         bucket = key[0]
         bucket = int(bucket.as_py() if hasattr(bucket, "as_py") else bucket)
         if cluster_by is not None and table.num_rows:
-            idx = pc.sort_indices(table, sort_keys=[(cluster_by, "ascending")])
+            if isinstance(cluster_by, (list, tuple)) and len(cluster_by) > 1:
+                # Z-order (Morton) clustering: bit-interleave the
+                # columns' normalized values so chunk zone maps are
+                # tight in EVERY clustered dimension — range filters
+                # on any of the columns prune chunks (multi-dim
+                # layout, the Z-order option of Iceberg/Delta
+                # rewrite_data_files)
+                z = _zorder_key([table.column(c) for c in cluster_by])
+                idx = pa.array(np.argsort(z, kind="stable"))
+            else:
+                key = (cluster_by[0]
+                       if isinstance(cluster_by, (list, tuple))
+                       else cluster_by)
+                idx = pc.sort_indices(table,
+                                      sort_keys=[(key, "ascending")])
             table = table.take(idx)
         n = table.num_rows
         lens = None
@@ -415,7 +477,7 @@ def make_encode_fn(schema: T.StructType, run_id: str,
 
 
 def make_encode_map_fn(schema: T.StructType, run_id: str,
-                       cluster_by: str | None = None,
+                       cluster_by: str | list[str] | None = None,
                        chunk_max_rows: int = CHUNK_MAX_ROWS,
                        chunk_max_values: int = CHUNK_MAX_VALUES,
                        bloom_columns: tuple[str, ...] = (),
@@ -455,7 +517,7 @@ def make_encode_map_fn(schema: T.StructType, run_id: str,
 
 
 def make_encode_sorted_fn(schema: T.StructType, run_id: str,
-                          cluster_by: str | None = None,
+                          cluster_by: str | list[str] | None = None,
                           chunk_max_rows: int = CHUNK_MAX_ROWS,
                           chunk_max_values: int = CHUNK_MAX_VALUES,
                           bloom_columns: tuple[str, ...] = (),
@@ -511,7 +573,7 @@ def make_encode_sorted_fn(schema: T.StructType, run_id: str,
 
 
 def encode_table(df: DataFrame, n_buckets: int, run_id: str = "run0",
-                 mode: str = "group", cluster_by: str | None = None,
+                 mode: str = "group", cluster_by: str | list[str] | None = None,
                  chunk_max_rows: int = CHUNK_MAX_ROWS,
                  chunk_max_values: int = CHUNK_MAX_VALUES) -> DataFrame:
     """DataFrame of SEQ-shaped rows -> DataFrame of encoded blocks.
@@ -595,7 +657,7 @@ def validate_codec_override(schema: T.StructType,
 
 def encode_bucketed(b: DataFrame, schema: T.StructType, n_buckets: int,
                     run_id: str, mode: str = "group",
-                    cluster_by: str | None = None,
+                    cluster_by: str | list[str] | None = None,
                     chunk_max_rows: int = CHUNK_MAX_ROWS,
                     chunk_max_values: int = CHUNK_MAX_VALUES,
                     bloom_columns: tuple[str, ...] = (),

@@ -393,7 +393,7 @@ def write_encoded(
     resume: bool = False,
     fail_after_buckets: int | None = None,
     epoch: int = 0,
-    cluster_by: str | None = None,
+    cluster_by: str | list[str] | None = None,
     chunk_max_rows: int | None = None,
     chunk_max_values: int | None = None,
     uuid_columns: list[str] | None = None,
@@ -565,7 +565,7 @@ def write_encoded(
 
 def _write_run(b: DataFrame, schema: T.StructType, path: str,
                n_buckets: int, run_id: str, epoch: int,
-               cluster_by: str | None = None,
+               cluster_by: str | list[str] | None = None,
                chunk_max_rows: int | None = None,
                chunk_max_values: int | None = None,
                bloom_columns=None, enum_columns=None,
@@ -1454,7 +1454,7 @@ def read_encoded_as(
 
 def compact_encoded(
     spark: SparkSession, path: str, run_id: str | None = None,
-    n_buckets: int | None = None, cluster_by: str | None = None,
+    n_buckets: int | None = None, cluster_by: str | list[str] | None = None,
     chunk_max_rows: int | None = None,
     chunk_max_values: int | None = None,
     encryption_key: bytes | None = None,
