@@ -464,6 +464,39 @@ def q_roundtrip_time_of_day(spark, sf_dir):
     )
 
 
+def q_zorder_user_time_slab(spark, sf_dir):
+    """Z-order clustering under the driver oracle: events encoded with
+    cluster_by=["user_id", "ts"] (Morton interleave — chunk zones
+    tight in BOTH dimensions), read back through a conjunction of two
+    range filters (the multi-range read shape the Z-order layout
+    exists for), aggregated to integers. The oracle recomputes the
+    same slab with plain WHERE bounds — pruning must never change
+    results."""
+    import shutil
+
+    key = f"zorder::{sf_dir}"
+    if key not in _DECODED_CACHE:
+        e = _t(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value")
+        path = os.path.join(
+            tempfile.gettempdir(),
+            "tokcodec_zorder_" + os.path.abspath(sf_dir).replace(os.sep, "_"))
+        shutil.rmtree(path, ignore_errors=True)
+        write_encoded(e, path, n_buckets=4, run_id="zo",
+                      cluster_by=["user_id", "ts"], chunk_max_rows=1024)
+        _DECODED_CACHE[key] = path
+    dec = read_encoded(
+        spark, _DECODED_CACHE[key],
+        range_filter=[("user_id", 40, 99),
+                      ("ts", "2024-01-05T00:00:00", "2024-01-20T00:00:00")])
+    return dec.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("user_id").alias("uid_sum"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        F.min("event_id").alias("first_event"),
+    )
+
+
 def q_join_topcustomers(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -1496,6 +1529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_date_funcs": q_string_date_funcs,
         "events_hourly": q_events_hourly,
         "roundtrip_time_of_day": q_roundtrip_time_of_day,
+        "zorder_user_time_slab": q_zorder_user_time_slab,
         "events_json_extract": q_events_json_extract,
         "docs_lang_quality": q_docs_lang_quality,
         "docs_token_count": q_docs_token_count,
@@ -1686,6 +1720,17 @@ SELECT strftime(o_orderdate, '%Y-%m') AS ym,
        UPPER(o_orderpriority[1]) AS pfx,
        COUNT(*) AS n
 FROM orders GROUP BY ym, pfx""",
+        "zorder_user_time_slab": """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(user_id) AS BIGINT) AS uid_sum,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+       CAST(MIN(event_id) AS BIGINT) AS first_event
+FROM events
+WHERE user_id BETWEEN 40 AND 99
+  AND ts BETWEEN TIMESTAMP '2024-01-05 00:00:00'
+             AND TIMESTAMP '2024-01-20 00:00:00'
+GROUP BY event_type""",
         "roundtrip_time_of_day": """
 SELECT CAST(extract(hour FROM CAST(ts AS TIME)) AS INTEGER) AS hr,
        COUNT(*) AS n,

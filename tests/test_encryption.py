@@ -154,3 +154,26 @@ def test_stream_encode_encryption_passthrough(spark, tmp_path):
         read_encoded(spark, enc_path).collect()
     dec = read_encoded(spark, enc_path, encryption_key=KEY)
     assert dec.count() == 300
+
+
+def test_evolution_append_omitting_encrypted_column(spark, tmp_path):
+    """An evolved append that omits a NULLABLE encrypted column is
+    legal: _evolve_schema null-fills it, and the filled column's
+    blocks encrypt like any other."""
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [Row(doc_id=f"d{i}", secret=f"s{i}", n=i) for i in range(50)],
+        T.StructType([
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("secret", T.StringType(), True),
+            T.StructField("n", T.IntegerType(), False)]))
+    write_encoded(base, path, n_buckets=1, run_id="r1",
+                  encryption_key=KEY, encrypted_columns=["secret"])
+    nosecret = spark.createDataFrame(
+        [Row(doc_id=f"e{i}", n=100 + i) for i in range(20)],
+        "doc_id string, n int")
+    write_encoded(nosecret, path, n_buckets=1, run_id="r2", epoch=1,
+                  schema_evolution=True, encryption_key=KEY)
+    out = read_encoded(spark, path, encryption_key=KEY)
+    assert out.count() == 70
+    assert out.filter(F.col("secret").isNull()).count() == 20

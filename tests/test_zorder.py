@@ -97,3 +97,18 @@ def test_single_column_clustering_unchanged(spark, tmp_path):
                   chunk_max_rows=20)
     out = read_encoded(spark, path, range_filter=("v", 0, 1))
     assert out.count() == 20
+
+
+def test_multi_range_filter_conjunction(spark, grid):
+    """range_filter accepts a LIST of triples — the natural read for a
+    Z-ordered table: conjunction over both clustered dimensions, in
+    the grouped AND the direct reader."""
+    from tokcodec.io_tables import read_encoded_direct
+
+    want = {(r.x, r.y) for r in read_encoded(spark, grid).collect()
+            if 8 <= r.x <= 23 and 32 <= r.y <= 47}
+    for reader in (read_encoded, read_encoded_direct):
+        got = reader(spark, grid,
+                     range_filter=[("x", 8, 23), ("y", 32, 47)])
+        assert {(r.x, r.y) for r in got.collect()} == want, reader.__name__
+    assert len(want) == 16 * 16

@@ -473,10 +473,9 @@ def write_encoded(
         encrypted_columns = _inherit_encrypted(
             existing, encrypted_columns, encryption_key is not None)
     encrypted_columns = sorted(encrypted_columns or [])
-    unknown_enc = set(encrypted_columns) - set(df.columns)
-    if unknown_enc:
-        raise ValueError(
-            f"encrypted_columns not in schema: {sorted(unknown_enc)}")
+    # membership is validated AFTER schema evolution below: an evolved
+    # append may legitimately omit a nullable encrypted column (it is
+    # null-filled into df by _evolve_schema)
     df = _uuid_to_binary(df, uuid_columns)
 
     # compared AFTER uuid conversion: the manifest records the STORED
@@ -506,6 +505,10 @@ def write_encoded(
                               df.schema.fields)
         ])
 
+    unknown_enc = set(encrypted_columns) - set(df.columns)
+    if unknown_enc:
+        raise ValueError(
+            f"encrypted_columns not in schema: {sorted(unknown_enc)}")
     b = with_bucket(df, n_buckets)
     done: list[int] = []
     if resume and os.path.exists(lineage_p):
@@ -973,8 +976,8 @@ def read_encoded(
     schema = manifest_schema(manifest)
 
     filts: list[tuple[str, tuple]] = []
-    if range_filter is not None:
-        filts.append(("range", tuple(range_filter)))
+    for rf in _as_filter_list(range_filter):
+        filts.append(("range", rf))
     if in_filter is not None:
         filts.append(("in", tuple(in_filter)))
     if eq_filter is not None:
@@ -1038,6 +1041,18 @@ def read_encoded(
                         fill_from=fill_from,
                         encryption_key=encryption_key)
     return _finish(out.filter(residual))
+
+
+def _as_filter_list(range_filter) -> list[tuple]:
+    """``range_filter`` accepts ONE (col, lo, hi) triple or a LIST of
+    them (conjunction over several columns — the natural read shape
+    for Z-order-clustered tables, where every clustered dimension
+    prunes)."""
+    if range_filter is None:
+        return []
+    if isinstance(range_filter[0], (tuple, list)):
+        return [tuple(rf) for rf in range_filter]
+    return [tuple(range_filter)]
 
 
 def _check_encryption_key(manifest: dict, columns, key: bytes | None) -> None:
@@ -1195,8 +1210,8 @@ def read_encoded_direct(
     manifest, lin = _load_table(spark, path, as_of_epoch=as_of_epoch)
     full_schema = manifest_schema(manifest)
     filts: list[tuple[str, tuple]] = []
-    if range_filter is not None:
-        filts.append(("range", tuple(range_filter)))
+    for rf in _as_filter_list(range_filter):
+        filts.append(("range", rf))
     if in_filter is not None:
         filts.append(("in", tuple(in_filter)))
     if eq_filter is not None:
