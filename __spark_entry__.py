@@ -14,9 +14,11 @@ SURVEY.md §2.2; docs_* / dedup_* / emb_* cover training-data pipeline
 ops; round 3 adds JDBC-through-Derby, variant extraction, schema
 evolution, string/date zone scans and the metadata COUNT(*) under the
 same hash gate. Round 4 moves media_feature_stats under the oracle
-too (real PPM/WAV/framed-RGB decode with closed-form sums — see
-multimodal.py); only encode_lineage_metrics remains rows-only
-(engine-internal metrics have no external recomputation).
+(real PPM/WAV/framed-RGB decode with closed-form sums — see
+multimodal.py) and adds roundtrip_time_of_day (TIME through the
+engine) and zorder_user_time_slab (Z-order two-bound slab); only
+encode_lineage_metrics remains rows-only (engine-internal metrics
+have no external recomputation).
 Everything else — including minhash, simhash, and the IVF probe
 (gated against exact brute-force top-k) — is oracle-checked.
 """

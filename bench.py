@@ -174,6 +174,7 @@ def main() -> None:
         "simhash_hamming_hist",
         "roundtrip_time_of_day",
         "media_feature_stats",
+        "zorder_user_time_slab",
     ]
     qs = entrymod.queries()
     for name in headline:

@@ -24,10 +24,12 @@ def main() -> None:
     p.add_argument("--output", required=True, help="output parquet path")
     p.add_argument("--columns", default="",
                    help="comma-separated projection (default: all)")
-    p.add_argument("--range-filter", default=None,
+    p.add_argument("--range-filter", action="append", default=None,
                    help="col:lo:hi zone-map slice — int bounds, or "
                         "YYYY-MM-DD for date columns (timestamp "
-                        "bounds contain ':'; use the library API)")
+                        "bounds contain ':'; use the library API). "
+                        "Repeatable: several flags AND together "
+                        "(Z-order multi-dimension reads)")
     p.add_argument("--eq-filter", default=None,
                    help="col:value bloom point lookup")
     p.add_argument("--direct", action="store_true",
@@ -48,8 +50,7 @@ def main() -> None:
     columns = [c for c in args.columns.split(",") if c] or None
     rf = None
     if args.range_filter:
-        c, lo, hi = args.range_filter.split(":")
-        # resolve the bound type from the table's manifest schema —
+        # resolve each bound type from the table's manifest schema —
         # guessing from the literal would turn a digit-only slice on a
         # string column (e.g. doc_id:200:219) into int bounds
         from pyspark.sql import types as T
@@ -59,14 +60,18 @@ def main() -> None:
 
         manifest, _ = _load_table(spark, args.input)
         sch = manifest_schema(manifest)
-        fld = next((f.dataType for f in sch.fields if f.name == c), None)
-        if isinstance(fld, (T.StringType, T.BinaryType)) or fld is None:
-            rf = (c, lo, hi)  # reader validates unknown columns
-        elif isinstance(fld, (T.DateType, T.TimestampType,
-                              T.TimestampNTZType)):
-            rf = (c, lo, hi)  # ISO strings; reader converts per type
-        else:
-            rf = (c, int(lo), int(hi))
+        rf = []
+        for spec in args.range_filter:
+            c, lo, hi = spec.split(":")
+            fld = next((f.dataType for f in sch.fields if f.name == c),
+                       None)
+            if isinstance(fld, (T.StringType, T.BinaryType)) or fld is None:
+                rf.append((c, lo, hi))  # reader validates unknown cols
+            elif isinstance(fld, (T.DateType, T.TimestampType,
+                                  T.TimestampNTZType)):
+                rf.append((c, lo, hi))  # ISO strings; reader converts
+            else:
+                rf.append((c, int(lo), int(hi)))
     ef = None
     if args.eq_filter:
         c, v = args.eq_filter.split(":", 1)

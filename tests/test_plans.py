@@ -83,3 +83,43 @@ def test_zone_filter_prunes_before_decode(spark, tmp_path):
     assert narrow.count() == 100
     # the zone semi-join must broadcast (tiny surviving-chunk list)
     assert _plan(narrow).count("BroadcastHashJoin") >= 2
+
+
+def test_zorder_multirange_plan_broadcasts(spark, tmp_path):
+    """Multi-range conjunction over a Z-ordered table: every zone
+    pass's surviving-chunk semi-join must broadcast — at 100 TB the
+    surviving list is tiny relative to the blocks scan and a
+    sort-merge join there would shuffle the whole blocks table per
+    filter."""
+    from tokcodec.io_tables import read_encoded, write_encoded
+
+    df = spark.createDataFrame(
+        [Row(doc_id=f"d{i:05d}", x=i % 32, y=i // 32, v=i)
+         for i in range(1024)],
+        "doc_id string, x int, y int, v int")
+    path = os.path.join(str(tmp_path), "zo")
+    write_encoded(df, path, n_buckets=1, run_id="z",
+                  cluster_by=["x", "y"], chunk_max_rows=128)
+    q = read_encoded(spark, path,
+                     range_filter=[("x", 0, 7), ("y", 0, 7)])
+    plan = _plan(q)
+    assert "SortMergeJoin" not in plan
+    # committed-lineage semi-join + one zone semi-join per range filter
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert q.count() == 8 * 8
+
+
+def test_media_decode_plan_no_extra_shuffle(spark):
+    """media pipeline: synth -> encode -> decode -> groupBy(kind).
+    Exactly the decode shuffle + the aggregation exchange — the
+    feature extraction itself must not introduce one."""
+    import __spark_entry__ as em
+
+    q = em.q_media_feature_stats(spark, SF_DIR)
+    plan = _plan(q)
+    # mapInArrow feature extraction is shuffle-free: the only SHUFFLE
+    # exchanges are the decode groupBy(bucket) (inside the cached
+    # decoded table's child plan) and the final aggregate; broadcast
+    # exchanges (lineage semi-join) don't move payload data
+    shuffles = plan.count("Exchange hashpartitioning")
+    assert shuffles <= 2, (shuffles, plan)

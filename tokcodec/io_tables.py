@@ -945,7 +945,10 @@ def read_encoded(
     skipping (the encoded-block analogue of parquet row-group pruning):
     whole (bucket, chunk)s whose stored [lo, hi] range misses the
     predicate are never decoded; an exact residual filter is applied
-    to the survivors. Filter semantics: lo <= col <= hi.
+    to the survivors. Filter semantics: lo <= col <= hi. A LIST of
+    triples is a conjunction over several columns — the natural read
+    for Z-order-clustered tables (``cluster_by=[a, b]``), where every
+    clustered dimension prunes.
 
     ``in_filter=(int_column, values)`` is the set-membership variant:
     chunks whose [lo, hi] zone contains none of the values are skipped
