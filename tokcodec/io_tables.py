@@ -889,9 +889,9 @@ def _str_zone_preds():
     return no_stats, overlap
 
 
-def _bloom_prune(blocks: DataFrame, col: str, value) -> DataFrame:
-    """Keep only (run_id, bucket, chunk)s whose bloom might contain
-    ``value``; chunks of ``col`` without a bloom block always survive
+def _bloom_survivors(blocks: DataFrame, col: str, value) -> DataFrame:
+    """(run_id, bucket, chunk)s whose bloom might contain ``value``;
+    chunks of ``col`` without a bloom block always survive
     (mixed old/new runs stay correct). The membership test runs
     executor-side, vectorized over chunk blooms — nothing is collected."""
     import pyarrow as pa
@@ -921,12 +921,11 @@ def _bloom_prune(blocks: DataFrame, col: str, value) -> DataFrame:
     vals = blocks.filter(
         (F.col("column") == col) & (F.col("component") == "values")
     ).select(*keys).distinct()
-    surv = (
+    return (
         vals.join(hits, keys, "left")
         .filter(F.col("hit").isNull() | F.col("hit"))
         .select(*keys)
     )
-    return blocks.join(F.broadcast(surv), keys, "left_semi")
 
 
 def read_encoded(
@@ -1035,10 +1034,7 @@ def read_encoded(
                                      verify_checksums=verify_checksums,
                                      fill_from=fill_from,
                                      encryption_key=encryption_key))
-    residual = F.lit(True)
-    for kind, spec in filts:
-        blocks, res = _prune_one(blocks, schema, manifest, kind, spec)
-        residual = residual & res
+    blocks, residual = _prune_all(blocks, schema, manifest, filts)
     out = decode_blocks(blocks, schema, decode_cols,
                         verify_checksums=verify_checksums,
                         fill_from=fill_from,
@@ -1141,16 +1137,39 @@ def _normalize_filter(schema: T.StructType, manifest: dict,
             "bounds": bounds, "residual": residual}
 
 
-def _prune_one(blocks: DataFrame, schema: T.StructType, manifest: dict,
-               kind: str, spec: tuple) -> tuple[DataFrame, object]:
-    """One pruning pass -> (blocks restricted to surviving
-    (run_id, bucket, chunk)s, exact residual predicate). Passes
-    compose: the surviving set of a conjunction is the intersection of
-    each filter's survivors, and the residuals AND together."""
+def _prune_all(blocks: DataFrame, schema: T.StructType, manifest: dict,
+               filts: list[tuple[str, tuple]]
+               ) -> tuple[DataFrame, object]:
+    """Conjunction pruning in ONE semi-join: each filter's surviving
+    (run_id, bucket, chunk) set is computed INDEPENDENTLY from the
+    original blocks (zone scan of that column's values rows / bloom
+    probe), the tiny sets are intersected, and the blocks table is
+    semi-joined once against the broadcast intersection. Sequential
+    per-filter semi-joins compute the same set (zone predicates are
+    per-column-row, so S over blocks∩S1 equals S∩S1) but nest N
+    scans of the progressively-joined blocks — measurably slower per
+    added filter and a deeper plan at 100 TB."""
+    keys = ["run_id", "bucket", "chunk"]
+    surv = None
+    residual = F.lit(True)
+    for kind, spec in filts:
+        s, res = _filter_survivors(blocks, schema, manifest, kind, spec)
+        residual = residual & res
+        surv = s if surv is None else surv.join(s, keys, "inner")
+    if surv is None:
+        return blocks, residual
+    return blocks.join(F.broadcast(surv), keys, "left_semi"), residual
+
+
+def _filter_survivors(blocks: DataFrame, schema: T.StructType,
+                      manifest: dict, kind: str, spec: tuple
+                      ) -> tuple[DataFrame, object]:
+    """One filter -> (surviving (run_id, bucket, chunk) set, exact
+    residual predicate). Chunks with no stats always survive."""
     nf = _normalize_filter(schema, manifest, kind, spec)
     col = nf["col"]
     if nf["kind"] == "eq":
-        return _bloom_prune(blocks, col, nf["value"]), nf["residual"]
+        return _bloom_survivors(blocks, col, nf["value"]), nf["residual"]
     if nf["lane"] == "str":
         no_stats, zover = _str_zone_preds()
         zpred = F.lit(False)
@@ -1171,8 +1190,7 @@ def _prune_one(blocks: DataFrame, schema: T.StructType, manifest: dict,
         (F.col("column") == col) & (F.col("component") == "values")
         & (zpred | no_stats)
     ).select("run_id", "bucket", "chunk").distinct()
-    return blocks.join(F.broadcast(zones), ["run_id", "bucket", "chunk"],
-                       "left_semi"), nf["residual"]
+    return zones, nf["residual"]
 
 
 def read_encoded_direct(
@@ -1365,7 +1383,7 @@ def _prune_block_table(tbl, specs: list[dict]):
     """Executor-side chunk pruning for the direct reader: evaluate
     each filter's surviving (run_id, chunk) set from ONE bucket's
     block rows (zone bounds in the values metas; blooms for eq), then
-    keep only rows of the intersection. Mirrors _prune_one's
+    keep only rows of the intersection. Mirrors _filter_survivors'
     DataFrame-side semantics: chunks with no stats survive; a run
     lacking the filter column entirely contributes nothing (NULL never
     matches a filter). All loops are bounded by chunks-per-bucket."""
