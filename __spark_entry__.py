@@ -49,6 +49,37 @@ _DECODED_CACHE: dict[str, DataFrame] = {}
 # bucket at tested scales (sf0.1 max occupancy ~ tens).
 LSH_BUCKET_CAP = 1000
 
+# DuckDB CTE chain reproducing _minhash_pairs exactly (shared by the
+# minhash_neardup_pairs and dedup_clusters oracles): shingles -> 16
+# md5-based minhashes -> 4 banded buckets (capped) -> distinct pairs.
+_MINHASH_PAIRS_CTES = f"""d AS (
+  SELECT doc_id, str_split(text, ' ') AS words FROM documents
+  WHERE len(str_split(text, ' ')) >= 3
+), sh AS (
+  SELECT doc_id, list_transform(range(1, len(words) - 1),
+         i -> array_to_string(words[i:i+2], ' ')) AS shingles FROM d
+), base AS (
+  SELECT doc_id, list_transform(shingles,
+         s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS b FROM sh
+), sig AS (
+  SELECT doc_id,
+{",".join(f"    list_aggregate(list_transform(b, x -> (x % 1073741824 + {i} * (2 * (x // 1073741824) + 1)) % 2147483647), 'min') AS h{i}" for i in range(16))}
+  FROM base
+), banded0 AS (
+{" UNION ALL ".join(f"  SELECT doc_id, {b} AS band, md5(h{b * 4}::VARCHAR || '-' || h{b * 4 + 1}::VARCHAR || '-' || h{b * 4 + 2}::VARCHAR || '-' || h{b * 4 + 3}::VARCHAR) AS bucket FROM sig" for b in range(4))}
+), banded AS (
+  -- mirror of Spark's sort_array+slice bucket cap
+  SELECT doc_id, band, bucket FROM (
+    SELECT doc_id, band, bucket,
+           row_number() OVER (PARTITION BY band, bucket
+                              ORDER BY doc_id) AS rn
+    FROM banded0) WHERE rn <= {LSH_BUCKET_CAP}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)"""
+
 
 def _decoded_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> sequences -> ENCODE -> DECODE (cached per sf_dir).
@@ -1054,14 +1085,14 @@ def q_media_feature_stats(spark, sf_dir):
 
 
 
-def q_minhash_neardup_pairs(spark, sf_dir):
-    """MinHash+LSH near-duplicate candidate pairs over documents:
-    3-word shingles -> 16 md5-based minhashes -> 4 bands -> bucket
-    join. The whole signature is computed PER ROW with JVM array
-    expressions — no explode, no shuffle of shingles (round 1 shuffled
-    ~one row per token through a groupBy; this is the 100 TB shape).
-    md5 (identical hex in DuckDB) makes the signature oracle-checkable.
-    """
+def _minhash_pairs(spark, sf_dir):
+    """MinHash+LSH near-duplicate CANDIDATE PAIRS (d1 < d2, distinct)
+    over documents — the shared pair generator behind
+    q_minhash_neardup_pairs and q_dedup_clusters. 3-word shingles ->
+    16 md5-based minhashes -> 4 bands -> bucket join; the whole
+    signature is computed PER ROW with JVM array expressions — no
+    explode, no shuffle of shingles. md5 (identical hex in DuckDB)
+    makes the signature oracle-checkable."""
     d = (
         _t(spark, sf_dir, "documents")
         .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
@@ -1166,10 +1197,78 @@ def q_minhash_neardup_pairs(spark, sf_dir):
         .select("p.d1", "p.d2")
         .distinct()
     )
-    return pairs.agg(
+    return pairs
+
+
+def q_minhash_neardup_pairs(spark, sf_dir):
+    """Candidate-pair statistics over the MinHash+LSH generator (see
+    _minhash_pairs for the pipeline and its 100 TB shape)."""
+    return _minhash_pairs(spark, sf_dir).agg(
         F.count("*").alias("n_candidate_pairs"),
         F.countDistinct("d1").alias("nd1"),
         F.countDistinct("d2").alias("nd2"),
+    )
+
+
+# Label-propagation iterations for near-dup clustering. Both the Spark
+# query and the DuckDB oracle run EXACTLY this many rounds, so the
+# hash match never depends on convergence — but the LSH pair graph is
+# a union of in-bucket cliques (every bucket emits all its pairs), so
+# component diameters are tiny and 5 rounds converge at tested scales
+# (test_dedup_clusters asserts a 6th round changes nothing). At 100 TB
+# swap the fixed loop for large-star/small-star (O(log n) rounds).
+DEDUP_CC_ROUNDS = 5
+
+# one label-propagation round per CTE, mirroring the Spark loop:
+# l_{k+1}(v) = min(l_k(v), min over neighbors u of l_k(u))
+_CC_STEP_CTES = "".join(
+    f""", l{k + 1} AS (
+  SELECT n.doc_id,
+         LEAST(n.label, COALESCE(MIN(l.label), n.label)) AS label
+  FROM l{k} n
+  LEFT JOIN e ON e.src = n.doc_id
+  LEFT JOIN l{k} l ON l.doc_id = e.dst
+  GROUP BY n.doc_id, n.label
+)""" for k in range(DEDUP_CC_ROUNDS))
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive near-duplicate CLUSTERS — the step a real dedup
+    pipeline runs after LSH pair generation: connected components over
+    the candidate-pair graph via min-label propagation
+    (label(v) <- min(label(v), min of neighbors' labels), repeated
+    DEDUP_CC_ROUNDS times), then a one-row summary: every document
+    keeps its cluster's minimum doc_id as the canonical
+    representative; n_docs - n_clusters documents are droppable
+    duplicates."""
+    pairs = _minhash_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("d1").alias("src"), F.col("d2").alias("dst")
+    ).unionByName(pairs.select(F.col("d2").alias("src"),
+                               F.col("d1").alias("dst")))
+    labels = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(DEDUP_CC_ROUNDS):
+        nb = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("dst"), "label"),
+                "dst")
+            .select(F.col("src").alias("doc_id"), "label")
+        )
+        labels = (
+            labels.unionByName(nb)
+            .groupBy("doc_id").agg(F.min("label").alias("label"))
+        )
+    clusters = labels.groupBy("label").agg(F.count("*").alias("csize"))
+    return clusters.agg(
+        F.sum("csize").alias("n_docs"),
+        F.count("*").alias("n_clusters"),
+        F.sum(F.col("csize") - 1).alias("n_dupes_droppable"),
+        F.max("csize").alias("max_cluster"),
+        F.sum("label").alias("rep_id_sum"),
     )
 
 
@@ -1551,6 +1650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_events": q_range_join_events,
         "asof_join_events": q_asof_join_events,
         "minhash_neardup_pairs": q_minhash_neardup_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "simhash_hamming_hist": q_simhash_hamming_hist,
         "ann_ivf_topk": q_ann_ivf_topk,
         "jdbc_ingest_roundtrip": q_jdbc_ingest_roundtrip,
@@ -1927,37 +2027,34 @@ SELECT a.doc_id AS doc_id,
 FROM d a JOIN d b ON a.doc_id + 1 = b.doc_id
 WHERE a.doc_id % 7 = 0""",
         "minhash_neardup_pairs": f"""
-WITH d AS (
-  SELECT doc_id, str_split(text, ' ') AS words FROM documents
-  WHERE len(str_split(text, ' ')) >= 3
-), sh AS (
-  SELECT doc_id, list_transform(range(1, len(words) - 1),
-         i -> array_to_string(words[i:i+2], ' ')) AS shingles FROM d
-), base AS (
-  SELECT doc_id, list_transform(shingles,
-         s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS b FROM sh
-), sig AS (
-  SELECT doc_id,
-{",".join(f"    list_aggregate(list_transform(b, x -> (x % 1073741824 + {i} * (2 * (x // 1073741824) + 1)) % 2147483647), 'min') AS h{i}" for i in range(16))}
-  FROM base
-), banded0 AS (
-{" UNION ALL ".join(f"  SELECT doc_id, {b} AS band, md5(h{b * 4}::VARCHAR || '-' || h{b * 4 + 1}::VARCHAR || '-' || h{b * 4 + 2}::VARCHAR || '-' || h{b * 4 + 3}::VARCHAR) AS bucket FROM sig" for b in range(4))}
-), banded AS (
-  -- mirror of Spark's sort_array+slice bucket cap
-  SELECT doc_id, band, bucket FROM (
-    SELECT doc_id, band, bucket,
-           row_number() OVER (PARTITION BY band, bucket
-                              ORDER BY doc_id) AS rn
-    FROM banded0) WHERE rn <= {LSH_BUCKET_CAP}
-), pairs AS (
-  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-  FROM banded a JOIN banded b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-)
+WITH {_MINHASH_PAIRS_CTES}
 SELECT COUNT(*) AS n_candidate_pairs,
        COUNT(DISTINCT d1) AS nd1,
        COUNT(DISTINCT d2) AS nd2
 FROM pairs""",
+        # connected components over the SAME pair graph: fixed-round
+        # min-label propagation mirrored step for step (the match
+        # never depends on convergence — both sides run exactly
+        # DEDUP_CC_ROUNDS rounds)
+        "dedup_clusters": f"""
+WITH {_MINHASH_PAIRS_CTES},
+e AS (
+  SELECT d1 AS src, d2 AS dst FROM pairs
+  UNION ALL SELECT d2, d1 FROM pairs
+), l0 AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(doc_id AS BIGINT) AS label
+  FROM documents
+){_CC_STEP_CTES}, cl AS (
+  SELECT label, COUNT(*) AS csize
+  FROM l{DEDUP_CC_ROUNDS} GROUP BY label
+)
+SELECT CAST(SUM(csize) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_clusters,
+       CAST(SUM(csize - 1) AS BIGINT) AS n_dupes_droppable,
+       CAST(MAX(csize) AS BIGINT) AS max_cluster,
+       CAST(SUM(label) AS BIGINT) AS rep_id_sum
+FROM cl""",
         # exact brute-force top-10 WITHIN the probed cells; the oracle
         # recomputes cells AND the probe set (query cell + hamming-1
         # ball) from raw vectors — gates pruning, cell assignment and
