@@ -1232,15 +1232,10 @@ _CC_STEP_CTES = "".join(
 )""" for k in range(DEDUP_CC_ROUNDS))
 
 
-def q_dedup_clusters(spark, sf_dir):
-    """Transitive near-duplicate CLUSTERS — the step a real dedup
-    pipeline runs after LSH pair generation: connected components over
-    the candidate-pair graph via min-label propagation
-    (label(v) <- min(label(v), min of neighbors' labels), repeated
-    DEDUP_CC_ROUNDS times), then a one-row summary: every document
-    keeps its cluster's minimum doc_id as the canonical
-    representative; n_docs - n_clusters documents are droppable
-    duplicates."""
+def _dedup_labels(spark, sf_dir):
+    """(doc_id, label) after DEDUP_CC_ROUNDS rounds of min-label
+    propagation over the LSH candidate-pair graph; label = the
+    cluster's canonical (minimum) doc_id."""
     pairs = _minhash_pairs(spark, sf_dir)
     edges = pairs.select(
         F.col("d1").alias("src"), F.col("d2").alias("dst")
@@ -1262,13 +1257,65 @@ def q_dedup_clusters(spark, sf_dir):
             labels.unionByName(nb)
             .groupBy("doc_id").agg(F.min("label").alias("label"))
         )
-    clusters = labels.groupBy("label").agg(F.count("*").alias("csize"))
+    return labels
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive near-duplicate CLUSTERS — the step a real dedup
+    pipeline runs after LSH pair generation: connected components over
+    the candidate-pair graph via min-label propagation
+    (label(v) <- min(label(v), min of neighbors' labels), repeated
+    DEDUP_CC_ROUNDS times), then a one-row summary: every document
+    keeps its cluster's minimum doc_id as the canonical
+    representative; n_docs - n_clusters documents are droppable
+    duplicates."""
+    clusters = _dedup_labels(spark, sf_dir).groupBy("label").agg(
+        F.count("*").alias("csize"))
     return clusters.agg(
         F.sum("csize").alias("n_docs"),
         F.count("*").alias("n_clusters"),
         F.sum(F.col("csize") - 1).alias("n_dupes_droppable"),
         F.max("csize").alias("max_cluster"),
         F.sum("label").alias("rep_id_sum"),
+    )
+
+
+def q_pipeline_keep_set(spark, sf_dir):
+    """END-TO-END training-data curation — the composed pipeline a
+    reference user actually runs over a crawl: near-dup clustering
+    (LSH pairs -> canonical representative per cluster) THEN a quality
+    gate (length + word count + stopword-ratio language-ish check) on
+    the surviving representatives. Per lang: how many docs enter, how
+    many drop as duplicates, how many reps fail quality, how many
+    (and how many chars) make the training set. Every stage is the
+    same oracle-checked machinery the standalone queries use."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+    labeled = d.join(_dedup_labels(spark, sf_dir), "doc_id")
+    words = F.size(F.split(F.col("text"), " "))
+    stop = F.size(F.expr(
+        "filter(split(text, ' '), w -> w in ('the','a','of','and','to'))"
+    ))
+    quality = ((F.col("n_chars") >= 100) & (words >= 10)
+               & (stop * 100 >= words * 2))
+    cls = (F.when(F.col("doc_id") != F.col("label"), "dup")
+           .when(~quality, "low_quality").otherwise("keep"))
+    return (
+        labeled.withColumn("cls", cls)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("cls") == "dup", 1).otherwise(0)
+                  ).alias("n_dup_dropped"),
+            F.sum(F.when(F.col("cls") == "low_quality", 1).otherwise(0)
+                  ).alias("n_quality_dropped"),
+            F.sum(F.when(F.col("cls") == "keep", 1).otherwise(0)
+                  ).alias("n_kept"),
+            F.sum(F.when(F.col("cls") == "keep",
+                         F.col("n_chars")).otherwise(0)
+                  ).alias("kept_chars"),
+        )
     )
 
 
@@ -1651,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": q_asof_join_events,
         "minhash_neardup_pairs": q_minhash_neardup_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "pipeline_keep_set": q_pipeline_keep_set,
         "simhash_hamming_hist": q_simhash_hamming_hist,
         "ann_ivf_topk": q_ann_ivf_topk,
         "jdbc_ingest_roundtrip": q_jdbc_ingest_roundtrip,
@@ -2055,6 +2103,45 @@ SELECT CAST(SUM(csize) AS BIGINT) AS n_docs,
        CAST(MAX(csize) AS BIGINT) AS max_cluster,
        CAST(SUM(label) AS BIGINT) AS rep_id_sum
 FROM cl""",
+        # composed curation pipeline: dedup labels THEN quality gate
+        # on the surviving representatives, same CTE machinery
+        "pipeline_keep_set": f"""
+WITH {_MINHASH_PAIRS_CTES},
+e AS (
+  SELECT d1 AS src, d2 AS dst FROM pairs
+  UNION ALL SELECT d2, d1 FROM pairs
+), l0 AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(doc_id AS BIGINT) AS label
+  FROM documents
+){_CC_STEP_CTES}, labeled AS (
+  SELECT doc.doc_id, doc.lang, doc.n_chars,
+         len(str_split(doc.text, ' ')) AS n_words,
+         len(list_filter(str_split(doc.text, ' '),
+             w -> w in ('the','a','of','and','to'))) AS n_stop,
+         l.label
+  FROM documents doc
+  JOIN l{DEDUP_CC_ROUNDS} l ON l.doc_id = doc.doc_id
+), cls AS (
+  SELECT lang, n_chars,
+         CASE WHEN doc_id != label THEN 'dup'
+              WHEN NOT (n_chars >= 100 AND n_words >= 10
+                        AND n_stop * 100 >= n_words * 2)
+                   THEN 'low_quality'
+              ELSE 'keep' END AS cls
+  FROM labeled
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN cls = 'dup' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_dropped,
+       CAST(SUM(CASE WHEN cls = 'low_quality' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_quality_dropped,
+       CAST(SUM(CASE WHEN cls = 'keep' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN cls = 'keep' THEN n_chars ELSE 0 END)
+            AS BIGINT) AS kept_chars
+FROM cls GROUP BY lang""",
         # exact brute-force top-10 WITHIN the probed cells; the oracle
         # recomputes cells AND the probe set (query cell + hamming-1
         # ball) from raw vectors — gates pruning, cell assignment and
