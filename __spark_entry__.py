@@ -16,9 +16,12 @@ evolution, string/date zone scans and the metadata COUNT(*) under the
 same hash gate. Round 4 moves media_feature_stats under the oracle
 (real PPM/WAV/framed-RGB decode with closed-form sums — see
 multimodal.py) and adds roundtrip_time_of_day (TIME through the
-engine) and zorder_user_time_slab (Z-order two-bound slab); only
-encode_lineage_metrics remains rows-only (engine-internal metrics
-have no external recomputation).
+engine), zorder_user_time_slab (Z-order two-bound slab),
+dedup_clusters (connected components over the LSH pair graph,
+fixed-round label propagation mirrored in the oracle) and
+pipeline_keep_set (the composed dedup -> quality-gate curation
+pipeline); only encode_lineage_metrics remains rows-only
+(engine-internal metrics have no external recomputation).
 Everything else — including minhash, simhash, and the IVF probe
 (gated against exact brute-force top-k) — is oracle-checked.
 """

@@ -107,6 +107,21 @@ def main() -> None:
     enc_path = os.path.join(work, "enc0")
     t_encode = min(enc_times)
     t_decode = min(dec_times)
+
+    # the shuffle-free per-bucket reader, same verification aggregate —
+    # recorded next to the grouped reader so the artifact shows both
+    # read paths' steady state (the direct path wins when the decode
+    # shuffle is the bottleneck, e.g. network-bound clusters)
+    from tokcodec.io_tables import read_encoded_direct
+
+    dd_times = []
+    for _rep in range(2):
+        t0 = time.monotonic()
+        ddec = read_encoded_direct(spark, enc_path)
+        n_dd = ddec.agg(F.count("*"), F.sum("n_tok")).collect()[0]
+        dd_times.append(round(time.monotonic() - t0, 3))
+        assert n_dd[0] == SYNTH_ROWS and n_dd[1] == total_tokens
+    t_decode_direct = min(dd_times)
     timings["encode_sequences"] = round(t_encode, 3)
     timings["decode_sequences"] = round(t_decode, 3)
 
@@ -204,6 +219,8 @@ def main() -> None:
         "decode_tokens_per_sec": int(total_tokens / t_decode),
         "encode_rep_secs": enc_times,
         "decode_rep_secs": dec_times,
+        "decode_direct_tokens_per_sec": int(total_tokens / t_decode_direct),
+        "decode_direct_rep_secs": dd_times,
         "memcpy_probe_gbps": memcpy_gbps,
         "compression_ratio_vs_snappy": round(ratio, 4),
         "fsst_vocab": {

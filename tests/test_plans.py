@@ -115,6 +115,12 @@ def test_media_decode_plan_no_extra_shuffle(spark):
     feature extraction itself must not introduce one."""
     import __spark_entry__ as em
 
+    # fresh plan: a MATERIALIZED InMemoryRelation's printed plan embeds
+    # its child stage a second time (string artifact, not a runtime
+    # shuffle), so drop any cache entry a previous test populated
+    cached = em._DECODED_CACHE.pop(f"media::{SF_DIR}", None)
+    if cached is not None:
+        cached.unpersist()
     q = em.q_media_feature_stats(spark, SF_DIR)
     plan = _plan(q)
     # mapInArrow feature extraction is shuffle-free: the only SHUFFLE
