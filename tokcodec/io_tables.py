@@ -918,9 +918,11 @@ def _bloom_survivors(blocks: DataFrame, col: str, value) -> DataFrame:
     hits = blooms.mapInArrow(
         test, "run_id string, bucket int, chunk int, hit boolean"
     )
+    # no distinct: one "values" block row per (run_id, bucket, chunk,
+    # column) — already unique (a distinct costs a shuffle)
     vals = blocks.filter(
         (F.col("column") == col) & (F.col("component") == "values")
-    ).select(*keys).distinct()
+    ).select(*keys)
     return (
         vals.join(hits, keys, "left")
         .filter(F.col("hit").isNull() | F.col("hit"))
@@ -1155,7 +1157,10 @@ def _prune_all(blocks: DataFrame, schema: T.StructType, manifest: dict,
     for kind, spec in filts:
         s, res = _filter_survivors(blocks, schema, manifest, kind, spec)
         residual = residual & res
-        surv = s if surv is None else surv.join(s, keys, "inner")
+        # broadcast each set: the intersection of tiny chunk lists
+        # must never plan as a shuffle join
+        surv = s if surv is None else surv.join(F.broadcast(s), keys,
+                                                "inner")
     if surv is None:
         return blocks, residual
     return blocks.join(F.broadcast(surv), keys, "left_semi"), residual
@@ -1186,10 +1191,13 @@ def _filter_survivors(blocks: DataFrame, schema: T.StructType,
     # carry no stats. All components of a surviving (run_id, bucket,
     # chunk) are kept so row alignment holds (keyed by run_id too:
     # multi-epoch appends reuse chunk numbers).
+    # no distinct: exactly ONE "values" block row exists per
+    # (run_id, bucket, chunk, column), so the projection is already
+    # unique — a distinct here costs a shuffle per filter
     zones = blocks.filter(
         (F.col("column") == col) & (F.col("component") == "values")
         & (zpred | no_stats)
-    ).select("run_id", "bucket", "chunk").distinct()
+    ).select("run_id", "bucket", "chunk")
     return zones, nf["residual"]
 
 
