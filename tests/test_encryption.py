@@ -177,3 +177,23 @@ def test_evolution_append_omitting_encrypted_column(spark, tmp_path):
     out = read_encoded(spark, path, encryption_key=KEY)
     assert out.count() == 70
     assert out.filter(F.col("secret").isNull()).count() == 20
+
+
+def test_schema_on_read_encrypted(spark, tmp_path):
+    """decode_blocks_as (schema-on-read: alias mapping, widening) also
+    decrypts — and refuses without the key."""
+    from tokcodec.io_tables import read_encoded_as
+
+    path = str(tmp_path / "t")
+    write_encoded(_mk(spark, 60), path, n_buckets=1, run_id="r1",
+                  encryption_key=KEY, encrypted_columns=["doc_id"])
+    read_schema = T.StructType([
+        T.StructField("doc_id", T.StringType(), True),
+        T.StructField("n_tok", T.LongType(), True),  # widened
+    ])
+    out = read_encoded_as(spark, path, read_schema, encryption_key=KEY)
+    rows = {r.doc_id: r.n_tok for r in out.collect()}
+    assert len(rows) == 60 and rows["d0003"] == 3
+    assert out.schema["n_tok"].dataType == T.LongType()
+    with pytest.raises(ValueError, match="encrypted"):
+        read_encoded_as(spark, path, read_schema).collect()
