@@ -179,10 +179,10 @@ def main() -> None:
         "roundtrip_global_checksum",
         "roundtrip_lineitem_daterange",
         "roundtrip_variant_extract",
-        "lineitem_pricing_summary",
+        "roundtrip_lineitem_pricing",
         "join_topcustomers",
         "window_top_order",
-        "events_hourly",
+        "roundtrip_events_hourly",
         "dedup_exact",
         "emb_cosine_topk",
         "minhash_neardup_pairs",

@@ -50,6 +50,24 @@ def test_chain_is_transitive(spark, tmp_path):
     assert row.n_clusters == 2 and row.max_cluster == 3
 
 
+def test_iteration_plan_truncated(spark, tmp_path):
+    """r4 verdict #3: the propagation loop must not let the plan double
+    per round — after _dedup_labels the returned frame's plan is a
+    materialized localCheckpoint scan (LogicalRDD/checkpoint), NOT the
+    2^ROUNDS-subtree union/join tree re-deriving the MinHash pipeline
+    (no md5/shingle expressions may survive in the final plan)."""
+    texts = ["alpha beta gamma delta epsilon zeta"] * 2 + [
+        "totally different unrelated words here now"]
+    _docs(spark, texts).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet")
+    labels = em._dedup_labels(spark, str(tmp_path))
+    plan = labels._jdf.queryExecution().optimizedPlan().toString()
+    assert "md5" not in plan and "transform" not in plan, plan
+    # cached: a second call returns the same materialized frame,
+    # so the pair generator runs once per (sf_dir, rounds)
+    assert em._dedup_labels(spark, str(tmp_path)) is labels
+
+
 def test_rounds_converged_at_test_scale(spark, monkeypatch):
     """DEDUP_CC_ROUNDS is enough at sf0.01: one more round changes
     nothing (the fixed-round oracle mirror is exact either way, but
