@@ -197,3 +197,21 @@ def test_schema_on_read_encrypted(spark, tmp_path):
     assert out.schema["n_tok"].dataType == T.LongType()
     with pytest.raises(ValueError, match="encrypted"):
         read_encoded_as(spark, path, read_schema).collect()
+
+
+def test_schema_on_read_plaintext_projection_needs_no_key(spark, tmp_path):
+    """ADVICE r4: a read_encoded_as projection touching only plaintext
+    columns of a partially-encrypted table must not demand the key
+    (read_encoded already scoped the check to touched columns)."""
+    from tokcodec.io_tables import read_encoded_as
+
+    path = str(tmp_path / "t")
+    write_encoded(_mk(spark, 60), path, n_buckets=1, run_id="r1",
+                  encryption_key=KEY, encrypted_columns=["doc_id"])
+    read_schema = T.StructType([
+        T.StructField("n_tok", T.LongType(), True),
+        T.StructField("source", T.StringType(), True),
+    ])
+    out = read_encoded_as(spark, path, read_schema)  # no key
+    assert out.count() == 60
+    assert set(out.columns) == {"n_tok", "source"}

@@ -84,3 +84,14 @@ def test_wav_sum_against_numpy(spark, media):
         media.filter(F.col("doc_id") == "m00000007")).collect()[0]
     assert got.value_sum == int(samples.astype(np.int64).sum())
     assert got.units == samples.size
+
+
+def test_decode_batch_loop_zero_copy():
+    """r4 verdict #4: the decode batch loop must not copy full payloads
+    into Python bytes per row — bodies come from numpy slices of the
+    shared Arrow data buffer; only the container header (<=64 bytes) is
+    materialized per item."""
+    import inspect
+    from tokcodec import multimodal
+    src = inspect.getsource(multimodal.decode_media)
+    assert ".as_py(" not in src, "per-row payload copy crept back in"

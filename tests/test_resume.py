@@ -74,3 +74,15 @@ def test_orphan_blocks_ignored(spark, seq_df, tmp_path):
     dec = read_encoded(spark, path)
     res = verify_roundtrip(seq_df, dec)
     assert res["ok"] and res["rows"] == 5_000
+
+
+def test_run_id_charset_validated(spark, seq_df, tmp_path):
+    """run_id names files and flows into glob-aware read APIs
+    (spark.read.json over manifest paths): glob metacharacters must be
+    rejected at write time (ADVICE r4)."""
+    import pytest
+
+    for bad in ("r[1]", "r{1}", "a*b", "q?x", "a/b", "a b"):
+        with pytest.raises(ValueError, match="run_id"):
+            write_encoded(seq_df.limit(1), str(tmp_path / "t"),
+                          n_buckets=1, run_id=bad)

@@ -321,10 +321,17 @@ def _zorder_key(arrs) -> np.ndarray:
             raise ValueError(
                 "z-order cluster_by requires int-lane columns "
                 f"(got {v.dtype})")
-        u = v.astype(np.int64) - int(v.min())
+        # offset-to-zero in uint64 space: int64 subtraction would wrap
+        # when (max - min) exceeds int64 range (e.g. a column spanning
+        # both int64 extremes), silently scrambling the Morton order —
+        # results stay correct via residual filters, but clustering
+        # would degrade. Two's-complement wraparound of the uint64 cast
+        # makes (v - min) exact for ANY int64 span (ADVICE r4).
+        v64 = v.astype(np.int64)
+        u = v64.view(np.uint64) - np.int64(v64.min()).view(np.uint64)
         hi = int(u.max())
         shift = max(0, hi.bit_length() - bits)
-        lanes.append((u >> shift).astype(np.uint64))
+        lanes.append((u >> np.uint64(shift)).astype(np.uint64))
     if len(lanes) == 2:
         return (_spread1(lanes[0]) << np.uint64(1)) | _spread1(lanes[1])
     return ((_spread2(lanes[0]) << np.uint64(2))

@@ -36,7 +36,7 @@ import bisect
 import json
 import os
 import posixpath
-
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -439,6 +439,15 @@ def write_encoded(
     spark = df.sparkSession
     blocks_p, lineage_p, manifest_p = _paths(path)
     run_id = run_id or uuid.uuid4().hex[:12]
+    # run_id becomes part of file names AND of paths handed to
+    # spark.read.json (which applies Hadoop glob semantics): glob
+    # metacharacters ([]{}*?), path separators or whitespace would
+    # make the batched manifest scan resolve differently from the
+    # serial reader — or read the wrong manifests (ADVICE r4).
+    if not re.fullmatch(r"[A-Za-z0-9._=-]+", run_id):
+        raise ValueError(
+            f"run_id {run_id!r} may only contain [A-Za-z0-9._=-] "
+            "(it names files and is planned through glob-aware APIs)")
     # run_id collision guard: re-using a committed run's id would
     # OVERWRITE its file manifest — committed lineage rows would then
     # point at files the manifest no longer lists (silent row loss).
@@ -1486,7 +1495,19 @@ def read_encoded_as(
         needed = {f.name for f in file_schema.fields} | {METRICS_COLUMN}
     blocks = _blocks_df(spark, path, lin, columns_needed=needed,
                         files=files)
-    _check_encryption_key(manifest, None, encryption_key)
+    # key required only for the stored columns this read actually
+    # resolves to (alias > exact > snake_case) — a plaintext-only
+    # projection over a partially-encrypted table needs no key
+    # (ADVICE r4: was an unconditional whole-table check)
+    from tokcodec.naming import map_fields
+
+    mapping = map_fields(
+        [f.name for f in file_schema.fields],
+        [f.name for f in read_schema.fields],
+        aliases=aliases, fail_on_missing=fail_on_missing_column,
+    )
+    touched = [c for c in mapping.values() if c is not None]
+    _check_encryption_key(manifest, touched, encryption_key)
     return decode_blocks_as(
         blocks, file_schema, read_schema, aliases=aliases,
         fail_on_missing_column=fail_on_missing_column,
