@@ -174,9 +174,20 @@ def q_roundtrip_global_checksum(spark, sf_dir):
 
 
 def q_roundtrip_projection_topn(spark, sf_dir):
-    # projection pushdown: only doc_id and n_tok blocks are decoded
-    dec = _decoded_sequences(spark, sf_dir).select("doc_id", "n_tok")
-    return dec.orderBy(F.desc("n_tok"), "doc_id").limit(20)
+    """Projection pushdown through the SQL SURFACE (r4 verdict #8):
+    the encoded table is registered as a temp view (register_encoded —
+    the reference's 'reads like any table format' promise) with
+    columns= pushdown, and the query itself is spark.sql text — the
+    whole SQL path now sits under the driver's hash gate. Only the
+    doc_id/n_tok block FILES enter the scan."""
+    from tokcodec.io_tables import register_encoded
+
+    _decoded_sequences(spark, sf_dir)  # ensure encoded table exists
+    register_encoded(spark, _entry_table_path(sf_dir),
+                     "tokcodec_seq_view", columns=["doc_id", "n_tok"])
+    return spark.sql(
+        "SELECT doc_id, n_tok FROM tokcodec_seq_view "
+        "ORDER BY n_tok DESC, doc_id LIMIT 20")
 
 
 def q_roundtrip_tokens_exact(spark, sf_dir):

@@ -192,19 +192,31 @@ def main() -> None:
         "zorder_user_time_slab",
     ]
     qs = entrymod.queries()
+    # the heavy LSH pipelines get min-of-3: their multi-second walls
+    # are the ones a single host stall distorts most (r4 verdict #2:
+    # minhash recorded 5.97 s vs 2.18 s steady with no telemetry to
+    # adjudicate)
+    REPS = {"minhash_neardup_pairs": 3, "simhash_hamming_hist": 3}
+    # memcpy probes BRACKET the query section (and each LSH query), so
+    # a host-stalled phase is self-evident in the artifact — same
+    # shape the engine rows already have
+    query_probes = [_memcpy_probe_gbps()]
     for name in headline:
         # one UNTIMED warmup (plan compilation, query-local caches,
-        # python worker reuse), then min-of-2 timed reps: round 2's
+        # python worker reuse), then min-of-N timed reps: round 2's
         # min-of-2 alone recorded a 3x-inflated minhash number because
         # warmup dominated rep 1 while rep 2 hit a host stall
         # (round-2 verdict #6)
         qs[name](spark, SF_DIR).collect()
         best = float("inf")
-        for _rep in range(2):
+        for _rep in range(REPS.get(name, 2)):
             t0 = time.monotonic()
             qs[name](spark, SF_DIR).collect()
             best = min(best, time.monotonic() - t0)
         timings[name] = round(best, 3)
+        if name in REPS:
+            query_probes.append(_memcpy_probe_gbps())
+    query_probes.append(_memcpy_probe_gbps())
 
     total = sum(timings.values())
     out = {
@@ -222,6 +234,7 @@ def main() -> None:
         "decode_direct_tokens_per_sec": int(total_tokens / t_decode_direct),
         "decode_direct_rep_secs": dd_times,
         "memcpy_probe_gbps": memcpy_gbps,
+        "query_memcpy_probe_gbps": query_probes,
         "compression_ratio_vs_snappy": round(ratio, 4),
         "fsst_vocab": {
             "msg_codecs_chosen": msg_codecs,

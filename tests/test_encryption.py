@@ -1,7 +1,10 @@
 """Column encryption (reference C6 parquet-modular-encryption
 passthrough, CarpetWriter.java:235-238): AES-GCM block payloads,
-AAD-bound to block position, plaintext-footer mode (stats/zone maps/
-blooms readable without the key)."""
+AAD-bound to block position, deterministic salted nonces. Manifests/
+lineage stay plaintext, but encrypted columns' statistics (zone
+bounds, value-bearing codec params) and bloom payloads are encrypted
+too — parquet redacts encrypted columns' stats and encrypts their
+bloom modules even in plaintext-footer mode."""
 
 import json
 import os
@@ -215,3 +218,108 @@ def test_schema_on_read_plaintext_projection_needs_no_key(spark, tmp_path):
     out = read_encoded_as(spark, path, read_schema)  # no key
     assert out.count() == 60
     assert set(out.columns) == {"n_tok", "source"}
+
+
+def test_stats_redacted_on_disk(spark, tmp_path):
+    """ADVICE r4 (high): encrypted columns must not leak value bounds
+    through plaintext metadata — zone maps (lo/hi, slo/shi), FOR
+    ref / delta first codec params, and bloom payloads all live inside
+    the encrypted envelope; the stored meta of every encrypted block
+    is exactly {enc, emeta}."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "t")
+    write_encoded(_mk(spark), path, n_buckets=2, run_id="r1",
+                  chunk_max_rows=32, bloom_columns=["doc_id"],
+                  encryption_key=KEY,
+                  encrypted_columns=["doc_id", "n_tok"])
+    seen_enc = 0
+    for root, _d, fs in os.walk(os.path.join(path, "blocks")):
+        for f in fs:
+            t = pq.read_table(os.path.join(root, f))
+            for col, meta in zip(t.column("column").to_pylist(),
+                                 t.column("meta").to_pylist()):
+                if col in ("doc_id", "n_tok"):
+                    keys = set(json.loads(meta))
+                    assert keys <= {"enc", "emeta"}, (col, keys)
+                    seen_enc += 1
+    assert seen_enc > 0
+    # a filtered scan on an encrypted column without the key fails
+    # fast at plan time
+    with pytest.raises(ValueError, match="encrypted"):
+        read_encoded(spark, path, range_filter=("n_tok", 3, 3))
+    with pytest.raises(ValueError, match="encrypted"):
+        read_encoded(spark, path, eq_filter=("doc_id", "d0003"),
+                     columns=["source"])
+
+
+def test_encrypted_zone_and_bloom_pruning_with_key(spark, tmp_path):
+    """WITH the key, zone/bloom pruning on encrypted columns still
+    works (parquet encrypted-column-index analogue), in both readers,
+    and actually prunes chunks."""
+    from tokcodec.io_tables import (
+        _filter_survivors,
+        _load_table,
+        _blocks_df,
+        manifest_schema,
+    )
+
+    path = str(tmp_path / "t")
+    df = _mk(spark, 400).withColumn("k", F.monotonically_increasing_id())
+    df = df.drop("n_tok").withColumn(
+        "n_tok", (F.col("k") % 50).cast("int")).drop("k")
+    write_encoded(df, path, n_buckets=2, run_id="r1", chunk_max_rows=32,
+                  cluster_by="n_tok", bloom_columns=["doc_id"],
+                  encryption_key=KEY,
+                  encrypted_columns=["doc_id", "n_tok"])
+    # grouped reader: range on the encrypted clustered column
+    got = read_encoded(spark, path, range_filter=("n_tok", 10, 12),
+                       encryption_key=KEY)
+    assert got.count() == df.filter("n_tok between 10 and 12").count()
+    # eq/bloom point lookup on the encrypted string column
+    got2 = read_encoded(spark, path, eq_filter=("doc_id", "d0007"),
+                        encryption_key=KEY)
+    assert got2.count() == 1
+    # direct reader, same filters
+    got3 = read_encoded_direct(spark, path,
+                               range_filter=("n_tok", 10, 12),
+                               encryption_key=KEY)
+    assert got3.count() == df.filter("n_tok between 10 and 12").count()
+    got4 = read_encoded_direct(spark, path, eq_filter=("doc_id", "d0007"),
+                               encryption_key=KEY)
+    assert got4.count() == 1
+    # pruning evidence: the surviving chunk set is a strict subset
+    manifest, lin = _load_table(spark, path)
+    schema = manifest_schema(manifest)
+    blocks = _blocks_df(spark, path, lin)
+    surv, _res = _filter_survivors(blocks, schema, manifest, "range",
+                                   ("n_tok", 10, 12),
+                                   encryption_key=KEY)
+    n_surv = surv.count()
+    n_all = (blocks.filter("column = 'n_tok' and component = 'values'")
+             .count())
+    assert 0 < n_surv < n_all, (n_surv, n_all)
+
+
+def test_deterministic_nonces(spark):
+    """Nonces derive from (salt, position, purpose): same salt+position
+    -> identical stored bytes; fresh salt -> different nonce (no
+    random-IV birthday cap under a long-lived table key)."""
+    from tokcodec.crypto import encrypt_block_row, new_run_salt
+
+    def mk():
+        return {"run_id": "r1", "bucket": 1, "chunk": 0, "column": "c",
+                "component": "values", "payload": b"pp", "meta": "{}",
+                "enc_bytes": 0, "checksum": 0}
+
+    salt = new_run_salt()
+    a, b = mk(), mk()
+    encrypt_block_row(KEY, a, salt=salt)
+    encrypt_block_row(KEY, b, salt=salt)
+    assert a["payload"] == b["payload"] and a["meta"] == b["meta"]
+    c = mk()
+    encrypt_block_row(KEY, c, salt=new_run_salt())
+    assert c["payload"][:12] != a["payload"][:12]
+    d = dict(mk(), chunk=1)  # different position -> different nonce
+    encrypt_block_row(KEY, d, salt=salt)
+    assert d["payload"][:12] != a["payload"][:12]

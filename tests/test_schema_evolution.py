@@ -157,16 +157,54 @@ def test_read_as_on_evolved(spark, evolved):
 
 
 def test_time_travel_as_of_epoch(spark, evolved):
+    """Snapshot-schema semantics (r4 verdict #5, Iceberg parity; the
+    reference reads the schema each file's footer declares): a column
+    added AFTER the target epoch does NOT appear in the historical
+    read — each run manifest records its stored schema and the as-of
+    read projects the union of the participating runs' schemas."""
     snap0 = read_encoded(spark, evolved, as_of_epoch=0)
     assert snap0.count() == 400
-    # the snapshot decodes under the CURRENT (union) schema: the later
-    # column exists but is all-NULL — same contract as Iceberg, where
-    # time travel rolls back data, not the schema object used to read
-    assert snap0.filter(F.col("lang").isNull()).count() == 400
+    assert snap0.columns == ["doc_id", "n_tok", "source"]  # no lang
     snap1 = read_encoded(spark, evolved, as_of_epoch=1)
     assert snap1.count() == 700
-    d1 = read_encoded_direct(spark, evolved, as_of_epoch=0)
-    assert d1.count() == 400
+    assert "lang" in snap1.columns
+    d0 = read_encoded_direct(spark, evolved, as_of_epoch=0)
+    assert d0.count() == 400
+    assert d0.columns == ["doc_id", "n_tok", "source"]
+    # requesting (or filtering on) a post-epoch column fails clearly
+    with pytest.raises(ValueError, match="as of epoch"):
+        read_encoded(spark, evolved, as_of_epoch=0, columns=["lang"])
+    with pytest.raises(ValueError, match="as of epoch"):
+        read_encoded_direct(spark, evolved, as_of_epoch=0,
+                            columns=["lang"])
+    with pytest.raises(ValueError, match="as of epoch"):
+        read_encoded(spark, evolved, as_of_epoch=0,
+                     range_filter=("lang", "a", "z")).collect()
+
+
+def test_time_travel_legacy_manifest_fallback(spark, evolved, tmp_path):
+    """Run manifests written before schema recording (no schema_json)
+    fall back to the CURRENT union schema, null-filled — pre-r5
+    tables keep reading."""
+    import json as _json
+    import shutil
+
+    path = str(tmp_path / "legacy")
+    shutil.copytree(evolved, path)
+    runs_dir = os.path.join(path, "_runs")
+    for f in os.listdir(runs_dir):
+        if not f.endswith(".json"):
+            continue  # Hadoop-FS .crc sidecars
+        p = os.path.join(runs_dir, f)
+        m = _json.loads(open(p).read())
+        m.pop("schema_json", None)
+        open(p, "w").write(_json.dumps(m, separators=(",", ":")))
+        crc = os.path.join(runs_dir, f".{f}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)  # stale checksum would fail the read
+    snap0 = read_encoded(spark, path, as_of_epoch=0)
+    assert snap0.columns == ["doc_id", "n_tok", "source", "lang"]
+    assert snap0.filter(F.col("lang").isNull()).count() == 400
 
 
 def test_compaction_materializes_evolution(spark, evolved):

@@ -346,14 +346,18 @@ def make_encode_fn(schema: T.StructType, run_id: str,
                    enum_columns: dict[str, list[str]] | None = None,
                    codec_override: dict[str, str] | None = None,
                    encrypted_columns: tuple[str, ...] = (),
-                   encryption_key: bytes | None = None):
+                   encryption_key: bytes | None = None,
+                   encryption_salt: bytes | None = None):
     """Returns the applyInArrow function: (key, pa.Table) -> pa.Table
     of BLOCK_DDL rows for one bucket.
 
     ``encrypted_columns``/``encryption_key``: AES-GCM these columns'
-    block payloads, AAD-bound to block position (see tokcodec.crypto —
-    the reference's parquet modular encryption passthrough, C6).
-    Bloom blocks stay plaintext (plaintext-stats mode).
+    block payloads AND metadata (zone bounds, value-bearing codec
+    params) AND bloom blocks, AAD-bound to block position (see
+    tokcodec.crypto — the reference's parquet modular encryption
+    passthrough, C6, with parquet's stats redaction for encrypted
+    columns). ``encryption_salt``: per-run salt for deterministic
+    nonce derivation.
 
     ``cluster_by``: sort the bucket's rows by this column before
     chunking — the SIGMOD 2020 column-permutation idea: clustering
@@ -428,7 +432,8 @@ def make_encode_fn(schema: T.StructType, run_id: str,
                         # after run_id/chunk: both are in the AAD
                         from tokcodec.crypto import encrypt_block_row
 
-                        encrypt_block_row(encryption_key, r)
+                        encrypt_block_row(encryption_key, r,
+                                          salt=encryption_salt)
                     rows.append(r)
                     if r["component"] == "values":
                         codec_log[name] = r["codec"]
@@ -440,6 +445,14 @@ def make_encode_fn(schema: T.StructType, run_id: str,
                                          if arr.null_count else arr)
                     br["run_id"] = run_id
                     br["chunk"] = ci
+                    if name in encrypted_columns:
+                        # a plaintext bloom of an encrypted column
+                        # allows membership probes — encrypt it like
+                        # parquet encrypts bloom filter modules
+                        from tokcodec.crypto import encrypt_block_row
+
+                        encrypt_block_row(encryption_key, br,
+                                          salt=encryption_salt)
                     rows.append(br)
                 if enum_columns and name in enum_columns:
                     # enum-as-type (reference EnumsValues.java:22-34):
@@ -531,7 +544,8 @@ def make_encode_sorted_fn(schema: T.StructType, run_id: str,
                           enum_columns: dict[str, list[str]] | None = None,
                           codec_override: dict[str, str] | None = None,
                           encrypted_columns: tuple[str, ...] = (),
-                          encryption_key: bytes | None = None):
+                          encryption_key: bytes | None = None,
+                          encryption_salt: bytes | None = None):
     """mapInArrow variant for input SORTED by bucket within each
     partition (repartition + sortWithinPartitions): buckets are
     processed one at a time as their rows stream in, so task memory is
@@ -545,7 +559,8 @@ def make_encode_sorted_fn(schema: T.StructType, run_id: str,
                            enum_columns=enum_columns,
                            codec_override=codec_override,
                            encrypted_columns=encrypted_columns,
-                           encryption_key=encryption_key)
+                           encryption_key=encryption_key,
+                           encryption_salt=encryption_salt)
 
     def fn(batches):
         import pyarrow as pa

@@ -598,6 +598,13 @@ def _write_run(b: DataFrame, schema: T.StructType, path: str,
     validate_codec_override(schema, codec_override)
     from tokcodec.encode import make_encode_sorted_fn
 
+    encryption_salt = None
+    if encryption_key is not None:
+        from tokcodec.crypto import new_run_salt
+
+        # fresh per-run salt: deterministic nonces (salt, position,
+        # purpose) never repeat under the long-lived table key
+        encryption_salt = new_run_salt()
     enc = make_encode_sorted_fn(
         schema, run_id, cluster_by=cluster_by,
         chunk_max_rows=chunk_max_rows or CHUNK_MAX_ROWS,
@@ -607,6 +614,7 @@ def _write_run(b: DataFrame, schema: T.StructType, path: str,
         codec_override=codec_override,
         encrypted_columns=tuple(encrypted_columns or ()),
         encryption_key=encryption_key,
+        encryption_salt=encryption_salt,
     )
     writer = _make_block_writer(blocks_p, run_id)
 
@@ -639,7 +647,15 @@ def _write_run(b: DataFrame, schema: T.StructType, path: str,
     ]
     _write_text(
         spark, _run_manifest_path(path, run_id),
-        json.dumps({"run_id": run_id, "epoch": int(epoch), "files": files},
+        # schema_json: the stored schema AS OF this run (a run's schema
+        # is fixed at write, like a parquet file's footer schema —
+        # reference CarpetReader reads what the footer says); as-of
+        # reads project the union of participating runs' schemas.
+        # Double-encoded so the batched spark.read.json scan can type
+        # it as a plain string.
+        json.dumps({"run_id": run_id, "epoch": int(epoch),
+                    "schema_json": json.dumps(schema.jsonValue()),
+                    "files": files},
                    separators=(",", ":")),
     )
     metric_paths = [posixpath.join(blocks_p, f["path"]) for f in files
@@ -672,14 +688,13 @@ def _load_table(spark: SparkSession, path: str,
     superseded epochs — both limit history like Iceberg snapshot
     expiry does.
 
-    Schema note (deliberate deviation from Iceberg snapshot
-    semantics): an ``as_of_epoch`` read uses the table's CURRENT
-    manifest schema — columns added by schema evolution after the
-    target epoch still appear, null-filled, in historical reads.
-    Persisting per-epoch schemas would buy strict snapshot-schema
-    reads at the cost of a schema pointer per run manifest; the
-    null-filled form is a superset projection of the snapshot and
-    keeps readers schema-stable across travel points."""
+    Schema note: readers project the SNAPSHOT schema for as-of reads
+    (Iceberg snapshot semantics; r4 verdict #5) — every run manifest
+    records its stored schema at write, and read_encoded(_direct)
+    read under the union of the participating runs' schemas, so a
+    column added by evolution after the target epoch does not appear.
+    Legacy run manifests without the recorded schema fall back to the
+    current manifest schema, null-filled (the pre-r5 behavior)."""
     _, lineage_p, manifest_p = _paths(path)
     manifest = json.loads(_read_text(spark, manifest_p))
     if manifest.get("layout", 1) != LAYOUT_VERSION:
@@ -697,7 +712,7 @@ def _load_table(spark: SparkSession, path: str,
 
 
 _RUN_MANIFEST_DDL = (
-    "run_id string, epoch long, files array<struct<"
+    "run_id string, epoch long, schema_json string, files array<struct<"
     "path:string,column:string,bucket_ranges:array<array<long>>,"
     "n_rows:long,bytes:long>>"
 )
@@ -711,32 +726,40 @@ _RUN_MANIFEST_DDL = (
 _RUN_MANIFEST_BATCH_MIN = 9
 
 
-def _run_files(spark: SparkSession, path: str, run_ids) -> list[dict]:
+def _run_files(spark: SparkSession, path: str, run_ids,
+               with_schemas: bool = False):
     """Union of the committed runs' file manifests — the ONLY way any
     reader learns which block files exist (no listing; files from
     uncommitted/failed/orphaned attempts are invisible).
 
     Few runs: direct reads. Many runs (streaming epochs): one
     distributed JSON scan over the exact manifest paths, so planning
-    cost is one Spark job regardless of history length."""
+    cost is one Spark job regardless of history length.
+
+    ``with_schemas``: also return {run_id: schema_json | None} (the
+    run's stored schema, recorded at write — the snapshot-schema
+    source for as-of reads; None for pre-r5 run manifests)."""
     rids = sorted(set(run_ids))
     if len(rids) < _RUN_MANIFEST_BATCH_MIN:
         files: list[dict] = []
+        schemas: dict[str, str | None] = {}
         for rid in rids:
             m = json.loads(
                 _read_text(spark, _run_manifest_path(path, rid)))
+            schemas[rid] = m.get("schema_json")
             for f in m["files"]:
                 f = dict(f)
                 f["run_id"] = rid
                 files.append(f)
-        return files
+        return (files, schemas) if with_schemas else files
     paths = [_run_manifest_path(path, rid) for rid in rids]
     rows = (
         spark.read.schema(_RUN_MANIFEST_DDL).json(paths)
         # explode_outer: an empty run (resume with nothing pending)
         # has files=[] and must still count as present below
-        .select("run_id", F.explode_outer("files").alias("f"))
-        .select("run_id", "f.*")
+        .select("run_id", "schema_json",
+                F.explode_outer("files").alias("f"))
+        .select("run_id", "schema_json", "f.*")
         .collect()  # O(files) rows of path metadata, not payloads
     )
     if {r.run_id for r in rows} != set(rids):
@@ -744,13 +767,35 @@ def _run_files(spark: SparkSession, path: str, run_ids) -> list[dict]:
         raise FileNotFoundError(
             f"committed run manifests missing or unparseable: "
             f"{sorted(missing)}")
-    return [
+    files = [
         {"path": r.path, "column": r.column,
          "bucket_ranges": [[int(lo), int(hi)] for lo, hi in r.bucket_ranges],
          "n_rows": r.n_rows, "bytes": r.bytes, "run_id": r.run_id}
         for r in sorted((r for r in rows if r.path is not None),
                         key=lambda r: (r.run_id, r.path))
     ]
+    if not with_schemas:
+        return files
+    return files, {r.run_id: r.schema_json for r in rows}
+
+
+def _as_of_schema(current: T.StructType,
+                  run_schemas: dict) -> T.StructType:
+    """Snapshot-schema projection for as-of reads (Iceberg snapshot
+    semantics; reference: a file's schema is fixed at write — the
+    CarpetReader reads what the footer says): the read schema is the
+    UNION of the participating runs' stored schemas, so a column added
+    by schema evolution AFTER the target epoch does not appear in the
+    historical read. Field order/types come from the current manifest
+    (evolution never changes a type). Runs from pre-snapshot-recording
+    layouts (no schema_json) fall back to the current schema — the old
+    null-filled superset behavior, now only a legacy fallback."""
+    names: set[str] = set()
+    for sj in run_schemas.values():
+        if sj is None:
+            return current
+        names |= {f["name"] for f in json.loads(sj)["fields"]}
+    return T.StructType([f for f in current.fields if f.name in names])
 
 
 def _evolution_fill_columns(files: list[dict], needed) -> bool:
@@ -898,11 +943,15 @@ def _str_zone_preds():
     return no_stats, overlap
 
 
-def _bloom_survivors(blocks: DataFrame, col: str, value) -> DataFrame:
+def _bloom_survivors(blocks: DataFrame, col: str, value,
+                     encryption_key: bytes | None = None) -> DataFrame:
     """(run_id, bucket, chunk)s whose bloom might contain ``value``;
     chunks of ``col`` without a bloom block always survive
     (mixed old/new runs stay correct). The membership test runs
-    executor-side, vectorized over chunk blooms — nothing is collected."""
+    executor-side, vectorized over chunk blooms — nothing is
+    collected. Encrypted columns' bloom payloads (parquet encrypts
+    bloom filter modules of encrypted columns) are decrypted in the
+    task before the probe."""
     import pyarrow as pa
 
     from tokcodec.bloom import bloom_params, bloom_test_arrow
@@ -912,9 +961,19 @@ def _bloom_survivors(blocks: DataFrame, col: str, value) -> DataFrame:
     keys = ["run_id", "bucket", "chunk"]
 
     def test(batches):
+        from tokcodec.crypto import decrypt_block_row, is_encrypted
+
         for batch in batches:
             tbl = pa.Table.from_batches([batch])
-            hit = bloom_test_arrow(tbl.column("payload"), g1, g2)
+            pay = tbl.column("payload")
+            if any('"enc":"gcm"' in m
+                   for m in tbl.column("meta").to_pylist()):
+                recs = tbl.to_pylist()
+                for r in recs:
+                    if is_encrypted(r):
+                        decrypt_block_row(encryption_key, r)
+                pay = pa.array([r["payload"] for r in recs], pa.binary())
+            hit = bloom_test_arrow(pay, g1, g2)
             yield pa.RecordBatch.from_arrays(
                 [tbl.column(k).combine_chunks() for k in keys]
                 + [pa.array(hit)],
@@ -923,7 +982,7 @@ def _bloom_survivors(blocks: DataFrame, col: str, value) -> DataFrame:
 
     blooms = blocks.filter(
         (F.col("column") == col) & (F.col("component") == "bloom")
-    ).select(*keys, "payload")
+    ).select(*keys, "column", "component", "meta", "payload")
     hits = blooms.mapInArrow(
         test, "run_id string, bucket int, chunk int, hit boolean"
     )
@@ -1015,7 +1074,20 @@ def read_encoded(
     # — the same driver-side footprint the direct reader has)
     lin_rows = [(int(r.bucket), r.run_id) for r in lin.collect()]
     run_ids = sorted({rid for _, rid in lin_rows})
-    files = _run_files(spark, path, run_ids)
+    if as_of_epoch is not None:
+        # snapshot-schema time travel: project the union of the
+        # participating runs' stored schemas (see _as_of_schema)
+        files, run_schemas = _run_files(spark, path, run_ids,
+                                        with_schemas=True)
+        schema = _as_of_schema(schema, run_schemas)
+        asof_names = {f.name for f in schema.fields}
+        for c in fcols + (list(columns) if columns else []):
+            if c not in asof_names:
+                raise ValueError(
+                    f"column {c!r} does not exist as of epoch "
+                    f"{as_of_epoch}")
+    else:
+        files = _run_files(spark, path, run_ids)
     lin_local = spark.createDataFrame(lin_rows, "bucket int, run_id string")
     needed_names = ([f.name for f in schema.fields] if decode_cols is None
                     else list(decode_cols))
@@ -1045,7 +1117,8 @@ def read_encoded(
                                      verify_checksums=verify_checksums,
                                      fill_from=fill_from,
                                      encryption_key=encryption_key))
-    blocks, residual = _prune_all(blocks, schema, manifest, filts)
+    blocks, residual = _prune_all(blocks, schema, manifest, filts,
+                                  encryption_key=encryption_key)
     out = decode_blocks(blocks, schema, decode_cols,
                         verify_checksums=verify_checksums,
                         fill_from=fill_from,
@@ -1149,7 +1222,8 @@ def _normalize_filter(schema: T.StructType, manifest: dict,
 
 
 def _prune_all(blocks: DataFrame, schema: T.StructType, manifest: dict,
-               filts: list[tuple[str, tuple]]
+               filts: list[tuple[str, tuple]],
+               encryption_key: bytes | None = None
                ) -> tuple[DataFrame, object]:
     """Conjunction pruning in ONE semi-join: each filter's surviving
     (run_id, bucket, chunk) set is computed INDEPENDENTLY from the
@@ -1164,7 +1238,8 @@ def _prune_all(blocks: DataFrame, schema: T.StructType, manifest: dict,
     surv = None
     residual = F.lit(True)
     for kind, spec in filts:
-        s, res = _filter_survivors(blocks, schema, manifest, kind, spec)
+        s, res = _filter_survivors(blocks, schema, manifest, kind, spec,
+                                   encryption_key=encryption_key)
         residual = residual & res
         # broadcast each set: the intersection of tiny chunk lists
         # must never plan as a shuffle join
@@ -1176,14 +1251,24 @@ def _prune_all(blocks: DataFrame, schema: T.StructType, manifest: dict,
 
 
 def _filter_survivors(blocks: DataFrame, schema: T.StructType,
-                      manifest: dict, kind: str, spec: tuple
+                      manifest: dict, kind: str, spec: tuple,
+                      encryption_key: bytes | None = None
                       ) -> tuple[DataFrame, object]:
     """One filter -> (surviving (run_id, bucket, chunk) set, exact
     residual predicate). Chunks with no stats always survive."""
     nf = _normalize_filter(schema, manifest, kind, spec)
     col = nf["col"]
     if nf["kind"] == "eq":
-        return _bloom_survivors(blocks, col, nf["value"]), nf["residual"]
+        return (_bloom_survivors(blocks, col, nf["value"],
+                                 encryption_key=encryption_key),
+                nf["residual"])
+    if col in manifest.get("encrypted_columns", []):
+        # encrypted column: its zone bounds live in the encrypted
+        # emeta envelope (stats redaction, parquet parity) — the
+        # overlap test runs executor-side after a meta-only decrypt
+        return (_zone_survivors_encrypted(blocks, col, nf,
+                                          encryption_key),
+                nf["residual"])
     if nf["lane"] == "str":
         no_stats, zover = _str_zone_preds()
         zpred = F.lit(False)
@@ -1274,8 +1359,29 @@ def read_encoded_direct(
     for r in lin.collect():  # one row per (bucket, epoch) — tiny
         accepted.setdefault(int(r.bucket), []).append(r.run_id)
 
-    files = _run_files(spark, path, {rid for rs in accepted.values()
-                                     for rid in rs})
+    rids = {rid for rs in accepted.values() for rid in rs}
+    if as_of_epoch is not None:
+        # snapshot-schema time travel: project the union of the
+        # participating runs' stored schemas (see _as_of_schema)
+        files, run_schemas = _run_files(spark, path, rids,
+                                        with_schemas=True)
+        asof = _as_of_schema(full_schema, run_schemas)
+        asof_names = {f.name for f in asof.fields}
+        if columns is None:
+            # requested columns/filters must exist at the snapshot
+            for c in sorted(set(fcols) - asof_names):
+                raise ValueError(
+                    f"column {c!r} does not exist as of epoch "
+                    f"{as_of_epoch}")
+            schema = asof
+            wanted = asof_names
+        else:
+            for c in sorted(wanted - asof_names):
+                raise ValueError(
+                    f"column {c!r} does not exist as of epoch "
+                    f"{as_of_epoch}")
+    else:
+        files = _run_files(spark, path, rids)
     scan_cols = set(wanted)
     fill_from = None
     if _evolution_fill_columns(files, wanted):
@@ -1343,7 +1449,8 @@ def read_encoded_direct(
                     continue
                 tbl = pa.concat_tables(parts)
                 if prune_specs:
-                    tbl = _prune_block_table(tbl, prune_specs)
+                    tbl = _prune_block_table(
+                        tbl, prune_specs, encryption_key=encryption_key)
                     if tbl.num_rows == 0:
                         continue
                 out = inner((bucket,), tbl)
@@ -1396,26 +1503,101 @@ def _direct_file_rows(files: list[dict], scan_cols,
     return rows
 
 
-def _prune_block_table(tbl, specs: list[dict]):
+def _meta_zone_hit(meta: dict, nf: dict) -> bool:
+    """Does one chunk's (already-decrypted) meta overlap the filter's
+    bounds? Chunks with no stats always survive — never a false
+    negative. Shared by the direct reader's executor-side pruning and
+    the grouped reader's encrypted-column path."""
+    import base64 as _b64
+
+    if nf["lane"] == "int":
+        zlo, zhi = meta.get("lo"), meta.get("hi")
+        if zlo is None or zhi is None:
+            return True
+        return any(zhi >= b_lo and zlo <= b_hi
+                   for b_lo, b_hi in nf["bounds"])
+    slo = meta.get("slo")
+    if slo is None and not meta.get("shi_inf"):
+        return True
+    slo_b = _b64.b64decode(slo) if slo else b""
+    shi = meta.get("shi")
+    shi_b = _b64.b64decode(shi) if shi else None
+    return any(((shi_b is None) or (shi_b >= b_lo)) and slo_b <= b_hi
+               for b_lo, b_hi in nf["bounds"])
+
+
+def _zone_survivors_encrypted(blocks: DataFrame, col: str, nf: dict,
+                              encryption_key: bytes | None) -> DataFrame:
+    """Zone pruning for an ENCRYPTED column (grouped reader): the
+    bounds live in the encrypted ``emeta`` envelope, so the overlap
+    test runs executor-side in Python after a meta-only decrypt —
+    the analogue of parquet's encrypted column index. Pruning is
+    preserved WITH the key; without it the read fails fast at the
+    plan-time key check before this runs."""
+    import pyarrow as pa
+
+    keys = ["run_id", "bucket", "chunk"]
+    spec = {k: v for k, v in nf.items() if k != "residual"}
+    rows = blocks.filter(
+        (F.col("column") == col) & (F.col("component") == "values")
+    ).select(*keys, "column", "component", "meta")
+
+    def fn(batches):
+        from tokcodec.crypto import decrypt_block_meta
+
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            hits = [
+                _meta_zone_hit(decrypt_block_meta(encryption_key, r),
+                               spec)
+                for r in tbl.to_pylist()
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [tbl.column(k).combine_chunks() for k in keys]
+                + [pa.array(hits)],
+                names=keys + ["hit"],
+            )
+
+    out = rows.mapInArrow(
+        fn, "run_id string, bucket int, chunk int, hit boolean")
+    return out.filter("hit").select(*keys)
+
+
+def _prune_block_table(tbl, specs: list[dict],
+                       encryption_key: bytes | None = None):
     """Executor-side chunk pruning for the direct reader: evaluate
     each filter's surviving (run_id, chunk) set from ONE bucket's
     block rows (zone bounds in the values metas; blooms for eq), then
     keep only rows of the intersection. Mirrors _filter_survivors'
     DataFrame-side semantics: chunks with no stats survive; a run
     lacking the filter column entirely contributes nothing (NULL never
-    matches a filter). All loops are bounded by chunks-per-bucket."""
-    import base64 as _b64
-    import json as _json
-
+    matches a filter). Encrypted columns' stats/blooms are decrypted
+    per row before the test. All loops are bounded by
+    chunks-per-bucket."""
     import numpy as np
     import pyarrow as pa
 
     from tokcodec.bloom import bloom_might_contain, bloom_params
+    from tokcodec.crypto import (
+        decrypt_block_meta,
+        decrypt_block_row,
+        is_encrypted,
+    )
 
     runs = tbl.column("run_id").to_pylist()
     chunks = tbl.column("chunk").to_pylist()
     colnames = tbl.column("column").to_pylist()
     comps = tbl.column("component").to_pylist()
+
+    def _row(i: int, with_payload: bool = False) -> dict:
+        r = {"run_id": runs[i], "bucket": tbl.column("bucket")[i].as_py(),
+             "chunk": chunks[i], "column": colnames[i],
+             "component": comps[i],
+             "meta": tbl.column("meta")[i].as_py()}
+        if with_payload:
+            r["payload"] = tbl.column("payload")[i].as_py()
+        return r
+
     allowed: set | None = None
     for nf in specs:
         col = nf["col"]
@@ -1427,9 +1609,11 @@ def _prune_block_table(tbl, specs: list[dict]):
             blooms: dict = {}
             for i, (c, cp) in enumerate(zip(colnames, comps)):
                 if c == col and cp == "bloom":
+                    r = _row(i, with_payload=True)
+                    if is_encrypted(r):
+                        decrypt_block_row(encryption_key, r)
                     blooms[(runs[i], chunks[i])] = bool(
-                        bloom_might_contain(
-                            tbl.column("payload")[i].as_py(), g1, g2))
+                        bloom_might_contain(r["payload"], g1, g2))
             for i, (c, cp) in enumerate(zip(colnames, comps)):
                 if c == col and cp == "values":
                     key = (runs[i], chunks[i])
@@ -1439,29 +1623,9 @@ def _prune_block_table(tbl, specs: list[dict]):
             for i, (c, cp) in enumerate(zip(colnames, comps)):
                 if c != col or cp != "values":
                     continue
-                meta = _json.loads(tbl.column("meta")[i].as_py())
-                key = (runs[i], chunks[i])
-                if nf["lane"] == "int":
-                    zlo, zhi = meta.get("lo"), meta.get("hi")
-                    if zlo is None or zhi is None:
-                        surv.add(key)  # no stats: never a false negative
-                        continue
-                    if any(zhi >= b_lo and zlo <= b_hi
-                           for b_lo, b_hi in nf["bounds"]):
-                        surv.add(key)
-                else:
-                    slo = meta.get("slo")
-                    if slo is None and not meta.get("shi_inf"):
-                        surv.add(key)
-                        continue
-                    slo_b = _b64.b64decode(slo) if slo else b""
-                    shi = meta.get("shi")
-                    shi_b = _b64.b64decode(shi) if shi else None
-                    for b_lo, b_hi in nf["bounds"]:
-                        upper_ok = (shi_b is None) or (shi_b >= b_lo)
-                        if upper_ok and slo_b <= b_hi:
-                            surv.add(key)
-                            break
+                meta = decrypt_block_meta(encryption_key, _row(i))
+                if _meta_zone_hit(meta, nf):
+                    surv.add((runs[i], chunks[i]))
         allowed = surv if allowed is None else (allowed & surv)
     if allowed is None:
         return tbl
