@@ -934,46 +934,39 @@ def q_cube_orders(spark, sf_dir):
 
 def q_pack_sequences(spark, sf_dir):
     """Training-data sequence packing (concat-and-chunk, the GPT-style
-    pre-training layout): within each source, ENGINE-DECODED documents
-    are laid end-to-end in doc_id order and chunked into fixed
-    L=512-token context windows. Reports per source: total tokens,
-    window count, documents straddling a window boundary, pad tokens in
-    the final window, and the max number of documents beginning in any
-    one window. One shuffle (partitionBy source) + a running-sum window
-    — at 100 TB packing runs per partition group exactly like this
-    (each source/shard packs independently; the cumsum never crosses
-    executors within a group), which is how production packers scale."""
+    pre-training layout), routed THROUGH the real packer
+    (tokcodec.pack.pack_sequences — applyInArrow, numpy concat+reshape,
+    no per-row Python): ENGINE-DECODED documents are laid end-to-end in
+    doc_id order per source and cut into L=512-token context windows.
+    The oracle recomputes the packer's aggregate bookkeeping — total
+    tokens, window count, boundary straddlers, final-window padding,
+    max docs beginning in one window, and the token-VALUE checksum of
+    the packed windows (pad_id=0 contributes nothing) — from raw SQL,
+    so a packer that drops, reorders into the wrong window, or corrupts
+    a single token value breaks the hash. At 100 TB each
+    (source, shard) packs independently (n_shards bounds task memory);
+    sf0.01 uses one shard per source."""
+    from tokcodec.pack import pack_sequences
+
     dec = _decoded_sequences(spark, sf_dir)
     L = 512
-    w = Window.partitionBy("source").orderBy(F.col("did"))
-    d = (
+    packed = pack_sequences(
         dec.select(
-            "source",
-            F.col("doc_id").cast("long").alias("did"),
-            F.col("n_tok").cast("long").alias("n"),
-        )
-        .withColumn("end_off", F.sum("n").over(w))
-        .withColumn("start_off", F.col("end_off") - F.col("n"))
-        .withColumn("w_start", F.floor(F.col("start_off") / L))
-        .withColumn("w_end", F.floor((F.col("end_off") - 1) / L))
+            "source", F.col("doc_id").cast("long").alias("did"), "tokens"
+        ),
+        window=L,
+        group_cols=("source",),
+        id_col="did",
     )
-    per_win = (
-        d.filter(F.col("n") > 0)
-        .groupBy("source", "w_start")
-        .agg(F.count("*").alias("docs_begin"))
-        .groupBy("source")
-        .agg(F.max("docs_begin").alias("max_docs_begin"))
+    return packed.groupBy("source").agg(
+        F.sum(F.col("n_tok_real").cast("long")).alias("total_tok"),
+        F.count("*").alias("n_windows"),
+        F.sum(F.col("straddlers").cast("long")).alias("n_straddlers"),
+        (F.count("*") * L - F.sum(F.col("n_tok_real").cast("long")))
+        .alias("pad_last"),
+        F.max("docs_begin").alias("max_docs_begin"),
+        F.sum("tok_sum").alias("tok_value_sum"),
     )
-    agg = d.groupBy("source").agg(
-        F.sum("n").alias("total_tok"),
-        F.floor((F.sum("n") + L - 1) / L).alias("n_windows"),
-        F.sum(
-            F.when((F.col("n") > 0) & (F.col("w_end") > F.col("w_start")), 1)
-            .otherwise(0)
-        ).alias("n_straddlers"),
-        ((L - F.sum("n") % L) % L).alias("pad_last"),
-    )
-    return agg.join(per_win, "source")
 
 
 def q_vocab_topk(spark, sf_dir):
@@ -1326,7 +1319,11 @@ def q_minhash_neardup_pairs(spark, sf_dir):
 # a union of in-bucket cliques (every bucket emits all its pairs), so
 # component diameters are tiny and 5 rounds converge at tested scales
 # (test_dedup_clusters asserts a 6th round changes nothing). At 100 TB
-# swap the fixed loop for large-star/small-star (O(log n) rounds).
+# swap the fixed loop for tokcodec.graph.connected_components — the
+# large-star/small-star algorithm (Kiveris et al., SOCC 2014) with
+# fixpoint detection and per-round localCheckpoint, verified against
+# union-find in tests/test_graph.py (incl. a 64-node chain no fixed
+# 5-round loop could finish).
 DEDUP_CC_ROUNDS = 5
 
 # one label-propagation round per CTE, mirroring the Spark loop:
@@ -2160,12 +2157,13 @@ FROM orders GROUP BY CUBE(o_orderpriority, yr)""",
 e AS (
   SELECT source, CAST(doc_id AS BIGINT) AS did,
          CAST(len(tokens) AS BIGINT) AS n,
+         CAST({tok_sum} AS BIGINT) AS tv,
          SUM(CAST(len(tokens) AS BIGINT)) OVER (
            PARTITION BY source ORDER BY CAST(doc_id AS BIGINT)
            ROWS UNBOUNDED PRECEDING) AS end_off
   FROM seq
 ), x AS (
-  SELECT source, did, n, end_off,
+  SELECT source, did, n, tv, end_off,
          (end_off - n) // 512 AS w_start,
          (end_off - 1) // 512 AS w_end
   FROM e
@@ -2180,11 +2178,12 @@ e AS (
          CAST((SUM(n) + 511) // 512 AS BIGINT) AS n_windows,
          CAST(SUM(CASE WHEN n > 0 AND w_end > w_start THEN 1 ELSE 0 END)
               AS BIGINT) AS n_straddlers,
-         CAST((512 - SUM(n) % 512) % 512 AS BIGINT) AS pad_last
+         CAST((512 - SUM(n) % 512) % 512 AS BIGINT) AS pad_last,
+         CAST(SUM(tv) AS BIGINT) AS tok_value_sum
   FROM x GROUP BY source
 )
 SELECT agg.source, total_tok, n_windows, n_straddlers, pad_last,
-       max_docs_begin
+       max_docs_begin, tok_value_sum
 FROM agg JOIN per_win ON agg.source = per_win.source""",
         "vocab_topk": f"""{_SEQ_CTE},
 t AS (SELECT unnest(tokens) AS tok FROM seq),
