@@ -190,6 +190,10 @@ def main() -> None:
         "roundtrip_time_of_day",
         "media_feature_stats",
         "zorder_user_time_slab",
+        # r5 additions (new rows; the r1-r4 subset above is unchanged
+        # for round-over-round comparability)
+        "pack_sequences",
+        "vocab_topk",
     ]
     qs = entrymod.queries()
     # the heavy LSH pipelines get min-of-3: their multi-second walls

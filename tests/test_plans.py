@@ -129,3 +129,38 @@ def test_media_decode_plan_no_extra_shuffle(spark):
     # exchanges (lineage semi-join) don't move payload data
     shuffles = plan.count("Exchange hashpartitioning")
     assert shuffles <= 2, (shuffles, plan)
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """Sequence packing is one Exchange on (group, shard) + one
+    FlatMapGroupsInArrow — the packer itself must never add a second
+    shuffle or fall back to per-row Python."""
+    from tokcodec.pack import pack_sequences
+
+    df = spark.createDataFrame(
+        [("a", 1, [1, 2, 3]), ("a", 2, [4]), ("b", 1, [5])],
+        "source string, did long, tokens array<int>",
+    )
+    plan = _plan(pack_sequences(df, window=4, id_col="did"))
+    assert "FlatMapGroupsInArrow" in plan
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan  # no per-row Python
+
+
+def test_vocab_topk_partial_agg_and_topk(spark):
+    """Token-frequency top-k: the explode must be absorbed by a
+    map-side partial aggregate (2 HashAggregates around one exchange)
+    and the final k must be TakeOrderedAndProject — never a full
+    global sort of the vocabulary."""
+    li = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    t = (
+        li.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "tok")
+        .limit(25)
+    )
+    plan = _plan(t)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") == 2
+    assert "Sort " not in plan  # top-k, not global sort
