@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from tokcodec.decode import decode_blocks  # noqa: F401
 from tokcodec.encode import encode_table, with_bucket  # noqa: F401
+from tokcodec.graph import connected_components  # noqa: F401
 from tokcodec.io_tables import (  # noqa: F401
     compact_encoded,
     count_encoded,
@@ -25,11 +26,14 @@ from tokcodec.io_tables import (  # noqa: F401
     read_encoded_as,
     read_encoded_direct,
     register_encoded,
+    resolve_as_of_ts,
     suggest_buckets,
     vacuum_encoded,
     write_encoded,
 )
 from tokcodec.naming import camel_to_snake, map_fields, snake_to_camel  # noqa: F401
+from tokcodec.pack import pack_sequences  # noqa: F401
+from tokcodec.stateful import stream_source_cap  # noqa: F401
 from tokcodec.schema import SEQ_SCHEMA  # noqa: F401
 from tokcodec.synth import synth_df  # noqa: F401
 

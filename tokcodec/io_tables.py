@@ -711,6 +711,53 @@ def _load_table(spark: SparkSession, path: str,
     return manifest, lin
 
 
+def resolve_as_of_ts(spark: SparkSession, path: str,
+                     as_of_ts) -> int:
+    """Map a wall-clock bound to the snapshot epoch (Iceberg's
+    timestamp-based time travel): the greatest epoch whose every
+    committed lineage row was written at or before ``as_of_ts``.
+
+    ``as_of_ts``: unix seconds (int/float) or an ISO-8601 string
+    (naive strings are UTC). Commit timestamps have second resolution
+    (lineage ``ts``). History is bounded exactly like as_of_epoch:
+    compaction tombstones collapse superseded epochs, so a bound
+    older than every surviving commit raises."""
+    if isinstance(as_of_ts, str):
+        from datetime import datetime, timezone
+
+        dt = datetime.fromisoformat(as_of_ts)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        bound = dt.timestamp()
+    else:
+        bound = float(as_of_ts)
+    _, lineage_p, _ = _paths(path)
+    lineage = spark.read.schema(LINEAGE_DDL).parquet(lineage_p)
+    rows = (
+        committed(lineage)
+        .groupBy("epoch")
+        .agg(F.max("ts").alias("mts"))
+        .collect()
+    )
+    ok = [int(r.epoch) for r in rows
+          if r.mts is not None and r.mts <= bound]
+    if not ok:
+        raise ValueError(
+            f"no committed epoch at or before {as_of_ts!r} "
+            f"(earliest surviving commit: "
+            f"{min((r.mts for r in rows if r.mts is not None), default=None)})"
+        )
+    return max(ok)
+
+
+def _resolve_as_of(spark, path, as_of_epoch, as_of_ts):
+    if as_of_ts is None:
+        return as_of_epoch
+    if as_of_epoch is not None:
+        raise ValueError("pass as_of_epoch or as_of_ts, not both")
+    return resolve_as_of_ts(spark, path, as_of_ts)
+
+
 _RUN_MANIFEST_DDL = (
     "run_id string, epoch long, schema_json string, files array<struct<"
     "path:string,column:string,bucket_ranges:array<array<long>>,"
@@ -1005,6 +1052,7 @@ def read_encoded(
     eq_filter: tuple[str, str | bytes] | None = None,
     verify_checksums: bool = False,
     as_of_epoch: int | None = None,
+    as_of_ts: float | str | None = None,
     encryption_key: bytes | None = None,
 ) -> DataFrame:
     """Decode an encoded table; ``columns`` is projection pushdown —
@@ -1044,6 +1092,7 @@ def read_encoded(
     epoch (see _load_table). Schema-evolved tables (columns added by
     ``write_encoded(schema_evolution=True)``) decode transparently:
     rows from runs written before a column existed come back NULL."""
+    as_of_epoch = _resolve_as_of(spark, path, as_of_epoch, as_of_ts)
     manifest, lin = _load_table(spark, path, as_of_epoch=as_of_epoch)
     schema = manifest_schema(manifest)
 
@@ -1299,6 +1348,7 @@ def read_encoded_direct(
     spark: SparkSession, path: str, columns: list[str] | None = None,
     verify_checksums: bool = False,
     as_of_epoch: int | None = None,
+    as_of_ts: float | str | None = None,
     range_filter: tuple | None = None,
     in_filter: tuple | None = None,
     eq_filter: tuple | None = None,
@@ -1330,6 +1380,7 @@ def read_encoded_direct(
     from tokcodec.decode import make_decode_fn
 
     blocks_p, _, _ = _paths(path)
+    as_of_epoch = _resolve_as_of(spark, path, as_of_epoch, as_of_ts)
     manifest, lin = _load_table(spark, path, as_of_epoch=as_of_epoch)
     full_schema = manifest_schema(manifest)
     filts: list[tuple[str, tuple]] = []
