@@ -24,6 +24,14 @@ pipeline); only encode_lineage_metrics remains rows-only
 (engine-internal metrics have no external recomputation).
 Everything else — including minhash, simhash, and the IVF probe
 (gated against exact brute-force top-k) — is oracle-checked.
+Round 5 merges three redundant query pairs (semi_anti_join,
+setops_except_intersect, docs_fingerprints — same operators, one
+result each) to stay inside the driver's 50-query window and spends
+the slots on pack_sequences (REAL packing through
+tokcodec.pack.pack_sequences with a token-value checksum in the
+oracle), vocab_topk (token-frequency top-25 + ppm), and
+stream_windowed_counts (Structured Streaming tumbling windows +
+watermark vs a batch recompute).
 """
 
 from __future__ import annotations

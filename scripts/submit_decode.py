@@ -38,6 +38,10 @@ def main() -> None:
     p.add_argument("--as-of-epoch", type=int, default=None,
                    help="time travel: read the table as of this "
                         "ingest epoch")
+    p.add_argument("--as-of-ts", default=None,
+                   help="time travel by wall clock: unix seconds or "
+                        "ISO-8601 (naive = UTC); resolves to the "
+                        "greatest fully-committed epoch")
     p.add_argument("--verify-checksums", action="store_true")
     args = p.parse_args()
 
@@ -80,7 +84,8 @@ def main() -> None:
     df = reader(spark, args.input, columns=columns,
                 range_filter=rf, eq_filter=ef,
                 verify_checksums=args.verify_checksums,
-                as_of_epoch=args.as_of_epoch)
+                as_of_epoch=args.as_of_epoch,
+                as_of_ts=args.as_of_ts)
     df.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
     print(json.dumps({"rows": n, "output": args.output}))
