@@ -1012,6 +1012,13 @@ def q_stream_windowed_counts(spark, sf_dir):
     tests/test_streaming_window.py instead."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     key = os.path.abspath(sf_dir) + "#streamwin"
+    # memory-sink name must be per-sf_dir and the result materialized
+    # EAGERLY: a later call for another sf_dir replaces the temp view,
+    # and a lazily-persisted plan would resolve the name to the wrong
+    # stream's output
+    import re as _re
+
+    qname = "tokcodec_stream_win_" + _re.sub(r"\W", "_", key)
     if key not in _DECODED_CACHE:
         sch = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
         src = (
@@ -1034,14 +1041,14 @@ def q_stream_windowed_counts(spark, sf_dir):
         )
         q = (
             agg.writeStream.format("memory")
-            .queryName("tokcodec_stream_win")
+            .queryName(qname)
             .outputMode("complete")
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-        _DECODED_CACHE[key] = (
-            spark.table("tokcodec_stream_win")
+        out = (
+            spark.table(qname)
             .select(
                 F.date_format("w.start", "yyyy-MM-dd HH:00").alias("hour"),
                 "event_type",
@@ -1050,6 +1057,8 @@ def q_stream_windowed_counts(spark, sf_dir):
             )
             .persist()
         )
+        out.count()  # materialize before the view can be replaced
+        _DECODED_CACHE[key] = out
     return _DECODED_CACHE[key]
 
 
