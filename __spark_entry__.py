@@ -31,7 +31,13 @@ the slots on pack_sequences (REAL packing through
 tokcodec.pack.pack_sequences with a token-value checksum in the
 oracle), vocab_topk (token-frequency top-25 + ppm), and
 stream_windowed_counts (Structured Streaming tumbling windows +
-watermark vs a batch recompute).
+watermark vs a batch recompute). Late round 5 merges the three docs
+quality aggregates into docs_text_quality (one (source, lang) pass)
+and spends the two freed slots on delete_roundtrip (equality-delete
+removal lists through the engine, tokcodec.io_tables.delete_encoded)
+and docs_repetition_stats (Gopher-style repetition filter as a
+shuffle-free sorted-array fold, oracled against a relational
+recompute).
 """
 
 from __future__ import annotations
@@ -656,31 +662,103 @@ def q_events_json_extract(spark, sf_dir):
     )
 
 
-def q_docs_lang_quality(spark, sf_dir):
+def q_docs_text_quality(spark, sf_dir):
+    """Text-quality scoring rolled into ONE pass (round 5 merges the
+    former docs_lang_quality / docs_token_count / docs_stopword_quality
+    — same operators, one (source, lang) result): word counting,
+    length gating and stopword-ratio quality flags, all JVM array
+    exprs, one shuffle on the grouping keys."""
     d = _t(spark, sf_dir, "documents")
-    words = F.size(F.split(F.col("text"), " "))
+    words = F.split(F.col("text"), " ")
+    stop = F.size(F.expr(
+        "filter(split(text, ' '), w -> w in ('the','a','of','and','to'))"
+    ))
     return (
-        d.withColumn("n_words", words)
-        .groupBy("lang")
+        d.withColumn("n_words", F.size(words))
+        .withColumn("n_stop", stop)
+        .groupBy("source", "lang")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum(F.col("n_chars").cast("long")).alias("sum_chars"),
             F.sum(F.col("n_words").cast("long")).alias("sum_words"),
+            F.max("n_words").alias("max_words"),
             F.sum(F.when(F.col("n_chars") > 300, 1).otherwise(0)).alias("n_long"),
+            F.sum(F.col("n_stop").cast("long")).alias("sum_stop"),
+            F.sum(F.when(F.col("n_stop") * 100 >= F.col("n_words") * 20, 1)
+                  .otherwise(0)).alias("n_high_stop"),
         )
     )
 
 
-def q_docs_token_count(spark, sf_dir):
+def q_docs_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality filter (Rae et al. 2021's
+    repetition heuristics re-expressed): per doc the MOST-REPEATED
+    word's count, the distinct-word count, and a 'repetitive' flag
+    (top word >= 10% of all words). The per-doc histogram never
+    exists: the top-word count is a single JVM fold over the SORTED
+    word array (max run length), so there is NO explode and NO
+    (doc, word) shuffle — at 100 TB the naive explode+groupBy ships
+    one row per word occurrence, this ships one row per doc. The
+    DuckDB oracle recomputes it relationally (unnest + two GROUP BYs),
+    so the fold's semantics are pinned against an independent shape."""
     d = _t(spark, sf_dir, "documents")
+    top_run = F.expr("""
+        aggregate(sort_array(split(text, ' ')),
+          named_struct('prev', cast(null as string),
+                       'run', 0L, 'best', 0L),
+          (a, x) -> named_struct(
+            'prev', x,
+            'run', if(a.prev <=> x, a.run + 1L, 1L),
+            'best', greatest(a.best,
+                             if(a.prev <=> x, a.run + 1L, 1L))),
+          a -> a.best)""")
     return (
-        d.withColumn("n_words", F.size(F.split(F.col("text"), " ")))
+        d.withColumn("top_w", top_run)
+        .withColumn("n_words", F.size(F.split(F.col("text"), " ")))
+        .withColumn("n_distinct",
+                    F.expr("size(array_distinct(split(text, ' ')))"))
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
+            F.sum("top_w").alias("sum_top"),
+            F.sum(F.col("n_distinct").cast("long")).alias("sum_distinct"),
             F.sum(F.col("n_words").cast("long")).alias("sum_words"),
-            F.max("n_words").alias("max_words"),
+            F.sum(F.when(F.col("top_w") * 10 >= F.col("n_words"), 1)
+                  .otherwise(0)).alias("n_repetitive"),
         )
+    )
+
+
+def q_delete_roundtrip(spark, sf_dir):
+    """Row-level delete (equality-delete removal list — the Iceberg
+    maintenance op a training table needs for contamination/opt-out
+    removal) under the hash gate: sequences encoded, every doc_id
+    with id % 7 == 3 deleted via delete_encoded (keys written as a
+    parquet removal list, ONE O(1) lineage commit), decoded through
+    the merge-on-read BROADCAST anti-join (plan-pinned in
+    tests/test_deletes.py). The oracle recomputes the aggregates from
+    the raw documents minus the same keys — a single surviving
+    deleted row breaks the hash."""
+    key = os.path.abspath(sf_dir) + "#del"
+    if key not in _DECODED_CACHE:
+        import shutil
+
+        from tokcodec.io_tables import delete_encoded
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        seq = documents_to_sequences(docs)
+        path = _entry_table_path(sf_dir) + "_del"
+        shutil.rmtree(path, ignore_errors=True)
+        write_encoded(seq, path, n_buckets=8, run_id="base")
+        keys = seq.select("doc_id").filter(
+            F.col("doc_id").cast("long") % 7 == 3)
+        delete_encoded(spark, path, "doc_id", keys, delete_id="rm")
+        _DECODED_CACHE[key] = read_encoded(spark, path).persist()
+    dec = _DECODED_CACHE[key]
+    return dec.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_tok").cast("long")).alias("sum_tok"),
+        F.expr(f"sum({_TOK_SUM})").alias("tok_sum"),
     )
 
 
@@ -1060,25 +1138,6 @@ def q_stream_windowed_counts(spark, sf_dir):
         out.count()  # materialize before the view can be replaced
         _DECODED_CACHE[key] = out
     return _DECODED_CACHE[key]
-
-
-def q_docs_stopword_quality(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    stop = F.size(F.expr(
-        "filter(split(text, ' '), w -> w in ('the','a','of','and','to'))"
-    ))
-    return (
-        d.withColumn("n_words", F.size(words))
-        .withColumn("n_stop", stop)
-        .groupBy("lang")
-        .agg(
-            F.sum(F.col("n_stop").cast("long")).alias("sum_stop"),
-            F.sum(F.col("n_words").cast("long")).alias("sum_words"),
-            F.sum(F.when(F.col("n_stop") * 100 >= F.col("n_words") * 20, 1)
-                  .otherwise(0)).alias("n_high_stop"),
-        )
-    )
 
 
 def q_range_join_events(spark, sf_dir):
@@ -1825,8 +1884,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_time_of_day": q_roundtrip_time_of_day,
         "zorder_user_time_slab": q_zorder_user_time_slab,
         "events_json_extract": q_events_json_extract,
-        "docs_lang_quality": q_docs_lang_quality,
-        "docs_token_count": q_docs_token_count,
+        "docs_text_quality": q_docs_text_quality,
+        "delete_roundtrip": q_delete_roundtrip,
         "docs_langid": q_docs_langid,
         "dedup_exact": q_dedup_exact,
         "docs_fingerprints": q_docs_fingerprints,
@@ -1836,7 +1895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_embeddings_topk": q_roundtrip_embeddings_topk,
         "emb_quantized_roundtrip": q_emb_quantized_roundtrip,
         "cube_orders": q_cube_orders,
-        "docs_stopword_quality": q_docs_stopword_quality,
+        "docs_repetition_stats": q_docs_repetition_stats,
         "docs_ngram_overlap": q_docs_ngram_overlap,
         "range_join_events": q_range_join_events,
         "asof_join_events": q_asof_join_events,
@@ -2043,17 +2102,28 @@ SELECT event_type,
        MAX(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS max_k,
        COUNT(*) AS n
 FROM events GROUP BY event_type""",
-        "docs_lang_quality": """
-SELECT lang, COUNT(*) AS n_docs,
+        "docs_text_quality": """
+SELECT source, lang, COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS sum_words,
-       CAST(SUM(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_long
-FROM documents GROUP BY lang""",
-        "docs_token_count": """
-SELECT source, COUNT(*) AS n_docs,
-       CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS sum_words,
-       MAX(CAST(len(str_split(text, ' ')) AS INTEGER)) AS max_words
-FROM documents GROUP BY source""",
+       MAX(CAST(len(str_split(text, ' ')) AS INTEGER)) AS max_words,
+       CAST(SUM(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_long,
+       CAST(SUM(len(list_filter(str_split(text, ' '),
+               w -> w IN ('the','a','of','and','to')))) AS BIGINT)
+         AS sum_stop,
+       CAST(SUM(CASE WHEN len(list_filter(str_split(text, ' '),
+                w -> w IN ('the','a','of','and','to'))) * 100
+                >= len(str_split(text, ' ')) * 20 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_high_stop
+FROM documents GROUP BY source, lang""",
+        "delete_roundtrip": f"""{_SEQ_CTE.replace("FROM documents",
+            "FROM documents WHERE CAST(doc_id AS BIGINT) % 7 <> 3")}
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(tokens)) AS BIGINT) AS sum_tok,
+       CAST(SUM({tok_sum}) AS BIGINT) AS tok_sum
+FROM seq GROUP BY source""",
         "docs_langid": (
             "WITH s AS (SELECT lang, "
             + ", ".join(
@@ -2214,16 +2284,21 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
        event_type, COUNT(*) AS n,
        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS val_cents
 FROM events GROUP BY hour, event_type""",
-        "docs_stopword_quality": """
-SELECT lang,
-       CAST(SUM(len(list_filter(str_split(text, ' '),
-               w -> w IN ('the','a','of','and','to')))) AS BIGINT) AS sum_stop,
-       CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS sum_words,
-       CAST(SUM(CASE WHEN len(list_filter(str_split(text, ' '),
-                w -> w IN ('the','a','of','and','to'))) * 100
-                >= len(str_split(text, ' ')) * 20 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_high_stop
-FROM documents GROUP BY lang""",
+        "docs_repetition_stats": """
+WITH w AS (SELECT doc_id, source, unnest(str_split(text, ' ')) AS w
+           FROM documents),
+per AS (SELECT doc_id, source, w, COUNT(*) AS c
+        FROM w GROUP BY doc_id, source, w),
+agg AS (SELECT doc_id, source, MAX(c) AS top_w,
+               COUNT(*) AS n_distinct, SUM(c) AS n_words
+        FROM per GROUP BY doc_id, source)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(top_w) AS BIGINT) AS sum_top,
+       CAST(SUM(n_distinct) AS BIGINT) AS sum_distinct,
+       CAST(SUM(n_words) AS BIGINT) AS sum_words,
+       CAST(SUM(CASE WHEN top_w * 10 >= n_words THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_repetitive
+FROM agg GROUP BY source""",
         "range_join_events": """
 WITH err AS (SELECT user_id AS u, ts AS t0 FROM events
              WHERE event_type = 'error'),

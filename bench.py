@@ -194,6 +194,8 @@ def main() -> None:
         # for round-over-round comparability)
         "pack_sequences",
         "vocab_topk",
+        "delete_roundtrip",
+        "docs_repetition_stats",
     ]
     qs = entrymod.queries()
     # the heavy LSH pipelines get min-of-3: their multi-second walls

@@ -19,6 +19,7 @@ from tokcodec.graph import connected_components  # noqa: F401
 from tokcodec.io_tables import (  # noqa: F401
     compact_encoded,
     count_encoded,
+    delete_encoded,
     describe_encoded,
     encoded_size_bytes,
     parquet_size_bytes,

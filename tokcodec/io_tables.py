@@ -733,8 +733,13 @@ def resolve_as_of_ts(spark: SparkSession, path: str,
         bound = float(as_of_ts)
     _, lineage_p, _ = _paths(path)
     lineage = spark.read.schema(LINEAGE_DDL).parquet(lineage_p)
+    # delete commits are snapshots too: a bound just after a delete
+    # must resolve to the delete's epoch so the removal applies
+    dele = lineage.filter((F.col("bucket") == DELETE_BUCKET)
+                          & (F.col("status") == "delete"))
     rows = (
-        committed(lineage)
+        committed(lineage).select("epoch", "ts")
+        .unionByName(dele.select("epoch", "ts"))
         .groupBy("epoch")
         .agg(F.max("ts").alias("mts"))
         .collect()
@@ -1111,9 +1116,17 @@ def read_encoded(
                 f"filter column {spec[0]!r} not in encoded table")
         if spec[0] not in fcols:
             fcols.append(spec[0])
+    # pending equality deletes apply on EVERY read (merge-on-read):
+    # their key columns join the decode set like filter columns do,
+    # and are dropped from the output unless requested
+    dels = _active_deletes(spark, path, as_of_epoch=as_of_epoch)
+    extra = list(fcols)
+    for d in dels:
+        if d["key_column"] not in extra:
+            extra.append(d["key_column"])
     decode_cols = columns
-    if columns is not None and fcols:
-        decode_cols = list(columns) + [c for c in fcols
+    if columns is not None and extra:
+        decode_cols = list(columns) + [c for c in extra
                                        if c not in columns]
     _check_encryption_key(manifest, decode_cols, encryption_key)
 
@@ -1135,6 +1148,18 @@ def read_encoded(
                 raise ValueError(
                     f"column {c!r} does not exist as of epoch "
                     f"{as_of_epoch}")
+        # a delete keyed on a column absent from the snapshot schema
+        # cannot match any snapshot row — drop it (and its key column)
+        if any(d["key_column"] not in asof_names for d in dels):
+            dels = [d for d in dels if d["key_column"] in asof_names]
+            extra = list(fcols)
+            for d in dels:
+                if d["key_column"] not in extra:
+                    extra.append(d["key_column"])
+            decode_cols = columns
+            if columns is not None and extra:
+                decode_cols = list(columns) + [c for c in extra
+                                               if c not in columns]
     else:
         files = _run_files(spark, path, run_ids)
     lin_local = spark.createDataFrame(lin_rows, "bucket int, run_id string")
@@ -1155,11 +1180,14 @@ def read_encoded(
                         files=files)
 
     def _finish(out: DataFrame) -> DataFrame:
+        out = _expand_uuid_cols(out, manifest.get("uuid_columns", []))
+        if dels:  # anti-join AFTER uuid expansion: keys are canonical
+            out = _apply_deletes(spark, path, out, dels)
         if columns is not None:
-            for c in fcols:
+            for c in extra:
                 if c not in columns:
                     out = out.drop(c)
-        return _expand_uuid_cols(out, manifest.get("uuid_columns", []))
+        return out
 
     if not filts:
         return _finish(decode_blocks(blocks, schema, decode_cols,
@@ -1396,13 +1424,21 @@ def read_encoded_direct(
     for nf in nfs:
         if nf["col"] not in fcols:
             fcols.append(nf["col"])
+    # pending equality deletes: their key columns join the decode set
+    # like filter columns, and the merge-on-read anti-join runs after
+    # the residual filters (same semantics as the grouped reader)
+    dels = _active_deletes(spark, path, as_of_epoch=as_of_epoch)
+    extra = list(fcols)
+    for d in dels:
+        if d["key_column"] not in extra:
+            extra.append(d["key_column"])
     schema = full_schema
     if columns is not None:
         by_name = {f.name: f for f in schema.fields}
         missing = set(columns) - set(by_name)
         if missing:
             raise ValueError(f"columns not in encoded table: {sorted(missing)}")
-        decode_names = list(columns) + [c for c in fcols
+        decode_names = list(columns) + [c for c in extra
                                         if c not in columns]
         schema = T.StructType([by_name[c] for c in decode_names])
     wanted = {f.name for f in schema.fields}
@@ -1418,6 +1454,20 @@ def read_encoded_direct(
                                         with_schemas=True)
         asof = _as_of_schema(full_schema, run_schemas)
         asof_names = {f.name for f in asof.fields}
+        if any(d["key_column"] not in asof_names for d in dels):
+            # a delete keyed on a column absent from the snapshot
+            # schema cannot match any snapshot row — drop it
+            dels = [d for d in dels if d["key_column"] in asof_names]
+            extra = list(fcols)
+            for d in dels:
+                if d["key_column"] not in extra:
+                    extra.append(d["key_column"])
+            if columns is not None:
+                decode_names = list(columns) + [c for c in extra
+                                                if c not in columns]
+                schema = T.StructType(
+                    [by_name[c] for c in decode_names])
+                wanted = {f.name for f in schema.fields}
         if columns is None:
             # requested columns/filters must exist at the snapshot
             for c in sorted(set(fcols) - asof_names):
@@ -1517,11 +1567,14 @@ def read_encoded_direct(
     )
     for nf in nfs:
         out = out.filter(nf["residual"])
+    out = _expand_uuid_cols(out, manifest.get("uuid_columns", []))
+    if dels:  # anti-join AFTER uuid expansion: keys are canonical
+        out = _apply_deletes(spark, path, out, dels)
     if columns is not None:
-        for c in fcols:
+        for c in extra:
             if c not in columns:
                 out = out.drop(c)
-    return _expand_uuid_cols(out, manifest.get("uuid_columns", []))
+    return out
 
 
 def register_encoded(spark: SparkSession, path: str, name: str,
@@ -1723,13 +1776,193 @@ def read_encoded_as(
     )
     touched = [c for c in mapping.values() if c is not None]
     _check_encryption_key(manifest, touched, encryption_key)
-    return decode_blocks_as(
+    out = decode_blocks_as(
         blocks, file_schema, read_schema, aliases=aliases,
         fail_on_missing_column=fail_on_missing_column,
         fail_on_narrowing=fail_on_narrowing,
         fill_from=fill_from,
         encryption_key=encryption_key,
     )
+    # pending equality deletes apply through the name mapping: the
+    # anti-join runs on the READ name the stored key column resolves
+    # to. A read schema that drops the key column cannot honor the
+    # removal list — fail loudly rather than resurrect deleted rows.
+    dels = _active_deletes(spark, path)
+    if dels:
+        stored_to_read = {v: k for k, v in mapping.items()
+                          if v is not None}
+        read_types = {f.name: f.dataType for f in read_schema.fields}
+        mapped = []
+        for d in dels:
+            rn = stored_to_read.get(d["key_column"])
+            if rn is None:
+                raise ValueError(
+                    f"table has a pending delete on {d['key_column']!r} "
+                    "but the read schema does not map that column — "
+                    "include it or compact_encoded first")
+            mapped.append(dict(d, read_name=rn))
+        for d in mapped:
+            keys = (spark.read.parquet(posixpath.join(path, d["file"]))
+                    .select(F.col(d["key_column"])
+                            .cast(read_types[d["read_name"]])
+                            .alias(d["read_name"])))
+            if d["n_keys"] <= DELETE_BROADCAST_MAX_KEYS:
+                keys = F.broadcast(keys)
+            out = out.join(keys, on=d["read_name"], how="left_anti")
+    return out
+
+
+# ----------------------------------------------------------- row deletes
+
+# lineage rows with this bucket are delete-log entries, invisible to
+# committed() (which filters status committed/tombstone per real bucket)
+DELETE_BUCKET = -1
+
+# removal lists at or below this many keys ride a broadcast anti-join
+# (the common case: an opt-out/contamination list is MBs against a
+# 100 TB table); larger lists fall back to a shuffled anti-join
+DELETE_BROADCAST_MAX_KEYS = 4_000_000
+
+
+def delete_encoded(spark: SparkSession, path: str, key_column: str,
+                   keys, delete_id: str | None = None) -> dict:
+    """Row-level delete by key (Iceberg equality-delete analogue —
+    the removal-list operation a training-data table needs for
+    contamination/opt-out removal at 10^12-row scale, where rewriting
+    the table per removal is impossible).
+
+    ``keys``: a one-column DataFrame or a Python iterable of key
+    values. They are written as a parquet removal list under
+    ``<path>/_deletes/<delete_id>`` (distributed write — a billion-key
+    list is fine), then committed with ONE lineage row
+    (bucket=DELETE_BUCKET, status='delete') — the same O(1) commit
+    protocol as data runs: a crash before the lineage append leaves an
+    orphan key file no reader ever consults (vacuum reclaims it).
+
+    Readers (read_encoded / read_encoded_direct / register_encoded /
+    count_encoded) apply pending deletes as a merge-on-read ANTI-JOIN
+    on the key column — broadcast while the list is small — even when
+    the projection does not request the key column. ``compact_encoded``
+    materializes deletes into the rewritten data and retires the log
+    entries; ``vacuum_encoded`` then reclaims the key files.
+
+    Semantics (documented deviation from Iceberg): a delete here is a
+    GLOBAL removal list — it also suppresses matching rows appended
+    AFTER the delete, until compaction materializes it. Iceberg
+    equality deletes are sequence-number-scoped; for removal lists the
+    global form is what users actually want (an opt-out list must keep
+    applying to future ingest). Time travel composes: reads with
+    ``as_of_epoch`` / ``as_of_ts`` BEFORE the delete's epoch see the
+    rows again (until compaction collapses history, as for data runs).
+
+    The key column must be a top-level atomic (or UUID) column and
+    must not be encrypted — the removal list itself is plaintext, so a
+    delete keyed on an encrypted column would leak exactly the values
+    encryption hides."""
+    import time
+
+    _, lineage_p, _ = _paths(path)
+    manifest, _lin = _load_table(spark, path)  # validates layout
+    schema = manifest_schema(manifest)
+    by_name = {f.name: f for f in schema.fields}
+    if key_column not in by_name:
+        raise ValueError(f"delete key column {key_column!r} not in table")
+    dt = by_name[key_column].dataType
+    if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
+        raise ValueError(
+            f"delete key column {key_column!r} must be atomic, got "
+            f"{dt.simpleString()}")
+    if key_column in manifest.get("encrypted_columns", []):
+        raise ValueError(
+            f"refusing to delete by encrypted column {key_column!r}: "
+            "the removal list is stored in plaintext and would leak "
+            "the encrypted values — delete by an unencrypted key")
+    if key_column in manifest.get("uuid_columns", []):
+        dt = T.StringType()  # the exposed (canonical-string) type
+    delete_id = delete_id or f"delete-{uuid.uuid4().hex[:12]}"
+    if not re.fullmatch(r"[A-Za-z0-9._=-]+", delete_id):
+        raise ValueError(
+            f"delete_id {delete_id!r} may only contain [A-Za-z0-9._=-]")
+    if isinstance(keys, DataFrame):
+        if len(keys.columns) != 1:
+            raise ValueError("keys DataFrame must have exactly one column")
+        kdf = keys.select(F.col(keys.columns[0]).cast(dt).alias(key_column))
+    else:
+        kdf = spark.createDataFrame(
+            [(k,) for k in keys],
+            T.StructType([T.StructField(key_column, dt)]))
+    kdf = kdf.na.drop().distinct()
+    rel = posixpath.join("_deletes", delete_id)
+    kdf.write.mode("error").parquet(posixpath.join(path, rel))
+    n_keys = spark.read.parquet(posixpath.join(path, rel)).count()
+    full = spark.read.schema(LINEAGE_DDL).parquet(lineage_p)
+    top = (full.filter(F.col("status").isin("committed", "delete"))
+           .agg(F.max("epoch")).collect()[0][0])
+    epoch = int(top if top is not None else -1) + 1
+    meta = json.dumps({"key_column": key_column, "file": rel})
+    ts = float(time.time())
+    row = [(delete_id, DELETE_BUCKET, epoch, "delete", int(n_keys),
+            0, 0, 0.0, meta, 0, 0, 0.0, ts)]
+    # THE commit point, same as data runs
+    spark.createDataFrame(row, LINEAGE_DDL).coalesce(1) \
+        .write.mode("append").parquet(lineage_p)
+    return {"delete_id": delete_id, "epoch": epoch,
+            "key_column": key_column, "n_keys": int(n_keys)}
+
+
+def _active_deletes(spark: SparkSession, path: str,
+                    as_of_epoch: int | None = None) -> list[dict]:
+    """Delete-log entries currently in force: per (DELETE_BUCKET,
+    epoch) the latest row wins — a compaction 'tombstone' at the same
+    position retires the entry. O(epochs) metadata, no key file is
+    opened here."""
+    from pyspark.sql import Window
+
+    _, lineage_p, _ = _paths(path)
+    lineage = spark.read.schema(LINEAGE_DDL).parquet(lineage_p)
+    lin = lineage.filter(
+        (F.col("bucket") == DELETE_BUCKET)
+        & F.col("status").isin("delete", "tombstone"))
+    if as_of_epoch is not None:
+        lin = lin.filter(F.col("epoch") <= int(as_of_epoch))
+    # at equal ts (second resolution) 'tombstone' > 'delete'
+    # lexicographically, so same-second compaction still retires
+    w = Window.partitionBy("epoch").orderBy(
+        F.desc("ts"), F.desc("status"), F.desc("run_id"))
+    rows = (lin.withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") == 1) & (F.col("status") == "delete"))
+            .select("run_id", "epoch", "n_rows", "codecs").collect())
+    out = []
+    for r in sorted(rows, key=lambda r: int(r.epoch)):
+        meta = json.loads(r.codecs or "{}")
+        out.append({"delete_id": r.run_id, "epoch": int(r.epoch),
+                    "n_keys": int(r.n_rows or 0),
+                    "key_column": meta["key_column"],
+                    "file": meta["file"]})
+    return out
+
+
+def _apply_deletes(spark: SparkSession, path: str, out: DataFrame,
+                   dels: list[dict]) -> DataFrame:
+    """Merge-on-read: anti-join the decoded rows against each pending
+    removal list (one join per distinct key column; multiple lists on
+    the same column union first). NULL keys never match an equality
+    anti-join, so evolution-filled rows predating the key column
+    survive, as they must."""
+    by_col: dict[str, list[dict]] = {}
+    for d in dels:
+        by_col.setdefault(d["key_column"], []).append(d)
+    for col, ds in sorted(by_col.items()):
+        keys = None
+        for d in ds:
+            k = spark.read.parquet(posixpath.join(path, d["file"]))
+            keys = k if keys is None else keys.unionByName(k)
+        if len(ds) > 1:
+            keys = keys.distinct()
+        if sum(d["n_keys"] for d in ds) <= DELETE_BROADCAST_MAX_KEYS:
+            keys = F.broadcast(keys)
+        out = out.join(keys, on=col, how="left_anti")
+    return out
 
 
 def compact_encoded(
@@ -1762,7 +1995,13 @@ def compact_encoded(
     old = committed(full_lin).select("bucket", "epoch", "run_id").collect()
     if not old:
         return {"run_id": None, "superseded": 0, "rows": 0}
-    new_epoch = max(int(r.epoch) for r in old) + 1
+    # pending equality deletes: read_encoded below applies them, so
+    # the rewrite MATERIALIZES the removals; the commit then retires
+    # the log entries (tombstones at their (DELETE_BUCKET, epoch)
+    # positions) and vacuum reclaims the key files
+    dels = _active_deletes(spark, path)
+    new_epoch = max([int(r.epoch) for r in old]
+                    + [d["epoch"] for d in dels]) + 1
     run_id = run_id or f"compact-{uuid.uuid4().hex[:8]}"
     nb = int(n_buckets or manifest["n_buckets"])
     uuid_cols = manifest.get("uuid_columns", [])
@@ -1784,7 +2023,9 @@ def compact_encoded(
     ts = float(time.time())
     tombs = spark.createDataFrame(
         [(run_id, int(r.bucket), int(r.epoch), "tombstone", 0, 0, 0, 0.0,
-          "{}", 0, 0, 0.0, ts) for r in old],
+          "{}", 0, 0, 0.0, ts) for r in old]
+        + [(run_id, DELETE_BUCKET, int(d["epoch"]), "tombstone", 0, 0, 0,
+            0.0, "{}", 0, 0, 0.0, ts) for d in dels],
         LINEAGE_DDL,
     )
     # THE commit: one file, renamed into place at job commit
@@ -1803,7 +2044,7 @@ def compact_encoded(
     ).agg(F.sum("n_rows")).collect()[0]
     return {"run_id": run_id, "epoch": new_epoch, "superseded": len(old),
             "buckets": int(buckets), "rows": int(agg[0] or 0),
-            "files": len(files)}
+            "files": len(files), "deletes_materialized": len(dels)}
 
 
 def vacuum_encoded(spark: SparkSession, path: str) -> dict:
@@ -1844,7 +2085,21 @@ def vacuum_encoded(spark: SparkSession, path: str) -> dict:
         if rid.endswith(".json") and rid[:-5] not in live_runs:
             runs_fs.delete_file(info.path)
             stale += 1
+    # removal-list key files whose delete-log entry was retired by
+    # compaction (or never committed — a crashed delete_encoded)
+    active_dels = {d["delete_id"] for d in _active_deletes(spark, path)}
+    del_fs, del_root = _task_fs(posixpath.join(path, "_deletes"))
+    stale_dels = 0
+    for info in del_fs.get_file_info(
+            pafs.FileSelector(del_root, recursive=False,
+                              allow_not_found=True)):
+        if info.type != pafs.FileType.Directory:
+            continue
+        if posixpath.basename(info.path) not in active_dels:
+            del_fs.delete_dir(info.path)
+            stale_dels += 1
     return {"deleted_files": deleted, "deleted_run_manifests": stale,
+            "deleted_removal_lists": stale_dels,
             "referenced_files": len(referenced)}
 
 
@@ -1853,7 +2108,19 @@ def count_encoded(spark: SparkSession, path: str,
     """Exact row count from commit metadata alone — no block file is
     opened (the SELECT COUNT(*) fast path; at 100 TB this reads a few
     MB of lineage instead of the table). Counts the winning lineage
-    row per (bucket, epoch), honoring tombstones and time travel."""
+    row per (bucket, epoch), honoring tombstones and time travel.
+
+    With PENDING equality deletes the metadata count is an upper bound
+    (the log records how many KEYS were deleted, not how many rows
+    matched), so this falls back to an exact distributed count over
+    just the delete key column — projection-pruned to that column's
+    block files, nowhere near a full-table scan. The metadata fast
+    path resumes once ``compact_encoded`` materializes the deletes."""
+    dels = _active_deletes(spark, path, as_of_epoch=as_of_epoch)
+    if dels:
+        kc = dels[0]["key_column"]
+        return read_encoded(spark, path, columns=[kc],
+                            as_of_epoch=as_of_epoch).count()
     _, lin = _load_table(spark, path, as_of_epoch=as_of_epoch,
                          full_lineage=True)
     n = lin.agg(F.sum("n_rows")).collect()[0][0]
@@ -1892,6 +2159,13 @@ def describe_encoded(spark: SparkSession, path: str) -> dict:
         "enc_bytes": enc,
         "ratio": (enc / orig) if orig else None,
         "codecs": codec_freq,
+        # pending equality deletes: rows above is an UPPER BOUND while
+        # any are listed here (merge-on-read; compact to materialize)
+        "pending_deletes": [
+            {k: d[k] for k in ("delete_id", "epoch", "key_column",
+                               "n_keys")}
+            for d in _active_deletes(spark, path)
+        ],
     }
 
 
