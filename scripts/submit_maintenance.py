@@ -1,14 +1,19 @@
 #!/usr/bin/env python
-"""spark-submit entry point for table maintenance: compact the
-committed runs of an encoded table into one (optionally re-bucketing)
-and/or vacuum unreferenced files.
+"""spark-submit entry point for table maintenance: row-level deletes
+(removal lists), compaction of the committed runs into one (optionally
+re-bucketing), and/or vacuum of unreferenced files.
 
     spark-submit --py-files tokcodec.zip scripts/submit_maintenance.py \
         --table /data/encoded --compact --vacuum [--buckets 400000]
 
-Compaction commits atomically (one lineage append of tombstones +
-commits); vacuum is safe afterwards. Single writer assumed — do not
-run while an encode job is appending to the same table.
+    # apply an opt-out list and materialize it in one pass
+    spark-submit ... scripts/submit_maintenance.py \
+        --table /data/encoded --delete-column doc_id \
+        --delete-keys-parquet /lists/optout.parquet --compact --vacuum
+
+Every commit is atomic (one lineage append); vacuum is safe after
+compaction. Single writer assumed — do not run while an encode job is
+appending to the same table.
 """
 
 from __future__ import annotations
@@ -33,15 +38,31 @@ def main() -> None:
                    help="re-bucket during compaction (0 = keep)")
     p.add_argument("--cluster-by", default=None)
     p.add_argument("--run-id", default=None)
+    p.add_argument("--delete-column", default=None,
+                   help="row-level delete (removal list) key column; "
+                        "pair with --delete-keys or "
+                        "--delete-keys-parquet. Runs BEFORE "
+                        "--compact, so compact materializes it.")
+    p.add_argument("--delete-keys", default=None,
+                   help="comma-separated key values to delete")
+    p.add_argument("--delete-keys-parquet", default=None,
+                   help="parquet path holding ONE column of keys "
+                        "(the opt-out/contamination list shape)")
     args = p.parse_args()
-    if not (args.compact or args.vacuum or args.describe):
-        p.error("nothing to do: pass --compact, --vacuum and/or "
-                "--describe")
+    if args.delete_column and not (args.delete_keys
+                                   or args.delete_keys_parquet):
+        p.error("--delete-column needs --delete-keys or "
+                "--delete-keys-parquet")
+    if not (args.compact or args.vacuum or args.describe
+            or args.delete_column):
+        p.error("nothing to do: pass --delete-column, --compact, "
+                "--vacuum and/or --describe")
 
     from pyspark.sql import SparkSession
 
     from tokcodec.io_tables import (
         compact_encoded,
+        delete_encoded,
         describe_encoded,
         vacuum_encoded,
     )
@@ -49,6 +70,14 @@ def main() -> None:
     spark = SparkSession.builder.appName("tokcodec-maintenance").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     out: dict = {}
+    if args.delete_column:
+        keys = (spark.read.parquet(args.delete_keys_parquet)
+                if args.delete_keys_parquet
+                else args.delete_keys.split(","))
+        out["delete"] = delete_encoded(
+            spark, args.table, args.delete_column, keys,
+            delete_id=args.run_id if not args.compact else None,
+        )
     if args.compact:
         out["compact"] = compact_encoded(
             spark, args.table, run_id=args.run_id,

@@ -29,6 +29,7 @@ from tokcodec.io_tables import (  # noqa: F401
     register_encoded,
     resolve_as_of_ts,
     suggest_buckets,
+    upsert_encoded,
     vacuum_encoded,
     write_encoded,
 )

@@ -284,7 +284,8 @@ def _decode_field(rows: list[dict], dt: T.DataType, target: pa.DataType,
 
 def make_decode_fn(schema: T.StructType, verify_checksums: bool = False,
                    fill_from: str | None = None,
-                   encryption_key: bytes | None = None):
+                   encryption_key: bytes | None = None,
+                   bucket_column: str | None = None):
     """applyInArrow function: (key, blocks pa.Table) -> decoded pa.Table.
 
     ``fill_from`` activates schema-evolution decode (runs written
@@ -304,6 +305,10 @@ def make_decode_fn(schema: T.StructType, verify_checksums: bool = False,
     fields = [(f.name, f.dataType) for f in schema.fields]
     out_schema = pa.schema(
         [(n, spark_type_to_arrow(dt)) for n, dt in fields]
+        # provenance: the grouping key IS the bucket — emitting it is
+        # a constant column, no storage read (upsert uses it to
+        # rewrite rows into their original buckets)
+        + ([(bucket_column, pa.int32())] if bucket_column else [])
     )
 
     def fn(key: tuple, table: pa.Table) -> pa.Table:
@@ -340,6 +345,11 @@ def make_decode_fn(schema: T.StructType, verify_checksums: bool = False,
         for (name, dt), target in zip(fields, out_schema.types):
             rows = by_col[name] if fills is None else by_col.get(name, [])
             arrays.append(_decode_field(rows, dt, target, fills))
+        if bucket_column:
+            n_out = len(arrays[0]) if arrays else 0
+            bkt = key[0].as_py() if hasattr(key[0], "as_py") else key[0]
+            arrays.append(pa.array(
+                np.full(n_out, int(bkt), dtype=np.int32)))
         return pa.Table.from_arrays(arrays, schema=out_schema)
 
     return fn
@@ -349,7 +359,8 @@ def decode_blocks(blocks: DataFrame, schema: T.StructType,
                   columns: list[str] | None = None,
                   verify_checksums: bool = False,
                   fill_from: str | None = None,
-                  encryption_key: bytes | None = None) -> DataFrame:
+                  encryption_key: bytes | None = None,
+                  bucket_column: str | None = None) -> DataFrame:
     """Blocks DataFrame -> decoded rows. ``columns`` = projection.
     ``verify_checksums`` recomputes each block's crc32 before decode
     (the reference's page-checksum knob, CarpetWriter.java:392-406,
@@ -371,8 +382,14 @@ def decode_blocks(blocks: DataFrame, schema: T.StructType,
             & F.col("column").isin(wanted)
     b = blocks.filter(keep)
     fn = make_decode_fn(schema, verify_checksums=verify_checksums,
-                        fill_from=fill_from, encryption_key=encryption_key)
-    return b.groupBy("bucket").applyInArrow(fn, schema=schema)
+                        fill_from=fill_from, encryption_key=encryption_key,
+                        bucket_column=bucket_column)
+    out_schema = schema
+    if bucket_column:
+        out_schema = T.StructType(
+            list(schema.fields)
+            + [T.StructField(bucket_column, T.IntegerType(), False)])
+    return b.groupBy("bucket").applyInArrow(fn, schema=out_schema)
 
 
 def _default_array(dt: T.DataType, n: int, nullable: bool) -> pa.Array:

@@ -677,6 +677,7 @@ def suggest_buckets(total_bytes: int,
 
 def _load_table(spark: SparkSession, path: str,
                 as_of_epoch: int | None = None,
+                since_epoch: int | None = None,
                 full_lineage: bool = False):
     """(manifest, committed-lineage DF). Raises on pre-v2 layouts.
 
@@ -705,6 +706,10 @@ def _load_table(spark: SparkSession, path: str,
     lineage = spark.read.schema(LINEAGE_DDL).parquet(lineage_p)
     if as_of_epoch is not None:
         lineage = lineage.filter(F.col("epoch") <= int(as_of_epoch))
+    if since_epoch is not None:
+        # incremental (CDC-append) read: only epochs AFTER the
+        # consumer's checkpoint participate — see read_encoded
+        lineage = lineage.filter(F.col("epoch") > int(since_epoch))
     lin = committed(lineage)
     if not full_lineage:
         lin = lin.select("bucket", "run_id")
@@ -1059,9 +1064,30 @@ def read_encoded(
     as_of_epoch: int | None = None,
     as_of_ts: float | str | None = None,
     encryption_key: bytes | None = None,
+    buckets: list[int] | None = None,
+    with_bucket_column: bool = False,
+    since_epoch: int | None = None,
 ) -> DataFrame:
     """Decode an encoded table; ``columns`` is projection pushdown —
     only those columns' block FILES enter the scan (reference P3).
+
+    ``buckets``: restrict the read to those storage buckets (planning-
+    time pruning — other buckets' lineage rows never enter the file
+    plan). ``with_bucket_column=True`` appends each row's storage
+    bucket as an int ``__bucket`` column (free: it is the decode
+    group's key, not a stored column). Both exist for bucket-granular
+    copy-on-write (``upsert_encoded``) and for observability.
+
+    ``since_epoch``: incremental (CDC-append) read — only rows
+    committed at epochs AFTER the given one, i.e. "changes since my
+    checkpoint" for a downstream incremental consumer of an
+    append-style table (streaming micro-batches commit
+    epoch=batch_id). Composes with ``as_of_epoch`` into the window
+    (since, as_of]. Like Iceberg's incremental append scan this is
+    append-only CDC: compaction / upsert rewrites re-commit surviving
+    rows at a fresh epoch, so an incremental window crossing a
+    rewrite re-emits them — checkpoint before compacting. Pending
+    equality deletes still apply (deleted rows never surface).
 
     ``range_filter=(int_column, lo, hi)`` enables zone-map chunk
     skipping (the encoded-block analogue of parquet row-group pruning):
@@ -1098,7 +1124,8 @@ def read_encoded(
     ``write_encoded(schema_evolution=True)``) decode transparently:
     rows from runs written before a column existed come back NULL."""
     as_of_epoch = _resolve_as_of(spark, path, as_of_epoch, as_of_ts)
-    manifest, lin = _load_table(spark, path, as_of_epoch=as_of_epoch)
+    manifest, lin = _load_table(spark, path, as_of_epoch=as_of_epoch,
+                                since_epoch=since_epoch)
     schema = manifest_schema(manifest)
 
     filts: list[tuple[str, tuple]] = []
@@ -1135,6 +1162,9 @@ def read_encoded(
     # derive from it locally (collecting lineage is O(buckets x epochs)
     # — the same driver-side footprint the direct reader has)
     lin_rows = [(int(r.bucket), r.run_id) for r in lin.collect()]
+    if buckets is not None:
+        bset = {int(b) for b in buckets}
+        lin_rows = [(b, rid) for b, rid in lin_rows if b in bset]
     run_ids = sorted({rid for _, rid in lin_rows})
     if as_of_epoch is not None:
         # snapshot-schema time travel: project the union of the
@@ -1189,17 +1219,20 @@ def read_encoded(
                     out = out.drop(c)
         return out
 
+    bcol = BUCKET_COL if with_bucket_column else None
     if not filts:
         return _finish(decode_blocks(blocks, schema, decode_cols,
                                      verify_checksums=verify_checksums,
                                      fill_from=fill_from,
-                                     encryption_key=encryption_key))
+                                     encryption_key=encryption_key,
+                                     bucket_column=bcol))
     blocks, residual = _prune_all(blocks, schema, manifest, filts,
                                   encryption_key=encryption_key)
     out = decode_blocks(blocks, schema, decode_cols,
                         verify_checksums=verify_checksums,
                         fill_from=fill_from,
-                        encryption_key=encryption_key)
+                        encryption_key=encryption_key,
+                        bucket_column=bcol)
     return _finish(out.filter(residual))
 
 
@@ -1381,6 +1414,7 @@ def read_encoded_direct(
     in_filter: tuple | None = None,
     eq_filter: tuple | None = None,
     encryption_key: bytes | None = None,
+    since_epoch: int | None = None,
 ) -> DataFrame:
     """Shuffle-free decode: one task per committed bucket opens that
     bucket's block files directly with pyarrow.
@@ -1404,12 +1438,15 @@ def read_encoded_direct(
     semantics and compose as a conjunction; chunk pruning happens
     executor-side from the bucket's own block metas (zone bounds /
     blooms evaluated in the task), so non-surviving chunks are never
-    decoded, and the exact residual runs JVM-side afterwards."""
+    decoded, and the exact residual runs JVM-side afterwards.
+    ``since_epoch`` is the incremental (CDC-append) window bound —
+    see read_encoded."""
     from tokcodec.decode import make_decode_fn
 
     blocks_p, _, _ = _paths(path)
     as_of_epoch = _resolve_as_of(spark, path, as_of_epoch, as_of_ts)
-    manifest, lin = _load_table(spark, path, as_of_epoch=as_of_epoch)
+    manifest, lin = _load_table(spark, path, as_of_epoch=as_of_epoch,
+                                since_epoch=since_epoch)
     full_schema = manifest_schema(manifest)
     filts: list[tuple[str, tuple]] = []
     for rf in _as_filter_list(range_filter):
@@ -1963,6 +2000,131 @@ def _apply_deletes(spark: SparkSession, path: str, out: DataFrame,
             keys = F.broadcast(keys)
         out = out.join(keys, on=col, how="left_anti")
     return out
+
+
+def upsert_encoded(spark: SparkSession, path: str, df: DataFrame,
+                   key_column: str, run_id: str | None = None,
+                   encryption_key: bytes | None = None) -> dict:
+    """MERGE-by-key (upsert): rows whose key matches an existing row
+    replace it; new keys are inserted — Iceberg's copy-on-write MERGE
+    re-expressed at BUCKET granularity, the unit this layout can swap
+    atomically (Iceberg rewrites touched FILES; our winner-per-
+    (bucket, epoch) lineage makes the bucket the swappable unit).
+
+    Plan, all O(touched):
+      1. find the buckets holding matching keys: a key-column-only
+         projection-pruned scan (with its free ``__bucket``
+         provenance) joined to the incoming keys;
+      2. union them with the buckets the incoming rows hash to;
+      3. decode ONLY those buckets, anti-join the incoming keys,
+         union the incoming rows, re-encode into the same buckets at
+         a fresh epoch;
+      4. ONE atomic lineage append: tombstones for every superseded
+         (touched bucket, epoch) + commits for the new run.
+
+    Untouched buckets are never read or rewritten, so cost scales
+    with the update's locality, not the table: a 0.1% upsert against
+    a 100 TB table rewrites ~0.1% of buckets (plus hash spread).
+    Matching is by stored location, not by re-hashing old rows: a row
+    whose salt columns changed still gets found (step 1) and its old
+    bucket rewritten.
+
+    Interplay: pending equality deletes are MATERIALIZED for the
+    touched buckets (the read applies them); an upserted key that is
+    on a pending removal list stays suppressed on read until
+    ``compact_encoded`` retires the list — the documented global
+    removal-list semantics. ``df`` must match the table's current
+    schema exactly (run ``write_encoded(schema_evolution=True)``
+    first to change shape). Single writer assumed, like every other
+    commit here."""
+    import time
+
+    _, lineage_p, manifest_p = _paths(path)
+    manifest, _lin = _load_table(spark, path)
+    schema = manifest_schema(manifest)
+    nb = int(manifest["n_buckets"])
+    uuid_cols = manifest.get("uuid_columns", [])
+    enum_cols = manifest.get("enum_columns", {})
+    enc_cols = manifest.get("encrypted_columns", [])
+    by_name = {f.name: f for f in schema.fields}
+    if key_column not in by_name:
+        raise ValueError(f"upsert key column {key_column!r} not in table")
+    if isinstance(by_name[key_column].dataType,
+                  (T.ArrayType, T.MapType, T.StructType)):
+        raise ValueError(f"upsert key column {key_column!r} must be atomic")
+    want_cols = [f.name for f in schema.fields]
+    if sorted(df.columns) != sorted(want_cols):
+        raise ValueError(
+            f"upsert frame columns {sorted(df.columns)} != table "
+            f"columns {sorted(want_cols)} (evolve the table first)")
+    run_id = run_id or f"upsert-{uuid.uuid4().hex[:8]}"
+    if not re.fullmatch(r"[A-Za-z0-9._=-]+", run_id):
+        raise ValueError(
+            f"run_id {run_id!r} may only contain [A-Za-z0-9._=-]")
+
+    in_keys = df.select(key_column).distinct()
+    # 1) locate matching keys by STORED bucket (key column only)
+    stored_keys = read_encoded(spark, path, columns=[key_column],
+                               with_bucket_column=True,
+                               encryption_key=encryption_key)
+    hit = (stored_keys.join(in_keys, on=key_column)
+           .select(BUCKET_COL).distinct().collect())
+    # 2) plus the buckets the incoming rows hash to
+    b_in = with_bucket(_uuid_to_binary(df.select(*want_cols), uuid_cols),
+                       nb)
+    new_b = b_in.select(BUCKET_COL).distinct().collect()
+    touched = sorted({int(r[BUCKET_COL]) for r in hit}
+                     | {int(r[BUCKET_COL]) for r in new_b})
+    if not touched:
+        return {"run_id": None, "epoch": None, "buckets_rewritten": 0}
+
+    # 3) rewrite = (old touched-bucket rows minus incoming keys) +
+    # incoming rows; old rows keep their stored bucket verbatim
+    old = read_encoded(spark, path, buckets=touched,
+                       with_bucket_column=True,
+                       encryption_key=encryption_key)
+    old_keep = old.join(in_keys, on=key_column, how="left_anti")
+    old_b = _uuid_to_binary(
+        old_keep.select(*want_cols, BUCKET_COL), uuid_cols)
+    merged = old_b.unionByName(b_in.select(*want_cols, BUCKET_COL))
+
+    full_lin = spark.read.schema(LINEAGE_DDL).parquet(lineage_p)
+    olds = [r for r in committed(full_lin)
+            .select("bucket", "epoch").collect()
+            if int(r.bucket) in set(touched)]
+    dels = _active_deletes(spark, path)
+    top = (full_lin.filter(F.col("status").isin("committed", "delete"))
+           .agg(F.max("epoch")).collect()[0][0])
+    new_epoch = int(top if top is not None else -1) + 1
+
+    files, new_metrics = _write_run(
+        merged, schema, path, nb, run_id, new_epoch,
+        enum_columns=enum_cols or None,
+        encrypted_columns=tuple(enc_cols),
+        encryption_key=encryption_key,
+    )
+    # 4) THE commit: tombstones + commits in one atomic append.
+    # Touched buckets swap whole generations; delete-log entries stay
+    # (they were applied to these buckets but still cover the rest).
+    ts = float(time.time())
+    commits = lineage_from_blocks(new_metrics, epoch=new_epoch)
+    tombs = spark.createDataFrame(
+        [(run_id, int(r.bucket), int(r.epoch), "tombstone", 0, 0, 0,
+          0.0, "{}", 0, 0, 0.0, ts) for r in olds],
+        LINEAGE_DDL,
+    )
+    commits.unionByName(tombs).coalesce(1).write.mode("append") \
+        .parquet(lineage_p)
+    _write_text(spark, manifest_p,
+                schema_manifest(schema, nb, run_id,
+                                uuid_columns=uuid_cols,
+                                enum_columns=enum_cols,
+                                encrypted_columns=enc_cols))
+    return {"run_id": run_id, "epoch": new_epoch,
+            "buckets_rewritten": len(touched),
+            "superseded": len(olds),
+            "pending_deletes_materialized_for_touched": len(dels),
+            "files": len(files)}
 
 
 def compact_encoded(
