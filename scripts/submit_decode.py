@@ -74,6 +74,8 @@ def main() -> None:
             elif isinstance(fld, (T.DateType, T.TimestampType,
                                   T.TimestampNTZType)):
                 rf.append((c, lo, hi))  # ISO strings; reader converts
+            elif isinstance(fld, (T.FloatType, T.DoubleType)):
+                rf.append((c, float(lo), float(hi)))  # quality gates
             else:
                 rf.append((c, int(lo), int(hi)))
     ef = None

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import base64
 import json
+import math
 import zlib
 
 import numpy as np
@@ -236,6 +237,22 @@ def encode_float_component(bucket, column, component, v: np.ndarray,
         payload = np.ascontiguousarray(v).tobytes()
         meta = {"dtype": v.dtype.str}
         codec = "plain_f"
+    if component.endswith("values") and len(v):
+        # float zone map (parquet float column stats analogue): lets
+        # range_filter prune on quality scores / probabilities — the
+        # curation pipeline's float gates. NaNs are ignored (a NaN row
+        # can never satisfy the >=/<= residual, so pruning on the
+        # finite range stays sound); any ±inf present -> no stats
+        # (chunk always survives) to keep JSON metas strictly finite.
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            flo = float(np.nanmin(v))
+            fhi = float(np.nanmax(v))
+        if math.isfinite(flo) and math.isfinite(fhi):
+            meta["lo"] = flo
+            meta["hi"] = fhi
     payload = _outer_compress(payload, meta)
     return _block_row(bucket, column, component, codec, len(v), payload, meta,
                       len(v) * v.dtype.itemsize)

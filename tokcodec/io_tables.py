@@ -1111,9 +1111,11 @@ def read_encoded(
     The three filters COMPOSE (logical AND): e.g. a date
     ``range_filter`` plus an ``eq_filter`` point lookup prunes to the
     intersection of each filter's surviving chunks, then applies both
-    residuals. range/in accept integer, date, timestamp, string and
-    binary columns (ints/dates/timestamps via [lo, hi] zone maps;
-    strings/binary via truncated min/max bounds).
+    residuals. range/in accept integer, float/double, date, timestamp,
+    string and binary columns (ints/dates/timestamps/floats via
+    [lo, hi] zone maps — float zones are the curation pipeline's
+    quality-score gates; strings/binary via truncated min/max
+    bounds).
 
     A filter column missing from ``columns`` is decoded anyway and
     dropped from the output (round-2 ADVICE: the residual predicate
@@ -1295,15 +1297,32 @@ def _normalize_filter(schema: T.StructType, manifest: dict,
     col = spec[0]
     fld = next((f.dataType for f in schema.fields if f.name == col), None)
     str_lane = isinstance(fld, (T.StringType, T.BinaryType))
-    if not str_lane and not isinstance(
+    float_lane = isinstance(fld, (T.FloatType, T.DoubleType))
+    if not str_lane and not float_lane and not isinstance(
             fld, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
                   T.DateType, T.TimestampType, T.TimestampNTZType,
                   T.TimeType)):
         raise ValueError(
-            f"range_filter/in_filter require an integer, date, "
+            f"range_filter/in_filter require an integer, float, date, "
             f"timestamp, string or binary column with zone maps; "
             f"{col!r} is {fld}"
         )
+    if float_lane:
+        # float zone maps (quality-score/probability gates): finite
+        # per-chunk [lo, hi]; NaN rows never satisfy the residual, so
+        # the finite-range overlap test is sound (blocks.py)
+        if kind == "range":
+            _, lo, hi = spec
+            bounds = [(float(lo), float(hi))]
+            residual = ((F.col(col) >= F.lit(float(lo)))
+                        & (F.col(col) <= F.lit(float(hi))))
+        else:
+            _, values = spec
+            vals = [float(x) for x in values]
+            bounds = [(x, x) for x in vals]
+            residual = F.col(col).isin(vals)
+        return {"kind": "zone", "col": col, "lane": "float",
+                "bounds": bounds, "residual": residual}
     if str_lane:
         if kind == "range":
             _, lo, hi = spec
@@ -1385,8 +1404,9 @@ def _filter_survivors(blocks: DataFrame, schema: T.StructType,
         for lo_b, hi_b in nf["bounds"]:
             zpred = zpred | zover(lo_b, hi_b)
     else:
-        zlo = F.get_json_object("meta", "$.lo").cast("long")
-        zhi = F.get_json_object("meta", "$.hi").cast("long")
+        cast_t = "long" if nf["lane"] == "int" else "double"
+        zlo = F.get_json_object("meta", "$.lo").cast(cast_t)
+        zhi = F.get_json_object("meta", "$.hi").cast(cast_t)
         no_stats = zlo.isNull() | zhi.isNull()
         zpred = F.lit(False)
         for zv_lo, zv_hi in nf["bounds"]:
@@ -1651,7 +1671,7 @@ def _meta_zone_hit(meta: dict, nf: dict) -> bool:
     the grouped reader's encrypted-column path."""
     import base64 as _b64
 
-    if nf["lane"] == "int":
+    if nf["lane"] in ("int", "float"):
         zlo, zhi = meta.get("lo"), meta.get("hi")
         if zlo is None or zhi is None:
             return True
