@@ -1,0 +1,147 @@
+"""tokcodec as a registered Spark Python DataSource (Spark 4 API):
+spark.read.format("tokcodec") batch reads with optional WHERE-filter
+chunk pruning, and spark.readStream epoch-tailing CDC — the
+reference's 'reads like any table format' promise through Spark's own
+source integration (CarpetReader's parquet DataSource analogue)."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+from pyspark.sql import types as T
+
+from tokcodec.datasource import TokcodecDataSource, _filter_specs
+from tokcodec.io_tables import delete_encoded, write_encoded
+
+SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("tokens", T.ArrayType(T.IntegerType(), False), False),
+    T.StructField("n_tok", T.IntegerType(), False),
+    T.StructField("source", T.StringType(), False),
+])
+
+
+def _mk(spark, n, prefix="d"):
+    return spark.createDataFrame(
+        [Row(doc_id=f"{prefix}{i}", tokens=[i, i + 1], n_tok=2,
+             source=f"s{i % 3}") for i in range(n)],
+        SCHEMA,
+    )
+
+
+@pytest.fixture(scope="module")
+def table(spark, tmp_path_factory):
+    spark.dataSource.register(TokcodecDataSource)
+    path = str(tmp_path_factory.mktemp("ds") / "tbl")
+    write_encoded(_mk(spark, 300), path, n_buckets=4, run_id="e0",
+                  epoch=0, bloom_columns=["doc_id"])
+    return path
+
+
+def test_batch_read_and_sql(spark, table):
+    out = spark.read.format("tokcodec").load(table)
+    assert out.count() == 300
+    assert set(out.columns) == {"doc_id", "tokens", "n_tok", "source"}
+    out.createOrReplaceTempView("ds_tbl")
+    n = spark.sql(
+        "SELECT count(*) AS n FROM ds_tbl WHERE source = 's1'"
+    ).collect()[0].n
+    assert n == 100
+    tot = spark.sql(
+        "SELECT sum(aggregate(tokens, 0L, (a, x) -> a + x)) AS s "
+        "FROM ds_tbl").collect()[0].s
+    assert tot == sum(2 * i + 1 for i in range(300))
+
+
+def test_pushdown_filters_correct(spark, table):
+    out = (spark.read.format("tokcodec")
+           .option("pushdown", "true").load(table))
+    assert out.filter(F.col("doc_id") == "d250").count() == 1
+    assert out.filter(F.col("n_tok") > 5).count() == 0
+    assert out.filter((F.col("n_tok") >= 2)
+                      & (F.col("source") == "s0")).count() == 100
+
+
+def test_filter_specs_shapes(spark, table):
+    from pyspark.sql.datasource import (
+        EqualTo, GreaterThanOrEqual, IsNotNull, LessThan)
+    from tokcodec.datasource import _read_json
+
+    manifest = _read_json(table + "/_manifest.json")
+    from tokcodec.schema import manifest_schema
+
+    sch = manifest_schema(manifest)
+    specs = _filter_specs(sch, manifest, [
+        EqualTo(("doc_id",), "d1"),
+        GreaterThanOrEqual(("n_tok",), 2),
+        LessThan(("n_tok",), 9),
+        IsNotNull(("source",)),          # unprunable shape -> skipped
+        EqualTo(("tokens",), [1]),       # non-zone lane -> skipped
+    ])
+    kinds = [(s["kind"], s["col"]) for s in specs]
+    assert kinds == [("eq", "doc_id"), ("zone", "n_tok"),
+                     ("zone", "n_tok")]
+    assert all("residual" not in s for s in specs)
+
+
+def test_deletes_apply_through_source(spark, table, tmp_path):
+    path = str(tmp_path / "deltbl")
+    write_encoded(_mk(spark, 50), path, n_buckets=2, run_id="e0")
+    delete_encoded(spark, path, "doc_id", ["d7", "d9"])
+    out = spark.read.format("tokcodec").load(path)
+    assert out.count() == 48
+    # projection WITHOUT the key column: the source decodes the key
+    # anyway, masks, then drops it
+    assert out.select("n_tok").count() == 48
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert "d7" not in ids and "d9" not in ids
+
+
+def test_epoch_window_options(spark, table, tmp_path):
+    path = str(tmp_path / "wintbl")
+    write_encoded(_mk(spark, 10), path, n_buckets=2, run_id="e0",
+                  epoch=0)
+    write_encoded(_mk(spark, 10, prefix="x"), path, n_buckets=2,
+                  run_id="e1", epoch=1)
+    assert (spark.read.format("tokcodec")
+            .option("as_of_epoch", 0).load(path).count() == 10)
+    inc = (spark.read.format("tokcodec")
+           .option("since_epoch", 0).load(path))
+    assert {r.doc_id[0] for r in inc.select("doc_id").collect()} == {"x"}
+
+
+def test_stream_tails_epochs(spark, table, tmp_path):
+    path = str(tmp_path / "streamtbl")
+    write_encoded(_mk(spark, 20), path, n_buckets=2, run_id="e0",
+                  epoch=0)
+    write_encoded(_mk(spark, 5, prefix="x"), path, n_buckets=2,
+                  run_id="e1", epoch=1)
+    stream = (spark.readStream.format("tokcodec")
+              .option("since_epoch", -1).load(path))
+    q = (stream.writeStream.format("memory").queryName("ds_tail")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT doc_id FROM ds_tail").collect()
+    assert len(got) == 25
+    # second batch of appends arrives in a fresh incremental pass
+    write_encoded(_mk(spark, 3, prefix="y"), path, n_buckets=2,
+                  run_id="e2", epoch=2)
+    q2 = (spark.readStream.format("tokcodec")
+          .option("since_epoch", 1).load(path)
+          .writeStream.format("memory").queryName("ds_tail2")
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    ids = {r.doc_id for r in spark.sql(
+        "SELECT doc_id FROM ds_tail2").collect()}
+    assert ids == {"y0", "y1", "y2"}
+
+
+def test_encrypted_table_through_source(spark, table, tmp_path):
+    path = str(tmp_path / "enctbl")
+    key = bytes(range(16))
+    write_encoded(_mk(spark, 12), path, n_buckets=2, run_id="e0",
+                  encryption_key=key, encrypted_columns=["tokens"])
+    out = (spark.read.format("tokcodec")
+           .option("encryption_key_hex", key.hex()).load(path))
+    assert out.agg(F.sum("n_tok")).collect()[0][0] == 24
+    # no key -> decode must fail
+    with pytest.raises(Exception):
+        spark.read.format("tokcodec").load(path).collect()

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from tokcodec.datasource import TokcodecDataSource  # noqa: F401
 from tokcodec.decode import decode_blocks  # noqa: F401
 from tokcodec.encode import encode_table, with_bucket  # noqa: F401
 from tokcodec.graph import connected_components  # noqa: F401

@@ -1270,7 +1270,8 @@ def _check_encryption_key(manifest: dict, columns, key: bytes | None) -> None:
 
 
 def _normalize_filter(schema: T.StructType, manifest: dict,
-                      kind: str, spec: tuple) -> dict:
+                      kind: str, spec: tuple,
+                      make_residual: bool = True) -> dict:
     """One filter -> {kind, col, lane, bounds, value, residual}:
     normalized storage-lane bounds for zone/bloom pruning (shared by
     the grouped and the direct reader) plus the exact residual Column.
@@ -1279,7 +1280,11 @@ def _normalize_filter(schema: T.StructType, manifest: dict,
     zone maps, which exist on every int-lane column (integers,
     date = days, timestamp = epoch-µs) and on string/binary columns
     (truncated min/max bounds). Chunks with no stats always survive —
-    never a false negative."""
+    never a false negative.
+
+    ``make_residual=False`` skips building the exact-residual Column
+    (callers with no live SparkContext — the Python DataSource's
+    planner worker — use the bounds for pruning only)."""
     if kind == "eq":
         col, value = spec
         if col not in schema.fieldNames():
@@ -1293,7 +1298,8 @@ def _normalize_filter(schema: T.StructType, manifest: dict,
             # frame is uuid-expanded only afterwards)
             value = bytes.fromhex(value.replace("-", ""))
         return {"kind": "eq", "col": col, "value": value,
-                "residual": F.col(col) == value}
+                "residual": (F.col(col) == value) if make_residual
+                else None}
     col = spec[0]
     fld = next((f.dataType for f in schema.fields if f.name == col), None)
     str_lane = isinstance(fld, (T.StringType, T.BinaryType))
@@ -1315,23 +1321,27 @@ def _normalize_filter(schema: T.StructType, manifest: dict,
             _, lo, hi = spec
             bounds = [(float(lo), float(hi))]
             residual = ((F.col(col) >= F.lit(float(lo)))
-                        & (F.col(col) <= F.lit(float(hi))))
+                        & (F.col(col) <= F.lit(float(hi)))) \
+                if make_residual else None
         else:
             _, values = spec
             vals = [float(x) for x in values]
             bounds = [(x, x) for x in vals]
-            residual = F.col(col).isin(vals)
+            residual = F.col(col).isin(vals) if make_residual else None
         return {"kind": "zone", "col": col, "lane": "float",
                 "bounds": bounds, "residual": residual}
     if str_lane:
         if kind == "range":
             _, lo, hi = spec
             bounds = [(_str_bytes(lo), _str_bytes(hi))]
-            residual = ((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+            residual = ((F.col(col) >= F.lit(lo))
+                        & (F.col(col) <= F.lit(hi))) \
+                if make_residual else None
         else:
             _, values = spec
             bounds = [(_str_bytes(v), _str_bytes(v)) for v in values]
-            residual = F.col(col).isin(list(values))
+            residual = F.col(col).isin(list(values)) \
+                if make_residual else None
         return {"kind": "zone", "col": col, "lane": "str",
                 "bounds": bounds, "residual": residual}
     if kind == "range":
@@ -1340,12 +1350,14 @@ def _normalize_filter(schema: T.StructType, manifest: dict,
         zv_hi, rv_hi = _zone_value(hi, fld)
         bounds = [(zv_lo, zv_hi)]
         residual = ((F.col(col) >= F.lit(rv_lo))
-                    & (F.col(col) <= F.lit(rv_hi)))
+                    & (F.col(col) <= F.lit(rv_hi))) \
+            if make_residual else None
     else:
         _, values = spec
         pairs = [_zone_value(v, fld) for v in values]
         bounds = [(zv, zv) for zv, _ in pairs]
-        residual = F.col(col).isin([rv for _, rv in pairs])
+        residual = F.col(col).isin([rv for _, rv in pairs]) \
+            if make_residual else None
     return {"kind": "zone", "col": col, "lane": "int",
             "bounds": bounds, "residual": residual}
 

@@ -75,6 +75,10 @@ def get_spark(
         # engine stores TimeType columns on the int64 nanos lane and
         # Spark 4.1 gates the SQL surface behind this flag
         .config("spark.sql.timeType.enabled", "true")
+        # let the tokcodec Python DataSource's opt-in pushdown reader
+        # (option("pushdown", "true")) receive WHERE predicates for
+        # zone/bloom chunk pruning (off by default in Spark 4.1)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
     if local_dir:
