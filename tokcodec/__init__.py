@@ -30,6 +30,9 @@ from tokcodec.io_tables import (  # noqa: F401
     register_encoded,
     resolve_as_of_ts,
     suggest_buckets,
+    tag_encoded,
+    tags_encoded,
+    untag_encoded,
     upsert_encoded,
     vacuum_encoded,
     write_encoded,

@@ -760,12 +760,69 @@ def resolve_as_of_ts(spark: SparkSession, path: str,
     return max(ok)
 
 
-def _resolve_as_of(spark, path, as_of_epoch, as_of_ts):
+def _resolve_as_of(spark, path, as_of_epoch, as_of_ts,
+                   as_of_tag=None):
+    given = [x for x in (as_of_epoch, as_of_ts, as_of_tag)
+             if x is not None]
+    if len(given) > 1:
+        raise ValueError(
+            "pass only one of as_of_epoch / as_of_ts / as_of_tag")
+    if as_of_tag is not None:
+        tags = tags_encoded(spark, path)
+        if as_of_tag not in tags:
+            raise ValueError(
+                f"unknown tag {as_of_tag!r}; have {sorted(tags)}")
+        return tags[as_of_tag]
     if as_of_ts is None:
         return as_of_epoch
-    if as_of_epoch is not None:
-        raise ValueError("pass as_of_epoch or as_of_ts, not both")
     return resolve_as_of_ts(spark, path, as_of_ts)
+
+
+def _tags_path(path: str) -> str:
+    return posixpath.join(path, "_tags.json")
+
+
+def tags_encoded(spark: SparkSession, path: str) -> dict[str, int]:
+    """{tag name: epoch} — named snapshots (Iceberg tag refs)."""
+    try:
+        return json.loads(_read_text(spark, _tags_path(path)))
+    except FileNotFoundError:
+        return {}
+
+
+def tag_encoded(spark: SparkSession, path: str, name: str,
+                epoch: int | None = None) -> dict:
+    """Name a snapshot (Iceberg's tag ref): ``read_encoded(...,
+    as_of_tag=name)`` then reads the table as of that epoch without
+    the caller tracking epoch numbers. Default: the current latest
+    committed epoch. Tags survive further appends; like as_of_epoch
+    itself, a tag dangles once compaction collapses the history it
+    points into (Iceberg snapshot expiry semantics)."""
+    if not re.fullmatch(r"[A-Za-z0-9._=-]+", name):
+        raise ValueError(
+            f"tag {name!r} may only contain [A-Za-z0-9._=-]")
+    if epoch is None:
+        _, lineage_p, _ = _paths(path)
+        lineage = spark.read.schema(LINEAGE_DDL).parquet(lineage_p)
+        top = (lineage.filter(F.col("status").isin("committed", "delete"))
+               .agg(F.max("epoch")).collect()[0][0])
+        if top is None:
+            raise ValueError(f"nothing committed at {path!r} to tag")
+        epoch = int(top)
+    tags = tags_encoded(spark, path)
+    tags[name] = int(epoch)
+    _write_text(spark, _tags_path(path),
+                json.dumps(tags, sort_keys=True, separators=(",", ":")))
+    return {"tag": name, "epoch": int(epoch)}
+
+
+def untag_encoded(spark: SparkSession, path: str, name: str) -> None:
+    tags = tags_encoded(spark, path)
+    if name not in tags:
+        raise ValueError(f"unknown tag {name!r}; have {sorted(tags)}")
+    del tags[name]
+    _write_text(spark, _tags_path(path),
+                json.dumps(tags, sort_keys=True, separators=(",", ":")))
 
 
 _RUN_MANIFEST_DDL = (
@@ -1067,6 +1124,7 @@ def read_encoded(
     buckets: list[int] | None = None,
     with_bucket_column: bool = False,
     since_epoch: int | None = None,
+    as_of_tag: str | None = None,
 ) -> DataFrame:
     """Decode an encoded table; ``columns`` is projection pushdown —
     only those columns' block FILES enter the scan (reference P3).
@@ -1125,7 +1183,8 @@ def read_encoded(
     epoch (see _load_table). Schema-evolved tables (columns added by
     ``write_encoded(schema_evolution=True)``) decode transparently:
     rows from runs written before a column existed come back NULL."""
-    as_of_epoch = _resolve_as_of(spark, path, as_of_epoch, as_of_ts)
+    as_of_epoch = _resolve_as_of(spark, path, as_of_epoch, as_of_ts,
+                                 as_of_tag)
     manifest, lin = _load_table(spark, path, as_of_epoch=as_of_epoch,
                                 since_epoch=since_epoch)
     schema = manifest_schema(manifest)
@@ -1447,6 +1506,7 @@ def read_encoded_direct(
     eq_filter: tuple | None = None,
     encryption_key: bytes | None = None,
     since_epoch: int | None = None,
+    as_of_tag: str | None = None,
 ) -> DataFrame:
     """Shuffle-free decode: one task per committed bucket opens that
     bucket's block files directly with pyarrow.
@@ -1476,7 +1536,8 @@ def read_encoded_direct(
     from tokcodec.decode import make_decode_fn
 
     blocks_p, _, _ = _paths(path)
-    as_of_epoch = _resolve_as_of(spark, path, as_of_epoch, as_of_ts)
+    as_of_epoch = _resolve_as_of(spark, path, as_of_epoch, as_of_ts,
+                                 as_of_tag)
     manifest, lin = _load_table(spark, path, as_of_epoch=as_of_epoch,
                                 since_epoch=since_epoch)
     full_schema = manifest_schema(manifest)
