@@ -42,6 +42,11 @@ def main() -> None:
                    help="time travel by wall clock: unix seconds or "
                         "ISO-8601 (naive = UTC); resolves to the "
                         "greatest fully-committed epoch")
+    p.add_argument("--as-of-tag", default=None,
+                   help="time travel by snapshot tag (tag_encoded)")
+    p.add_argument("--since-epoch", type=int, default=None,
+                   help="incremental (CDC-append) read: only rows "
+                        "committed at epochs AFTER this one")
     p.add_argument("--verify-checksums", action="store_true")
     args = p.parse_args()
 
@@ -87,7 +92,9 @@ def main() -> None:
                 range_filter=rf, eq_filter=ef,
                 verify_checksums=args.verify_checksums,
                 as_of_epoch=args.as_of_epoch,
-                as_of_ts=args.as_of_ts)
+                as_of_ts=args.as_of_ts,
+                as_of_tag=args.as_of_tag,
+                since_epoch=args.since_epoch)
     df.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
     print(json.dumps({"rows": n, "output": args.output}))

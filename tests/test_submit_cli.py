@@ -164,3 +164,56 @@ def test_spark_submit_evolution_and_time_travel(spark, tmp_path):
     assert res_all["rows"] == n0 + n1
     back = spark.read.parquet(out)
     assert back.filter(F.col("lang").isNull()).count() >= n0
+
+
+def test_spark_submit_delete_tag_incremental(spark, tmp_path):
+    """Late-r5 CLI surface: --delete-column/--delete-keys (maintenance)
+    and --as-of-tag/--since-epoch (decode) end-to-end from
+    spark-submit processes."""
+    enc = os.path.join(str(tmp_path), "enc5")
+    out = os.path.join(str(tmp_path), "dec5")
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from tokcodec.io_tables import tag_encoded, write_encoded
+
+    sch = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("n_tok", T.IntegerType(), False),
+    ])
+    write_encoded(
+        spark.createDataFrame(
+            [Row(doc_id=f"d{i}", n_tok=1) for i in range(30)], sch),
+        enc, n_buckets=2, run_id="e0", epoch=0)
+    tag_encoded(spark, enc, "v0")
+    write_encoded(
+        spark.createDataFrame(
+            [Row(doc_id=f"x{i}", n_tok=1) for i in range(10)], sch),
+        enc, n_buckets=2, run_id="e1", epoch=1)
+
+    submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    env = dict(os.environ, PYTHONPATH="/root/repo",
+               SPARK_LOCAL_DIRS="/dev/shm")
+
+    def run(args):
+        r = subprocess.run(
+            [submit, "--master", "local[4]"] + args,
+            cwd="/root/repo", env=env, capture_output=True, text=True,
+            timeout=420,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads([ln for ln in r.stdout.splitlines()
+                           if ln.startswith("{")][-1])
+
+    res = run(["scripts/submit_maintenance.py", "--table", enc,
+               "--delete-column", "doc_id",
+               "--delete-keys", "d3,d4,x9"])
+    assert res["delete"]["n_keys"] == 3
+    assert run(["scripts/submit_decode.py", "--input", enc,
+                "--output", out])["rows"] == 37
+    # tag predates both the delete and the second epoch
+    assert run(["scripts/submit_decode.py", "--input", enc,
+                "--output", out, "--as-of-tag", "v0"])["rows"] == 30
+    # incremental window: epoch 1 only, delete still applies
+    assert run(["scripts/submit_decode.py", "--input", enc,
+                "--output", out, "--since-epoch", "0"])["rows"] == 9
