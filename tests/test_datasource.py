@@ -82,6 +82,38 @@ def test_filter_specs_shapes(spark, table):
     assert all("residual" not in s for s in specs)
 
 
+def test_filter_specs_temporal_and_string_bounds(spark, table):
+    """One-sided bounds on date/timestamp columns use type-correct
+    sentinels (a raw huge int overflowed the converters), and
+    one-sided string bounds are skipped (no safe truncation
+    sentinel)."""
+    import datetime as dt
+
+    from pyspark.sql.datasource import GreaterThan, LessThanOrEqual
+
+    sch = T.StructType([
+        T.StructField("d", T.DateType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("s", T.StringType()),
+    ])
+    manifest = {"uuid_columns": [], "encrypted_columns": []}
+    specs = _filter_specs(sch, manifest, [
+        GreaterThan(("d",), dt.date(2020, 1, 2)),
+        LessThanOrEqual(("ts",), dt.datetime(2021, 6, 1, 12, 0, 0)),
+        GreaterThan(("s",), "m"),  # skipped: no string sentinel
+    ])
+    assert [s["col"] for s in specs] == ["d", "ts"]
+    (dlo, dhi), = specs[0]["bounds"]
+    assert dlo == (dt.date(2020, 1, 2) - dt.date(1970, 1, 1)).days
+    assert dhi > dlo
+    (tlo, thi), = specs[1]["bounds"]
+    assert thi == int(dt.datetime(2021, 6, 1, 12, 0, 0,
+                                  tzinfo=dt.timezone.utc).timestamp()
+                      ) * 1_000_000
+    assert tlo < 0  # year-1 sentinel, still int64-safe
+    assert tlo > -(1 << 62)
+
+
 def test_deletes_apply_through_source(spark, table, tmp_path):
     path = str(tmp_path / "deltbl")
     write_encoded(_mk(spark, 50), path, n_buckets=2, run_id="e0")

@@ -266,6 +266,14 @@ def _filter_specs(schema: T.StructType, manifest: dict, filters):
                         if x.name == col), None)
             if fld is None:
                 continue
+            one_sided = isinstance(
+                f, (GreaterThan, GreaterThanOrEqual, LessThan,
+                    LessThanOrEqual))
+            if one_sided and isinstance(fld, (T.StringType,
+                                              T.BinaryType)):
+                # no safe upper/lower sentinel exists for truncated
+                # string bounds — Spark applies the predicate anyway
+                continue
             if isinstance(f, EqualTo):
                 if isinstance(fld, T.StringType) and isinstance(
                         f.value, str):
@@ -288,21 +296,39 @@ def _filter_specs(schema: T.StructType, manifest: dict, filters):
                     make_residual=False)
             else:
                 continue
-        except (ValueError, TypeError):
+        except (ValueError, TypeError, OverflowError):
             continue  # unprunable shape — Spark still applies it
         specs.append({k: v for k, v in nf.items() if k != "residual"})
     return specs
 
 
 def _lane_max(fld):
+    """Type-correct upper sentinel for one-sided pushdown bounds
+    (a raw huge int would overflow the date/timestamp converters)."""
+    import datetime as _dt
+
     if isinstance(fld, (T.FloatType, T.DoubleType)):
         return float("1e308")
+    if isinstance(fld, T.DateType):
+        return _dt.date.max
+    if isinstance(fld, (T.TimestampType, T.TimestampNTZType)):
+        return _dt.datetime(9999, 12, 31, 23, 59, 59)
+    if isinstance(fld, T.TimeType):
+        return _dt.time(23, 59, 59, 999999)
     return (1 << 62)
 
 
 def _lane_min(fld):
+    import datetime as _dt
+
     if isinstance(fld, (T.FloatType, T.DoubleType)):
         return float("-1e308")
+    if isinstance(fld, T.DateType):
+        return _dt.date.min
+    if isinstance(fld, (T.TimestampType, T.TimestampNTZType)):
+        return _dt.datetime(1, 1, 1)
+    if isinstance(fld, T.TimeType):
+        return _dt.time(0)
     return -(1 << 62)
 
 
