@@ -140,19 +140,25 @@ def test_uuid_eq_filter_and_validation(spark, tmp_path):
 
 
 def test_zone_filter_rejects_unzonable(spark, tmp_path):
-    """Zone filters cover int/date/timestamp/string/binary lanes; a
-    float column (no zone maps) is rejected, and int bounds against a
-    string column fail loudly instead of building garbage byte
-    bounds."""
+    """Zone filters cover int/float/date/timestamp/string/binary
+    lanes; a nested column (no zone maps) is rejected, a float range
+    filter works (float zones landed in abf7b3a), and int bounds
+    against a string column fail loudly instead of building garbage
+    byte bounds."""
     import pytest
     from pyspark.sql import Row
 
     df = spark.createDataFrame(
-        [Row(doc_id="a", n=1, x=1.5)], "doc_id string, n int, x double")
+        [Row(doc_id="a", n=1, x=1.5, tok=[1, 2])],
+        "doc_id string, n int, x double, tok array<int>")
     path = os.path.join(str(tmp_path), "zi")
     write_encoded(df, path, n_buckets=1, run_id="z")
     with pytest.raises(ValueError, match="zone maps"):
-        read_encoded(spark, path, range_filter=("x", 0, 10))
+        read_encoded(spark, path, range_filter=("tok", 0, 10))
+    assert read_encoded(
+        spark, path, range_filter=("x", 0.0, 10.0)).count() == 1
+    assert read_encoded(
+        spark, path, range_filter=("x", 2.0, 10.0)).count() == 0
     with pytest.raises(ValueError, match="must be str or bytes"):
         read_encoded(spark, path, range_filter=("doc_id", 0, 10)).count()
     with pytest.raises(ValueError, match="must be str or bytes"):

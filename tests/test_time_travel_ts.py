@@ -61,5 +61,5 @@ def test_ts_before_first_commit_raises(spark, two_epochs):
 
 def test_both_params_rejected(spark, two_epochs):
     path, t_between = two_epochs
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="only one of"):
         read_encoded(spark, path, as_of_epoch=0, as_of_ts=t_between)

@@ -385,6 +385,110 @@ def _inherit_encrypted(existing: dict,
     return encrypted_columns
 
 
+def _lineage_local(spark: SparkSession, path: str):
+    """Driver-side pandas view of the lineage table (pyarrow read, no
+    Spark job): the lineage is O(buckets x epochs) rows of metadata —
+    a few MB at 100 TB table scale — so planning/commit bookkeeping
+    must not pay ~0.3 s of Spark job latency per read (the 250k-row
+    scaling probe showed ~2-2.5 s of such fixed cost bounding every
+    efficiency measurement). Columns match LINEAGE_DDL."""
+    import pandas as pd
+    import pyarrow.dataset as pads
+    from pyarrow import fs as pafs
+
+    _, lineage_p, _ = _paths(path)
+    fs, root = _task_fs(lineage_p)
+    info = fs.get_file_info(root)
+    if info.type == pafs.FileType.NotFound:
+        return pd.DataFrame(columns=[
+            "run_id", "bucket", "epoch", "status", "n_rows",
+            "orig_bytes", "enc_bytes", "ratio", "codecs", "checksum",
+            "offset", "wall_ms", "ts"])
+    return pads.dataset(root, format="parquet",
+                        filesystem=fs).to_table().to_pandas()
+
+
+def _committed_pandas(lin, epoch: int | None = None):
+    """pandas mirror of lineage.committed() (same winner ordering)."""
+    lin = lin[lin.status.isin(["committed", "tombstone"])]
+    if epoch is not None:
+        lin = lin[lin.epoch == int(epoch)]
+    win = (lin.sort_values(["ts", "status", "run_id"], ascending=False)
+           .drop_duplicates(["bucket", "epoch"]))
+    return win[win.status == "committed"]
+
+
+def _commit_lineage_local(spark: SparkSession, path: str,
+                          metric_paths: list[str], epoch: int) -> int:
+    """THE commit, without a Spark job: read this run's metrics block
+    files (known by exact path from the writer tasks), derive one
+    lineage row per bucket (the same derivation as
+    lineage.lineage_from_blocks), and append ONE parquet file to the
+    lineage dir via write-temp + atomic rename — the file lands whole
+    or not at all, exactly like the Spark job-commit rename it
+    replaces. Returns the number of committed rows."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    _, lineage_p, _ = _paths(path)
+    fs, root = _task_fs(lineage_p)
+    rows = []
+    ts = float(time.time())
+
+    def _read_one(mp: str):
+        mfs, mroot = _task_fs(mp)
+        with mfs.open_input_file(mroot) as f:
+            return pq.read_table(f)
+
+    if len(metric_paths) > 8:
+        # many metric files (one per encode task — thousands at 100 TB
+        # bucket counts): overlap the reads; they are KB-sized metadata
+        # so 16 threads keep the commit well under one Spark job's
+        # scheduling latency even at cluster scale
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            tables = list(ex.map(_read_one, metric_paths))
+    else:
+        tables = [_read_one(mp) for mp in metric_paths]
+    for t in tables:
+        for r in t.to_pylist():
+            if r["column"] != METRICS_COLUMN:
+                continue
+            orig, enc = int(r["orig_bytes"]), int(r["enc_bytes"])
+            meta = json.loads(r["meta"] or "{}")
+            rows.append({
+                "run_id": r["run_id"], "bucket": int(r["bucket"]),
+                "epoch": int(epoch), "status": "committed",
+                "n_rows": int(r["n_rows"]), "orig_bytes": orig,
+                "enc_bytes": enc,
+                "ratio": (enc / orig) if orig > 0 else 1.0,
+                "codecs": r["codec"], "checksum": int(r["checksum"]),
+                "offset": int(r["bucket"]),
+                "wall_ms": float(meta.get("wall_ms") or 0.0),
+                "ts": ts,
+            })
+    schema = pa.schema([
+        ("run_id", pa.string()), ("bucket", pa.int32()),
+        ("epoch", pa.int64()), ("status", pa.string()),
+        ("n_rows", pa.int64()), ("orig_bytes", pa.int64()),
+        ("enc_bytes", pa.int64()), ("ratio", pa.float64()),
+        ("codecs", pa.string()), ("checksum", pa.int64()),
+        ("offset", pa.int64()), ("wall_ms", pa.float64()),
+        ("ts", pa.float64()),
+    ])
+    table = pa.Table.from_pylist(rows, schema=schema)
+    fs.create_dir(root, recursive=True)
+    name = f"part-{uuid.uuid4().hex}-local.parquet"
+    tmp = posixpath.join(root, f".{name}.tmp")
+    with fs.open_output_stream(tmp) as out:
+        pq.write_table(table, out)
+    fs.move(tmp, posixpath.join(root, name))
+    return len(rows)
+
+
 def write_encoded(
     df: DataFrame,
     path: str,
@@ -520,10 +624,12 @@ def write_encoded(
             f"encrypted_columns not in schema: {sorted(unknown_enc)}")
     b = with_bucket(df, n_buckets)
     done: list[int] = []
-    if resume and os.path.exists(lineage_p):
-        lin = spark.read.schema(LINEAGE_DDL).parquet(lineage_p)
-        done = [r.bucket for r in
-                committed(lin, epoch=epoch).select("bucket").collect()]
+    if resume:
+        # driver-side lineage read: resume bookkeeping is O(buckets)
+        # metadata and must not pay a Spark job's fixed latency
+        done = [int(x) for x in
+                _committed_pandas(_lineage_local(spark, path),
+                                  epoch=epoch).bucket]
         if done:
             b = b.filter(~F.col(BUCKET_COL).isin(done))
     pending = None
@@ -544,34 +650,34 @@ def write_encoded(
     )
     # commit point: lineage written only after blocks + run manifest are
     # durable. The commit reads back ONLY this run's metrics files —
-    # known by exact path from the writer's output, never by listing.
-    lineage_from_blocks(new_metrics, epoch=epoch).write.mode("append").parquet(lineage_p)
+    # known by exact path from the writer's output, never by listing —
+    # and runs driver-side: O(buckets) metadata rows must not pay a
+    # Spark job's fixed scheduling latency per append (the 250k-row
+    # scaling probe showed ~2-2.5 s of such fixed cost bounding every
+    # efficiency measurement).
+    blocks_p, _, _ = _paths(path)
+    metric_paths = [posixpath.join(blocks_p, f["path"]) for f in files
+                    if f["column"] == METRICS_COLUMN]
+    if metric_paths:
+        _commit_lineage_local(spark, path, metric_paths, epoch)
     _write_text(spark, manifest_p,
                 schema_manifest(stored_schema, n_buckets, run_id,
                                 uuid_columns=uuid_columns,
                                 enum_columns=enum_columns,
                                 encrypted_columns=encrypted_columns))
 
-    lin = spark.read.schema(LINEAGE_DDL).parquet(lineage_p)
-    agg = (
-        committed(lin)
-        .agg(
-            F.count("*").alias("buckets"),
-            F.sum("n_rows").alias("rows"),
-            F.sum("orig_bytes").alias("orig_bytes"),
-            F.sum("enc_bytes").alias("enc_bytes"),
-        )
-        .collect()[0]
-    )
+    win = _committed_pandas(_lineage_local(spark, path))
+    orig_bytes = int(win.orig_bytes.sum()) if len(win) else None
+    enc_bytes = int(win.enc_bytes.sum()) if len(win) else None
     return {
         "run_id": run_id,
-        "buckets": agg.buckets or 0,
-        "rows": agg.rows or 0,
-        "orig_bytes": agg.orig_bytes,
-        "enc_bytes": agg.enc_bytes,
+        "buckets": int(len(win)),
+        "rows": int(win.n_rows.sum()) if len(win) else 0,
+        "orig_bytes": orig_bytes,
+        "enc_bytes": enc_bytes,
         "skipped_buckets": len(done),
         "files": len(files),
-        "ratio": (agg.enc_bytes / agg.orig_bytes) if agg.orig_bytes else None,
+        "ratio": (enc_bytes / orig_bytes) if orig_bytes else None,
     }
 
 
@@ -703,16 +809,32 @@ def _load_table(spark: SparkSession, path: str,
             f"table at {path!r} has layout {manifest.get('layout', 1)}; "
             f"this build reads layout {LAYOUT_VERSION} — re-encode"
         )
-    lineage = spark.read.schema(LINEAGE_DDL).parquet(lineage_p)
+    # lineage is O(buckets x epochs) rows of metadata: read it
+    # driver-side (pyarrow) and hand consumers a LOCAL relation —
+    # Catalyst folds projections/filters over LocalRelation and
+    # .collect() on it is job-free, so planning a read costs zero
+    # Spark jobs instead of one parquet-scan job per call (the same
+    # fixed-latency argument as the driver-side commit above)
+    lin_pd = _lineage_local(spark, path)
     if as_of_epoch is not None:
-        lineage = lineage.filter(F.col("epoch") <= int(as_of_epoch))
+        lin_pd = lin_pd[lin_pd.epoch <= int(as_of_epoch)]
     if since_epoch is not None:
         # incremental (CDC-append) read: only epochs AFTER the
         # consumer's checkpoint participate — see read_encoded
-        lineage = lineage.filter(F.col("epoch") > int(since_epoch))
-    lin = committed(lineage)
-    if not full_lineage:
-        lin = lin.select("bucket", "run_id")
+        lin_pd = lin_pd[lin_pd.epoch > int(since_epoch)]
+    win = _committed_pandas(lin_pd)
+    if full_lineage:
+        cols = ["run_id", "bucket", "epoch", "status", "n_rows",
+                "orig_bytes", "enc_bytes", "ratio", "codecs",
+                "checksum", "offset", "wall_ms", "ts"]
+        ddl = LINEAGE_DDL
+    else:
+        cols = ["bucket", "run_id"]
+        ddl = "bucket int, run_id string"
+    if len(win):
+        lin = spark.createDataFrame(win[cols], schema=ddl)
+    else:
+        lin = spark.createDataFrame([], ddl)
     return manifest, lin
 
 
@@ -736,26 +858,21 @@ def resolve_as_of_ts(spark: SparkSession, path: str,
         bound = dt.timestamp()
     else:
         bound = float(as_of_ts)
-    _, lineage_p, _ = _paths(path)
-    lineage = spark.read.schema(LINEAGE_DDL).parquet(lineage_p)
+    import pandas as pd
+
+    lin = _lineage_local(spark, path)
     # delete commits are snapshots too: a bound just after a delete
     # must resolve to the delete's epoch so the removal applies
-    dele = lineage.filter((F.col("bucket") == DELETE_BUCKET)
-                          & (F.col("status") == "delete"))
-    rows = (
-        committed(lineage).select("epoch", "ts")
-        .unionByName(dele.select("epoch", "ts"))
-        .groupBy("epoch")
-        .agg(F.max("ts").alias("mts"))
-        .collect()
-    )
-    ok = [int(r.epoch) for r in rows
-          if r.mts is not None and r.mts <= bound]
+    dele = lin[(lin.bucket == DELETE_BUCKET) & (lin.status == "delete")]
+    both = pd.concat([_committed_pandas(lin)[["epoch", "ts"]],
+                      dele[["epoch", "ts"]]])
+    mts = both.groupby("epoch").ts.max()
+    ok = [int(e) for e, m in mts.items() if pd.notna(m) and m <= bound]
     if not ok:
         raise ValueError(
             f"no committed epoch at or before {as_of_ts!r} "
             f"(earliest surviving commit: "
-            f"{min((r.mts for r in rows if r.mts is not None), default=None)})"
+            f"{min((m for m in mts if pd.notna(m)), default=None)})"
         )
     return max(ok)
 
@@ -802,13 +919,11 @@ def tag_encoded(spark: SparkSession, path: str, name: str,
         raise ValueError(
             f"tag {name!r} may only contain [A-Za-z0-9._=-]")
     if epoch is None:
-        _, lineage_p, _ = _paths(path)
-        lineage = spark.read.schema(LINEAGE_DDL).parquet(lineage_p)
-        top = (lineage.filter(F.col("status").isin("committed", "delete"))
-               .agg(F.max("epoch")).collect()[0][0])
-        if top is None:
+        lin = _lineage_local(spark, path)
+        lin = lin[lin.status.isin(["committed", "delete"])]
+        if not len(lin):
             raise ValueError(f"nothing committed at {path!r} to tag")
-        epoch = int(top)
+        epoch = int(lin.epoch.max())
     tags = tags_encoded(spark, path)
     tags[name] = int(epoch)
     _write_text(spark, _tags_path(path),
@@ -2025,10 +2140,9 @@ def delete_encoded(spark: SparkSession, path: str, key_column: str,
     rel = posixpath.join("_deletes", delete_id)
     kdf.write.mode("error").parquet(posixpath.join(path, rel))
     n_keys = spark.read.parquet(posixpath.join(path, rel)).count()
-    full = spark.read.schema(LINEAGE_DDL).parquet(lineage_p)
-    top = (full.filter(F.col("status").isin("committed", "delete"))
-           .agg(F.max("epoch")).collect()[0][0])
-    epoch = int(top if top is not None else -1) + 1
+    full = _lineage_local(spark, path)
+    full = full[full.status.isin(["committed", "delete"])]
+    epoch = (int(full.epoch.max()) if len(full) else -1) + 1
     meta = json.dumps({"key_column": key_column, "file": rel})
     ts = float(time.time())
     row = [(delete_id, DELETE_BUCKET, epoch, "delete", int(n_keys),
@@ -2045,25 +2159,20 @@ def _active_deletes(spark: SparkSession, path: str,
     """Delete-log entries currently in force: per (DELETE_BUCKET,
     epoch) the latest row wins — a compaction 'tombstone' at the same
     position retires the entry. O(epochs) metadata, no key file is
-    opened here."""
-    from pyspark.sql import Window
-
-    _, lineage_p, _ = _paths(path)
-    lineage = spark.read.schema(LINEAGE_DDL).parquet(lineage_p)
-    lin = lineage.filter(
-        (F.col("bucket") == DELETE_BUCKET)
-        & F.col("status").isin("delete", "tombstone"))
+    opened here — driver-side pandas over the lineage table (no Spark
+    job on the read-planning path; same rationale as _load_table)."""
+    lin = _lineage_local(spark, path)
+    lin = lin[(lin.bucket == DELETE_BUCKET)
+              & lin.status.isin(["delete", "tombstone"])]
     if as_of_epoch is not None:
-        lin = lin.filter(F.col("epoch") <= int(as_of_epoch))
+        lin = lin[lin.epoch <= int(as_of_epoch)]
     # at equal ts (second resolution) 'tombstone' > 'delete'
     # lexicographically, so same-second compaction still retires
-    w = Window.partitionBy("epoch").orderBy(
-        F.desc("ts"), F.desc("status"), F.desc("run_id"))
-    rows = (lin.withColumn("__rn", F.row_number().over(w))
-            .filter((F.col("__rn") == 1) & (F.col("status") == "delete"))
-            .select("run_id", "epoch", "n_rows", "codecs").collect())
+    win = (lin.sort_values(["ts", "status", "run_id"], ascending=False)
+           .drop_duplicates(["epoch"]))
+    win = win[win.status == "delete"].sort_values("epoch")
     out = []
-    for r in sorted(rows, key=lambda r: int(r.epoch)):
+    for r in win.itertuples(index=False):
         meta = json.loads(r.codecs or "{}")
         out.append({"delete_id": r.run_id, "epoch": int(r.epoch),
                     "n_keys": int(r.n_rows or 0),
@@ -2376,10 +2485,16 @@ def count_encoded(spark: SparkSession, path: str,
         kc = dels[0]["key_column"]
         return read_encoded(spark, path, columns=[kc],
                             as_of_epoch=as_of_epoch).count()
-    _, lin = _load_table(spark, path, as_of_epoch=as_of_epoch,
-                         full_lineage=True)
-    n = lin.agg(F.sum("n_rows")).collect()[0][0]
-    return int(n or 0)
+    manifest = json.loads(_read_text(spark, _paths(path)[2]))
+    if manifest.get("layout", 1) != LAYOUT_VERSION:
+        raise ValueError(
+            f"table at {path!r} has layout {manifest.get('layout', 1)}; "
+            f"this build reads layout {LAYOUT_VERSION} — re-encode")
+    lin = _lineage_local(spark, path)
+    if as_of_epoch is not None:
+        lin = lin[lin.epoch <= int(as_of_epoch)]
+    win = _committed_pandas(lin)
+    return int(win.n_rows.sum()) if len(win) else 0
 
 
 def describe_encoded(spark: SparkSession, path: str) -> dict:
