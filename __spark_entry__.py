@@ -398,7 +398,10 @@ def q_roundtrip_join_revenue(spark, sf_dir):
     dict segments) each round-trip through encode/decode, then a
     broadcast join + rollup must hash-match DuckDB joining the raw
     parquet — multi-table relational work entirely over engine
-    output."""
+    output. The join is spark.sql TEXT over register_encoded temp
+    views (r5), so the SQL surface itself sits under the driver's
+    hash gate (reference: Carpet tables read like any parquet table
+    in SQL engines)."""
     key = os.path.abspath(sf_dir) + "#join"
     if key not in _DECODED_CACHE:
         import shutil
@@ -423,20 +426,29 @@ def q_roundtrip_join_revenue(spark, sf_dir):
                       run_id="c")
         _DECODED_CACHE[key] = base
     base = _DECODED_CACHE[key]
-    od = read_encoded(spark, os.path.join(base, "orders"))
-    cd = read_encoded(spark, os.path.join(base, "customer"))
-    return (
-        od.join(F.broadcast(cd), od.o_custkey == cd.c_custkey)
-        .groupBy("c_mktsegment", "o_orderpriority")
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.sum((F.col("o_totalprice") * 100).cast("long"))
-            .alias("rev_cents"),
-            F.countDistinct("c_custkey").alias("n_customers"),
-            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd")
-            .alias("last_order"),
-        )
-    )
+    # the join runs through the engine's SQL surface (register_encoded
+    # temp views + spark.sql text, r4 verdict stretch #8): the views
+    # plan through read_encoded, so the SQL path itself — not just the
+    # DataFrame API — sits under the driver's hash gate. The broadcast
+    # hint rides in the SQL (customer is the small dim).
+    from tokcodec.io_tables import register_encoded
+
+    register_encoded(spark, os.path.join(base, "orders"),
+                     "enc_orders_sql")
+    register_encoded(spark, os.path.join(base, "customer"),
+                     "enc_customer_sql")
+    return spark.sql("""
+        SELECT /*+ BROADCAST(c) */
+               c.c_mktsegment, o.o_orderpriority,
+               count(*) AS n_orders,
+               sum(cast(o.o_totalprice * 100 AS bigint)) AS rev_cents,
+               count(DISTINCT c.c_custkey) AS n_customers,
+               date_format(max(o.o_orderdate), 'yyyy-MM-dd')
+                   AS last_order
+        FROM enc_orders_sql o
+        JOIN enc_customer_sql c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment, o.o_orderpriority
+    """)
 
 
 def q_roundtrip_events_hourly(spark, sf_dir):
