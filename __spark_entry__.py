@@ -113,7 +113,7 @@ def _decoded_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         shutil.rmtree(path, ignore_errors=True)
         write_encoded(seq, path, n_buckets=8, run_id="entry",
-                      bloom_columns=["doc_id"])
+                      bloom_columns=["doc_id", "tokens"])
         # materialize once: every roundtrip_* query reuses the decoded
         # rows instead of re-running the full decode per query
         _DECODED_CACHE[key] = read_encoded(spark, path).persist()
@@ -165,25 +165,45 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # --------------------------------------------------------------- queries
 def q_roundtrip_source_agg(spark, sf_dir):
+    """Per-source AND global checksum rows in ONE rollup pass (late-r5
+    merge of the former roundtrip_global_checksum twin — same decode
+    roundtrip, one partial-aggregable plan; the freed registry slot
+    pays for contains_token_scan). The global grouping-set row carries
+    the distinct-id count and doc_id byte checksum the old global
+    query had."""
     dec = _decoded_sequences(spark, sf_dir)
-    return dec.groupBy("source").agg(
+    return dec.rollup("source").agg(
         F.count("*").alias("n_docs"),
+        F.countDistinct("doc_id").alias("n_ids"),
         F.sum(F.col("n_tok").cast("long")).alias("sum_tok"),
         F.expr(f"sum({_TOK_SUM})").alias("tok_sum"),
         F.expr(f"sum({_TOK_SUMSQ})").alias("tok_sumsq"),
         F.min(F.expr(_TOK_MIN)).alias("tok_min"),
         F.max(F.expr(_TOK_MAX)).alias("tok_max"),
+        F.sum(F.length("doc_id").cast("long")).alias("id_chars"),
+    ).select(
+        F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
+        "n_docs", "n_ids", "sum_tok", "tok_sum", "tok_sumsq",
+        "tok_min", "tok_max", "id_chars",
     )
 
 
-def q_roundtrip_global_checksum(spark, sf_dir):
-    dec = _decoded_sequences(spark, sf_dir)
-    return dec.agg(
-        F.count("*").alias("n_rows"),
-        F.countDistinct("doc_id").alias("n_docs"),
+def q_contains_token_scan(spark, sf_dir):
+    """Array-element membership through ELEMENT blooms (contains_filter
+    — the contamination / opt-out scan: "every sequence containing
+    token X" at 100 TB without decoding non-matching chunks). The
+    entry table writes bloom_columns=["doc_id", "tokens"]; the tokens
+    bloom indexes each chunk's DISTINCT token vocabulary, the exact
+    array_contains residual runs JVM-side on surviving chunks. Oracle
+    = DuckDB list_contains over the portable tokenizer output."""
+    _decoded_sequences(spark, sf_dir)  # ensure encoded table exists
+    hits = read_encoded(spark, _entry_table_path(sf_dir),
+                        contains_filter=("tokens", 193))
+    return hits.groupBy("source").agg(
+        F.count("*").alias("n"),
         F.sum(F.col("n_tok").cast("long")).alias("sum_tok"),
-        F.expr(f"sum({_TOK_SUM})").alias("tok_sum"),
-        F.sum(F.length("doc_id").cast("long")).alias("id_chars"),
+        F.min("doc_id").alias("first_id"),
+        F.max("doc_id").alias("last_id"),
     )
 
 
@@ -1873,7 +1893,7 @@ def q_encode_lineage_metrics(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "roundtrip_source_agg": q_roundtrip_source_agg,
-        "roundtrip_global_checksum": q_roundtrip_global_checksum,
+        "contains_token_scan": q_contains_token_scan,
         "roundtrip_projection_topn": q_roundtrip_projection_topn,
         "roundtrip_tokens_exact": q_roundtrip_tokens_exact,
         "roundtrip_point_lookup": q_roundtrip_point_lookup,
@@ -1937,21 +1957,24 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "roundtrip_source_agg": f"""{_SEQ_CTE}
-SELECT source,
+SELECT COALESCE(source, 'ALL') AS source,
        COUNT(*) AS n_docs,
+       COUNT(DISTINCT doc_id) AS n_ids,
        CAST(SUM(len(tokens)) AS BIGINT) AS sum_tok,
        CAST(SUM({tok_sum}) AS BIGINT) AS tok_sum,
        CAST(SUM({tok_sumsq}) AS BIGINT) AS tok_sumsq,
        MIN(list_aggregate(tokens, 'min')) AS tok_min,
-       MAX(list_aggregate(tokens, 'max')) AS tok_max
-FROM seq GROUP BY source""",
-        "roundtrip_global_checksum": f"""{_SEQ_CTE}
-SELECT COUNT(*) AS n_rows,
-       COUNT(DISTINCT doc_id) AS n_docs,
-       CAST(SUM(len(tokens)) AS BIGINT) AS sum_tok,
-       CAST(SUM({tok_sum}) AS BIGINT) AS tok_sum,
+       MAX(list_aggregate(tokens, 'max')) AS tok_max,
        CAST(SUM(length(doc_id)) AS BIGINT) AS id_chars
-FROM seq""",
+FROM seq GROUP BY ROLLUP (source)""",
+        "contains_token_scan": f"""{_SEQ_CTE}
+SELECT source,
+       COUNT(*) AS n,
+       CAST(SUM(len(tokens)) AS BIGINT) AS sum_tok,
+       MIN(doc_id) AS first_id,
+       MAX(doc_id) AS last_id
+FROM seq WHERE list_contains(tokens, 193)
+GROUP BY source""",
         "roundtrip_projection_topn": f"""{_SEQ_CTE}
 SELECT doc_id, CAST(len(tokens) AS INTEGER) AS n_tok
 FROM seq ORDER BY n_tok DESC, doc_id LIMIT 20""",

@@ -176,7 +176,10 @@ def main() -> None:
     # ------------------------------------------------- headline queries
     headline = [
         "roundtrip_source_agg",
-        "roundtrip_global_checksum",
+        # late r5: roundtrip_global_checksum merged INTO
+        # roundtrip_source_agg (one rollup pass); its bench slot goes
+        # to the new element-bloom contamination scan
+        "contains_token_scan",
         "roundtrip_lineitem_daterange",
         "roundtrip_variant_extract",
         "roundtrip_lineitem_pricing",

@@ -30,6 +30,11 @@ def main() -> None:
                         "bounds contain ':'; use the library API). "
                         "Repeatable: several flags AND together "
                         "(Z-order multi-dimension reads)")
+    p.add_argument("--contains-filter", default=None,
+                   help="col:value array-element membership scan "
+                        "(element-bloom pruned; int element lanes "
+                        "parse the value as int) — the contamination "
+                        "/ opt-out token lookup")
     p.add_argument("--eq-filter", default=None,
                    help="col:value bloom point lookup")
     p.add_argument("--direct", action="store_true",
@@ -87,9 +92,26 @@ def main() -> None:
     if args.eq_filter:
         c, v = args.eq_filter.split(":", 1)
         ef = (c, v)
+    cf = None
+    if args.contains_filter:
+        from pyspark.sql import types as T
+
+        from tokcodec.io_tables import _load_table
+        from tokcodec.schema import manifest_schema
+
+        c, v = args.contains_filter.split(":", 1)
+        manifest, _ = _load_table(spark, args.input)
+        sch = manifest_schema(manifest)
+        fld = next((f.dataType for f in sch.fields if f.name == c), None)
+        if (isinstance(fld, T.ArrayType)
+                and not isinstance(fld.elementType,
+                                   (T.StringType, T.BinaryType))):
+            cf = (c, int(v))
+        else:
+            cf = (c, v)  # string elements / reader validates the rest
     reader = read_encoded_direct if args.direct else read_encoded
     df = reader(spark, args.input, columns=columns,
-                range_filter=rf, eq_filter=ef,
+                range_filter=rf, eq_filter=ef, contains_filter=cf,
                 verify_checksums=args.verify_checksums,
                 as_of_epoch=args.as_of_epoch,
                 as_of_ts=args.as_of_ts,

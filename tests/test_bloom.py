@@ -122,6 +122,127 @@ def test_eq_filter_survives_runs_without_bloom(spark, tmp_path):
 def test_bloom_column_must_be_string(spark, tmp_path):
     df = spark.createDataFrame([Row(doc_id="a", n=1)],
                                "doc_id string, n int")
-    with pytest.raises(ValueError, match="bloom/enum column"):
+    with pytest.raises(ValueError, match="bloom column"):
         write_encoded(df, os.path.join(str(tmp_path), "x"), n_buckets=1,
                       run_id="r", bloom_columns=["n"])
+
+
+# ---------------------------------------------------------------- #
+# contains_filter: array-element blooms (the contamination scan)    #
+# ---------------------------------------------------------------- #
+
+def _token_table(spark, n_docs=2000, width=16):
+    """Docs whose token vocabulary is LOCALIZED: doc i's tokens all
+    live in [i*width, (i+1)*width) — so each encoded chunk covers a
+    narrow vocab slice and a single-token probe should prune most
+    chunks via the element bloom."""
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("tokens", T.ArrayType(T.LongType(), False), False),
+    ])
+    rows = [Row(doc_id=f"d{i:05d}",
+                tokens=[i * width + j for j in range(width)])
+            for i in range(n_docs)]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_contains_filter_prunes_and_is_exact(spark, tmp_path):
+    df = _token_table(spark)
+    path = os.path.join(str(tmp_path), "tok")
+    write_encoded(df, path, n_buckets=2, run_id="r1",
+                  chunk_max_rows=128, bloom_columns=["tokens"])
+
+    # token 12345 belongs to exactly doc 12345//16 = 771
+    out = read_encoded(spark, path,
+                       contains_filter=("tokens", 12345)).collect()
+    assert len(out) == 1 and out[0]["doc_id"] == "d00771"
+
+    # absent token (beyond the vocab range): zero rows
+    assert read_encoded(
+        spark, path, contains_filter=("tokens", 10**9)).count() == 0
+
+    # pruning is real: most element blooms reject the probe
+    from tokcodec.bloom import (bloom_might_contain as bmc,
+                                bloom_params as bp,
+                                element_probe_bytes)
+
+    blocks = spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(path, "blocks"))
+    blooms = blocks.filter(
+        (F.col("column") == "tokens") & (F.col("component") == "bloom")
+    ).select("payload", "meta").collect()
+    assert len(blooms) >= 8
+    assert all(json.loads(r["meta"]).get("elem") == 1 for r in blooms)
+    g1, g2 = bp(element_probe_bytes(12345))
+    hits = sum(bmc(bytes(r["payload"]), g1, g2) for r in blooms)
+    assert hits < len(blooms) / 2, (hits, len(blooms))
+
+
+def test_contains_filter_direct_reader(spark, tmp_path):
+    from tokcodec.io_tables import read_encoded_direct
+
+    df = _token_table(spark, n_docs=800)
+    path = os.path.join(str(tmp_path), "tokd")
+    write_encoded(df, path, n_buckets=2, run_id="r1",
+                  chunk_max_rows=128, bloom_columns=["tokens"])
+    out = read_encoded_direct(spark, path,
+                              contains_filter=("tokens", 4321)).collect()
+    assert len(out) == 1 and out[0]["doc_id"] == "d00270"
+    assert read_encoded_direct(
+        spark, path, contains_filter=("tokens", 10**9)).count() == 0
+
+
+def test_contains_filter_string_elements(spark, tmp_path):
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("tags", T.ArrayType(T.StringType(), False), False),
+    ])
+    rows = [Row(doc_id=f"d{i}", tags=[f"tag-{i}-{j}" for j in range(4)])
+            for i in range(500)]
+    rows[123] = Row(doc_id="d123", tags=["needle", "tag-123-1"])
+    df = spark.createDataFrame(rows, schema)
+    path = os.path.join(str(tmp_path), "tags")
+    write_encoded(df, path, n_buckets=1, run_id="r1",
+                  chunk_max_rows=64, bloom_columns=["tags"])
+    out = read_encoded(spark, path,
+                       contains_filter=("tags", "needle")).collect()
+    assert len(out) == 1 and out[0]["doc_id"] == "d123"
+    assert read_encoded(
+        spark, path, contains_filter=("tags", "absent")).count() == 0
+
+
+def test_contains_filter_survives_bloomless_runs(spark, tmp_path):
+    df = _token_table(spark, n_docs=200)
+    path = os.path.join(str(tmp_path), "mix")
+    # old run WITHOUT element blooms: chunks must always survive
+    write_encoded(df, path, n_buckets=1, run_id="r0", epoch=0,
+                  chunk_max_rows=64)
+    out = read_encoded(spark, path,
+                       contains_filter=("tokens", 100 * 16 + 3)).collect()
+    assert len(out) == 1 and out[0]["doc_id"] == "d00100"
+
+
+def test_contains_filter_composes_with_eq(spark, tmp_path):
+    df = _token_table(spark, n_docs=300)
+    path = os.path.join(str(tmp_path), "comp")
+    write_encoded(df, path, n_buckets=2, run_id="r1",
+                  chunk_max_rows=64,
+                  bloom_columns=["doc_id", "tokens"])
+    # doc d00042 contains token 42*16+7; intersecting filters hit it
+    out = read_encoded(spark, path,
+                       eq_filter=("doc_id", "d00042"),
+                       contains_filter=("tokens", 42 * 16 + 7)).collect()
+    assert len(out) == 1
+    # right doc, wrong token: the AND yields nothing
+    assert read_encoded(spark, path,
+                        eq_filter=("doc_id", "d00042"),
+                        contains_filter=("tokens", 7)).count() == 0
+
+
+def test_contains_filter_rejects_non_array(spark, tmp_path):
+    df = _token_table(spark, n_docs=50)
+    path = os.path.join(str(tmp_path), "bad")
+    write_encoded(df, path, n_buckets=1, run_id="r1")
+    with pytest.raises(ValueError, match="array column"):
+        read_encoded(spark, path,
+                     contains_filter=("doc_id", "x")).collect()

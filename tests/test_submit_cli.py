@@ -217,3 +217,43 @@ def test_spark_submit_delete_tag_incremental(spark, tmp_path):
     # incremental window: epoch 1 only, delete still applies
     assert run(["scripts/submit_decode.py", "--input", enc,
                 "--output", out, "--since-epoch", "0"])["rows"] == 9
+
+
+def test_spark_submit_contains_filter(spark, tmp_path):
+    """--contains-filter end-to-end: an array<int> token column with
+    element blooms, probed from a spark-submit process (int value
+    parsed via the manifest schema, not guessed)."""
+    enc = os.path.join(str(tmp_path), "enc6")
+    out = os.path.join(str(tmp_path), "dec6")
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from tokcodec.io_tables import write_encoded
+
+    sch = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("tokens", T.ArrayType(T.LongType(), False), False),
+    ])
+    write_encoded(
+        spark.createDataFrame(
+            [Row(doc_id=f"d{i}", tokens=[i * 8 + j for j in range(8)])
+             for i in range(200)], sch),
+        enc, n_buckets=2, run_id="e0", chunk_max_rows=32,
+        bloom_columns=["tokens"])
+
+    submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    env = dict(os.environ, PYTHONPATH="/root/repo",
+               SPARK_LOCAL_DIRS="/dev/shm")
+    r = subprocess.run(
+        [submit, "--master", "local[4]", "scripts/submit_decode.py",
+         "--input", enc, "--output", out,
+         "--contains-filter", "tokens:403"],
+        cwd="/root/repo", env=env, capture_output=True, text=True,
+        timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.loads([ln for ln in r.stdout.splitlines()
+                      if ln.startswith("{")][-1])
+    assert res["rows"] == 1
+    back = spark.read.parquet(out).collect()
+    assert back[0]["doc_id"] == "d50"  # 403 // 8

@@ -123,6 +123,65 @@ def bloom_block_row(bucket: int, column: str, arr) -> dict:
     }
 
 
+def element_probe_bytes(value) -> bytes:
+    """Probe-side byte encoding of ONE array element — must match
+    bloom_block_row_elements' per-element encoding exactly (str/bytes
+    raw, ints as 8-byte little-endian signed int64)."""
+    if isinstance(value, str):
+        return value.encode("utf-8")
+    if isinstance(value, (bytes, bytearray)):
+        return bytes(value)
+    return int(value).to_bytes(8, "little", signed=True)
+
+
+def bloom_block_row_elements(bucket: int, column: str, arr) -> dict:
+    """Block row (component='bloom') over the DISTINCT ELEMENTS of an
+    array column's chunk — the 'which chunks contain token X'
+    membership index behind ``contains_filter`` pushdown (the
+    contamination-scan shape: find every sequence containing a given
+    token/id at 100 TB without decoding the rest). Parquet has no
+    analogue; the reference's bloom knobs (CarpetWriter.java:409-485)
+    cover scalar columns only.
+
+    Sized by the chunk's DISTINCT-element count, not total elements
+    (a 64k-row x 1k-token chunk holds ~50k distinct vocab entries,
+    not 64M) — pyarrow unique over the flattened values, then the
+    same blocked-bloom build as scalar columns. Int-lane elements
+    hash their 8-byte little-endian int64 encoding; string/binary
+    elements hash raw bytes (element_probe_bytes is the probe twin).
+    """
+    import json
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    flat = arr.flatten()
+    if flat.null_count:
+        flat = flat.drop_null()
+    uniq = pc.unique(flat)
+    n_rows = len(arr)
+    if pa.types.is_integer(uniq.type):
+        v = uniq.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = np.ascontiguousarray(v, dtype="<i8")
+        data = v.tobytes()
+        lengths = np.full(len(v), 8, dtype=np.int64)
+    else:
+        from tokcodec.codecs.strcodecs import arrow_to_strchunk
+
+        data, lengths = arrow_to_strchunk(uniq)
+    payload, m = bloom_build(data, lengths)
+    return {
+        "run_id": "", "bucket": int(bucket), "chunk": 0,
+        "column": column, "component": "bloom", "codec": "bloom64",
+        "n_rows": int(n_rows), "payload": payload,
+        "meta": json.dumps({"m": m, "k": K, "elem": 1},
+                           separators=(",", ":")),
+        "orig_bytes": 0, "enc_bytes": len(payload),
+        "checksum": int(zlib.crc32(payload)),
+    }
+
+
 def bloom_test_arrow(payloads, g1: int, g2: int) -> np.ndarray:
     """Vectorized membership test of ONE value against MANY chunk
     blooms (an Arrow binary array of bloom payloads) -> bool per chunk.

@@ -438,11 +438,19 @@ def make_encode_fn(schema: T.StructType, run_id: str,
                     if r["component"] == "values":
                         codec_log[name] = r["codec"]
                 if name in bloom_columns:
-                    from tokcodec.bloom import bloom_block_row
+                    from tokcodec.bloom import (
+                        bloom_block_row,
+                        bloom_block_row_elements,
+                    )
 
-                    br = bloom_block_row(bucket, name,
-                                         arr.fill_null("")
-                                         if arr.null_count else arr)
+                    if isinstance(dt, T.ArrayType):
+                        # element bloom: membership of single values
+                        # INSIDE the arrays (contains_filter pushdown)
+                        br = bloom_block_row_elements(bucket, name, arr)
+                    else:
+                        br = bloom_block_row(bucket, name,
+                                             arr.fill_null("")
+                                             if arr.null_count else arr)
                     br["run_id"] = run_id
                     br["chunk"] = ci
                     if name in encrypted_columns:
@@ -619,13 +627,30 @@ def validate_annotations(schema: T.StructType,
                          enum_columns: dict[str, list[str]] | None = None
                          ) -> None:
     """Fail at plan time (driver) when a bloom/enum column is missing
-    or non-string — not deep inside an executor task."""
-    for c in tuple(bloom_columns) + tuple(enum_columns or ()):
+    or of an unsupported type — not deep inside an executor task.
+    Bloom columns: string/binary (value blooms) or arrays of
+    int-lane/string/binary elements (element blooms for
+    contains_filter). Enum columns: string/binary only."""
+    _INT_ELEM = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    for c in tuple(bloom_columns):
+        f = next((f for f in schema.fields if f.name == c), None)
+        ok = f is not None and (
+            isinstance(f.dataType, (T.StringType, T.BinaryType))
+            or (isinstance(f.dataType, T.ArrayType)
+                and isinstance(f.dataType.elementType,
+                               _INT_ELEM + (T.StringType, T.BinaryType)))
+        )
+        if not ok:
+            raise ValueError(
+                f"bloom column {c!r} must be an existing string/binary "
+                "column or an array of int/string/binary elements"
+            )
+    for c in tuple(enum_columns or ()):
         f = next((f for f in schema.fields if f.name == c), None)
         if f is None or not isinstance(f.dataType, (T.StringType,
                                                     T.BinaryType)):
             raise ValueError(
-                f"bloom/enum column {c!r} must be an existing "
+                f"enum column {c!r} must be an existing "
                 "string/binary column"
             )
 

@@ -1232,6 +1232,7 @@ def read_encoded(
     range_filter: tuple[str, int, int] | None = None,
     in_filter: tuple[str, list[int]] | None = None,
     eq_filter: tuple[str, str | bytes] | None = None,
+    contains_filter: tuple[str, object] | None = None,
     verify_checksums: bool = False,
     as_of_epoch: int | None = None,
     as_of_ts: float | str | None = None,
@@ -1281,7 +1282,15 @@ def read_encoded(
     bloom definitively excludes the value are skipped; chunks with no
     bloom block always survive (no false negatives).
 
-    The three filters COMPOSE (logical AND): e.g. a date
+    ``contains_filter=(array_column, value)`` is array-element
+    membership — "every row whose tokens array contains X" (the
+    contamination-scan / packed-id lookup a training pipeline runs at
+    100 TB). Write with ``bloom_columns=[array_column]`` to get a
+    per-chunk bloom over the DISTINCT elements; chunks whose element
+    bloom excludes the value are never decoded, and the exact
+    ``array_contains`` residual runs JVM-side on the survivors.
+
+    The filters COMPOSE (logical AND): e.g. a date
     ``range_filter`` plus an ``eq_filter`` point lookup prunes to the
     intersection of each filter's surviving chunks, then applies both
     residuals. range/in accept integer, float/double, date, timestamp,
@@ -1311,6 +1320,8 @@ def read_encoded(
         filts.append(("in", tuple(in_filter)))
     if eq_filter is not None:
         filts.append(("eq", tuple(eq_filter)))
+    if contains_filter is not None:
+        filts.append(("contains", tuple(contains_filter)))
     names = {f.name for f in schema.fields}
     fcols: list[str] = []
     for _, spec in filts:
@@ -1474,6 +1485,35 @@ def _normalize_filter(schema: T.StructType, manifest: dict,
         return {"kind": "eq", "col": col, "value": value,
                 "residual": (F.col(col) == value) if make_residual
                 else None}
+    if kind == "contains":
+        # array-element membership: prune via the column's ELEMENT
+        # bloom (bloom_block_row_elements), residual = array_contains.
+        # The probe bytes must match the encode-side element encoding
+        # (element_probe_bytes: int64-LE for ints, raw for str/bytes).
+        from tokcodec.bloom import element_probe_bytes
+
+        col, value = spec
+        fld = next((f.dataType for f in schema.fields
+                    if f.name == col), None)
+        if fld is None:
+            raise ValueError(
+                f"contains_filter column {col!r} not in table schema "
+                f"{schema.fieldNames()}")
+        if not isinstance(fld, T.ArrayType) or not isinstance(
+                fld.elementType,
+                (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                 T.StringType, T.BinaryType)):
+            raise ValueError(
+                "contains_filter requires an array column of "
+                f"int/string/binary elements; {col!r} is {fld}")
+        if isinstance(fld.elementType, (T.StringType, T.BinaryType)):
+            lit = F.lit(value)
+        else:
+            lit = F.lit(int(value)).cast(fld.elementType)
+        return {"kind": "contains", "col": col,
+                "value": element_probe_bytes(value),
+                "residual": F.array_contains(F.col(col), lit)
+                if make_residual else None}
     col = spec[0]
     fld = next((f.dataType for f in schema.fields if f.name == col), None)
     str_lane = isinstance(fld, (T.StringType, T.BinaryType))
@@ -1573,7 +1613,9 @@ def _filter_survivors(blocks: DataFrame, schema: T.StructType,
     residual predicate). Chunks with no stats always survive."""
     nf = _normalize_filter(schema, manifest, kind, spec)
     col = nf["col"]
-    if nf["kind"] == "eq":
+    if nf["kind"] in ("eq", "contains"):
+        # contains probes the column's ELEMENT bloom with the same
+        # machinery (its value is already probe bytes)
         return (_bloom_survivors(blocks, col, nf["value"],
                                  encryption_key=encryption_key),
                 nf["residual"])
@@ -1619,6 +1661,7 @@ def read_encoded_direct(
     range_filter: tuple | None = None,
     in_filter: tuple | None = None,
     eq_filter: tuple | None = None,
+    contains_filter: tuple | None = None,
     encryption_key: bytes | None = None,
     since_epoch: int | None = None,
     as_of_tag: str | None = None,
@@ -1663,6 +1706,8 @@ def read_encoded_direct(
         filts.append(("in", tuple(in_filter)))
     if eq_filter is not None:
         filts.append(("eq", tuple(eq_filter)))
+    if contains_filter is not None:
+        filts.append(("contains", tuple(contains_filter)))
     nfs = [_normalize_filter(full_schema, manifest, k, s)
            for k, s in filts]
     fcols: list[str] = []
@@ -1951,7 +1996,7 @@ def _prune_block_table(tbl, specs: list[dict],
     for nf in specs:
         col = nf["col"]
         surv: set = set()
-        if nf["kind"] == "eq":
+        if nf["kind"] in ("eq", "contains"):
             g1, g2 = bloom_params(
                 nf["value"].encode("utf-8")
                 if isinstance(nf["value"], str) else bytes(nf["value"]))
