@@ -194,11 +194,15 @@ def q_contains_token_scan(spark, sf_dir):
     token X" at 100 TB without decoding non-matching chunks). The
     entry table writes bloom_columns=["doc_id", "tokens"]; the tokens
     bloom indexes each chunk's DISTINCT token vocabulary, the exact
-    array_contains residual runs JVM-side on surviving chunks. Oracle
-    = DuckDB list_contains over the portable tokenizer output."""
+    arrays_overlap residual runs JVM-side on surviving chunks. The
+    probe is a banned-token LIST (ANY-of — a chunk survives when its
+    bloom might contain any probe), so the multi-value path sits under
+    the hash gate; one probe value is deliberately absent from the
+    corpus. Oracle = DuckDB list_has_any over the portable tokenizer
+    output."""
     _decoded_sequences(spark, sf_dir)  # ensure encoded table exists
     hits = read_encoded(spark, _entry_table_path(sf_dir),
-                        contains_filter=("tokens", 193))
+                        contains_filter=("tokens", [193, 128, 49999]))
     return hits.groupBy("source").agg(
         F.count("*").alias("n"),
         F.sum(F.col("n_tok").cast("long")).alias("sum_tok"),
@@ -1973,7 +1977,7 @@ SELECT source,
        CAST(SUM(len(tokens)) AS BIGINT) AS sum_tok,
        MIN(doc_id) AS first_id,
        MAX(doc_id) AS last_id
-FROM seq WHERE list_contains(tokens, 193)
+FROM seq WHERE list_has_any(tokens, [193, 128, 49999])
 GROUP BY source""",
         "roundtrip_projection_topn": f"""{_SEQ_CTE}
 SELECT doc_id, CAST(len(tokens) AS INTEGER) AS n_tok

@@ -32,9 +32,10 @@ def main() -> None:
                         "(Z-order multi-dimension reads)")
     p.add_argument("--contains-filter", default=None,
                    help="col:value array-element membership scan "
-                        "(element-bloom pruned; int element lanes "
-                        "parse the value as int) — the contamination "
-                        "/ opt-out token lookup")
+                        "(element-bloom pruned) — the contamination "
+                        "/ opt-out token lookup. Int element lanes "
+                        "parse the value as int and accept a "
+                        "comma-separated ANY-of list (col:7,9,13)")
     p.add_argument("--eq-filter", default=None,
                    help="col:value bloom point lookup")
     p.add_argument("--direct", action="store_true",
@@ -106,7 +107,9 @@ def main() -> None:
         if (isinstance(fld, T.ArrayType)
                 and not isinstance(fld.elementType,
                                    (T.StringType, T.BinaryType))):
-            cf = (c, int(v))
+            # int lanes: comma-separated -> ANY-of list
+            ints = [int(x) for x in v.split(",")]
+            cf = (c, ints if len(ints) > 1 else ints[0])
         else:
             cf = (c, v)  # string elements / reader validates the rest
     reader = read_encoded_direct if args.direct else read_encoded

@@ -246,3 +246,63 @@ def test_contains_filter_rejects_non_array(spark, tmp_path):
     with pytest.raises(ValueError, match="array column"):
         read_encoded(spark, path,
                      contains_filter=("doc_id", "x")).collect()
+
+
+def test_contains_filter_any_of_list(spark, tmp_path):
+    """Multi-value contains (ANY-of): the banned-token-list scan. A
+    chunk survives when its element bloom might contain ANY probe;
+    residual arrays_overlap keeps exactness. Covers both readers and
+    the absent-probe case inside a list."""
+    from tokcodec.io_tables import read_encoded_direct
+
+    df = _token_table(spark, n_docs=1000)
+    path = os.path.join(str(tmp_path), "anyof")
+    write_encoded(df, path, n_buckets=2, run_id="r1",
+                  chunk_max_rows=128, bloom_columns=["tokens"])
+
+    # tokens 800 and 9603 live in docs 50 and 600; 10**9 is absent
+    probes = [800, 9603, 10**9]
+    for reader in (read_encoded, read_encoded_direct):
+        got = sorted(r["doc_id"] for r in reader(
+            spark, path, contains_filter=("tokens", probes)).collect())
+        assert got == ["d00050", "d00600"], (reader.__name__, got)
+
+    # all-absent list: zero rows; empty list: plan-time error
+    assert read_encoded(
+        spark, path, contains_filter=("tokens", [10**9, 10**9 + 1])
+    ).count() == 0
+    with pytest.raises(ValueError, match="non-empty"):
+        read_encoded(spark, path, contains_filter=("tokens", [])).collect()
+
+    # ANY-of pruning is real: chunks holding NEITHER probe are pruned
+    from tokcodec.bloom import (bloom_might_contain as bmc,
+                                bloom_params as bp,
+                                element_probe_bytes)
+
+    blocks = spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(path, "blocks"))
+    blooms = blocks.filter(
+        (F.col("column") == "tokens") & (F.col("component") == "bloom")
+    ).select("payload").collect()
+    pars = [bp(element_probe_bytes(v)) for v in probes]
+    hits = sum(any(bmc(bytes(r["payload"]), g1, g2) for g1, g2 in pars)
+               for r in blooms)
+    assert hits < len(blooms) / 2, (hits, len(blooms))
+
+
+def test_contains_filter_any_of_strings(spark, tmp_path):
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("tags", T.ArrayType(T.StringType(), False), False),
+    ])
+    rows = [Row(doc_id=f"d{i}", tags=[f"tag-{i}-{j}" for j in range(3)])
+            for i in range(300)]
+    df = spark.createDataFrame(rows, schema)
+    path = os.path.join(str(tmp_path), "anytags")
+    write_encoded(df, path, n_buckets=1, run_id="r1",
+                  chunk_max_rows=64, bloom_columns=["tags"])
+    got = sorted(r["doc_id"] for r in read_encoded(
+        spark, path,
+        contains_filter=("tags", ["tag-7-2", "tag-250-0", "absent"])
+    ).collect())
+    assert got == ["d250", "d7"], got

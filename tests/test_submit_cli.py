@@ -257,3 +257,18 @@ def test_spark_submit_contains_filter(spark, tmp_path):
     assert res["rows"] == 1
     back = spark.read.parquet(out).collect()
     assert back[0]["doc_id"] == "d50"  # 403 // 8
+
+    # comma list = ANY-of (banned-token list); 9999 is absent
+    r = subprocess.run(
+        [submit, "--master", "local[4]", "scripts/submit_decode.py",
+         "--input", enc, "--output", out,
+         "--contains-filter", "tokens:403,168,9999"],
+        cwd="/root/repo", env=env, capture_output=True, text=True,
+        timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.loads([ln for ln in r.stdout.splitlines()
+                      if ln.startswith("{")][-1])
+    assert res["rows"] == 2
+    got = sorted(x["doc_id"] for x in spark.read.parquet(out).collect())
+    assert got == ["d21", "d50"], got  # 168 // 8 = 21

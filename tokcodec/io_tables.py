@@ -1174,8 +1174,9 @@ def _str_zone_preds():
 
 def _bloom_survivors(blocks: DataFrame, col: str, value,
                      encryption_key: bytes | None = None) -> DataFrame:
-    """(run_id, bucket, chunk)s whose bloom might contain ``value``;
-    chunks of ``col`` without a bloom block always survive
+    """(run_id, bucket, chunk)s whose bloom might contain ``value`` —
+    or ANY value when a list is passed (contains_filter's banned-token
+    list); chunks of ``col`` without a bloom block always survive
     (mixed old/new runs stay correct). The membership test runs
     executor-side, vectorized over chunk blooms — nothing is
     collected. Encrypted columns' bloom payloads (parquet encrypts
@@ -1185,8 +1186,9 @@ def _bloom_survivors(blocks: DataFrame, col: str, value,
 
     from tokcodec.bloom import bloom_params, bloom_test_arrow
 
-    vb = value.encode("utf-8") if isinstance(value, str) else bytes(value)
-    g1, g2 = bloom_params(vb)
+    vals = value if isinstance(value, list) else [value]
+    params = [bloom_params(v.encode("utf-8") if isinstance(v, str)
+                           else bytes(v)) for v in vals]
     keys = ["run_id", "bucket", "chunk"]
 
     def test(batches):
@@ -1202,7 +1204,9 @@ def _bloom_survivors(blocks: DataFrame, col: str, value,
                     if is_encrypted(r):
                         decrypt_block_row(encryption_key, r)
                 pay = pa.array([r["payload"] for r in recs], pa.binary())
-            hit = bloom_test_arrow(pay, g1, g2)
+            hit = bloom_test_arrow(pay, *params[0])
+            for g1, g2 in params[1:]:  # ANY-of: OR across probes
+                hit |= bloom_test_arrow(pay, g1, g2)
             yield pa.RecordBatch.from_arrays(
                 [tbl.column(k).combine_chunks() for k in keys]
                 + [pa.array(hit)],
@@ -1282,13 +1286,15 @@ def read_encoded(
     bloom definitively excludes the value are skipped; chunks with no
     bloom block always survive (no false negatives).
 
-    ``contains_filter=(array_column, value)`` is array-element
-    membership — "every row whose tokens array contains X" (the
-    contamination-scan / packed-id lookup a training pipeline runs at
-    100 TB). Write with ``bloom_columns=[array_column]`` to get a
+    ``contains_filter=(array_column, value_or_list)`` is array-element
+    membership — "every row whose tokens array contains X", or with a
+    value LIST "…contains ANY of the banned tokens" (the
+    contamination-scan / opt-out-list lookup a training pipeline runs
+    at 100 TB). Write with ``bloom_columns=[array_column]`` to get a
     per-chunk bloom over the DISTINCT elements; chunks whose element
-    bloom excludes the value are never decoded, and the exact
-    ``array_contains`` residual runs JVM-side on the survivors.
+    bloom excludes every probe are never decoded, and the exact
+    ``array_contains`` / ``arrays_overlap`` residual runs JVM-side on
+    the survivors.
 
     The filters COMPOSE (logical AND): e.g. a date
     ``range_filter`` plus an ``eq_filter`` point lookup prunes to the
@@ -1487,9 +1493,14 @@ def _normalize_filter(schema: T.StructType, manifest: dict,
                 else None}
     if kind == "contains":
         # array-element membership: prune via the column's ELEMENT
-        # bloom (bloom_block_row_elements), residual = array_contains.
-        # The probe bytes must match the encode-side element encoding
-        # (element_probe_bytes: int64-LE for ints, raw for str/bytes).
+        # bloom (bloom_block_row_elements); residual = array_contains
+        # (one value) or arrays_overlap (a value LIST — ANY-of, the
+        # banned-token / opt-out list shape). The probe bytes must
+        # match the encode-side element encoding (element_probe_bytes:
+        # int64-LE for ints, raw for str/bytes). A chunk survives when
+        # its bloom might contain ANY probe — still zero false
+        # negatives, and the probe count is the driver-side list
+        # length (like in_filter), not data-sized.
         from tokcodec.bloom import element_probe_bytes
 
         col, value = spec
@@ -1506,14 +1517,25 @@ def _normalize_filter(schema: T.StructType, manifest: dict,
             raise ValueError(
                 "contains_filter requires an array column of "
                 f"int/string/binary elements; {col!r} is {fld}")
+        many = isinstance(value, (list, tuple, set, frozenset))
+        vals = sorted(value) if isinstance(value, (set, frozenset)) \
+            else (list(value) if many else [value])
+        if not vals:
+            raise ValueError(
+                "contains_filter value list must be non-empty "
+                "(an empty ANY-of matches nothing)")
         if isinstance(fld.elementType, (T.StringType, T.BinaryType)):
-            lit = F.lit(value)
+            lits = [F.lit(v) for v in vals]
         else:
-            lit = F.lit(int(value)).cast(fld.elementType)
+            lits = [F.lit(int(v)).cast(fld.elementType) for v in vals]
+        residual = None
+        if make_residual:
+            residual = (F.arrays_overlap(F.col(col), F.array(*lits))
+                        if many else F.array_contains(F.col(col),
+                                                      lits[0]))
         return {"kind": "contains", "col": col,
-                "value": element_probe_bytes(value),
-                "residual": F.array_contains(F.col(col), lit)
-                if make_residual else None}
+                "value": [element_probe_bytes(v) for v in vals],
+                "residual": residual}
     col = spec[0]
     fld = next((f.dataType for f in schema.fields if f.name == col), None)
     str_lane = isinstance(fld, (T.StringType, T.BinaryType))
@@ -1997,17 +2019,20 @@ def _prune_block_table(tbl, specs: list[dict],
         col = nf["col"]
         surv: set = set()
         if nf["kind"] in ("eq", "contains"):
-            g1, g2 = bloom_params(
-                nf["value"].encode("utf-8")
-                if isinstance(nf["value"], str) else bytes(nf["value"]))
+            vals = (nf["value"] if isinstance(nf["value"], list)
+                    else [nf["value"]])
+            params = [bloom_params(v.encode("utf-8")
+                                   if isinstance(v, str) else bytes(v))
+                      for v in vals]
             blooms: dict = {}
             for i, (c, cp) in enumerate(zip(colnames, comps)):
                 if c == col and cp == "bloom":
                     r = _row(i, with_payload=True)
                     if is_encrypted(r):
                         decrypt_block_row(encryption_key, r)
-                    blooms[(runs[i], chunks[i])] = bool(
-                        bloom_might_contain(r["payload"], g1, g2))
+                    blooms[(runs[i], chunks[i])] = any(
+                        bloom_might_contain(r["payload"], g1, g2)
+                        for g1, g2 in params)
             for i, (c, cp) in enumerate(zip(colnames, comps)):
                 if c == col and cp == "values":
                     key = (runs[i], chunks[i])
