@@ -306,3 +306,54 @@ def test_contains_filter_any_of_strings(spark, tmp_path):
         contains_filter=("tags", ["tag-7-2", "tag-250-0", "absent"])
     ).collect())
     assert got == ["d250", "d7"], got
+
+
+def test_eq_filter_key_list(spark, tmp_path):
+    """Multi-key eq_filter (the removal-list membership probe): a key
+    LIST keeps chunks on ANY bloom hit and applies an IN residual —
+    both readers, plus the absent-key and empty-list edges."""
+    from tokcodec.io_tables import read_encoded_direct
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("n", T.IntegerType(), False),
+    ])
+    df = spark.createDataFrame(
+        [Row(doc_id=f"doc-{i:05d}", n=i) for i in range(3000)], schema)
+    path = os.path.join(str(tmp_path), "keys")
+    write_encoded(df, path, n_buckets=2, run_id="r1",
+                  chunk_max_rows=256, bloom_columns=["doc_id"])
+
+    keys = ["doc-00042", "doc-02718", "doc-09999"]  # last is absent
+    for reader in (read_encoded, read_encoded_direct):
+        got = sorted(r["n"] for r in reader(
+            spark, path, eq_filter=("doc_id", keys)).collect())
+        assert got == [42, 2718], (reader.__name__, got)
+    assert read_encoded(
+        spark, path, eq_filter=("doc_id", ["nope-1", "nope-2"])
+    ).count() == 0
+    with pytest.raises(ValueError, match="non-empty"):
+        read_encoded(spark, path, eq_filter=("doc_id", [])).collect()
+
+
+def test_eq_filter_uuid_key_list(spark, tmp_path):
+    """Key lists hex-normalize through the uuid lane like single
+    keys do."""
+    import uuid as uuidlib
+
+    from tokcodec.io_tables import read_encoded_direct  # noqa: F401
+
+    schema = T.StructType([
+        T.StructField("uid", T.StringType(), False),
+        T.StructField("n", T.IntegerType(), False),
+    ])
+    ids = [str(uuidlib.UUID(int=i * 7919)) for i in range(500)]
+    df = spark.createDataFrame(
+        [Row(uid=u, n=i) for i, u in enumerate(ids)], schema)
+    path = os.path.join(str(tmp_path), "uuids")
+    write_encoded(df, path, n_buckets=1, run_id="r1",
+                  chunk_max_rows=64, uuid_columns=["uid"],
+                  bloom_columns=["uid"])
+    got = sorted(r["n"] for r in read_encoded(
+        spark, path, eq_filter=("uid", [ids[3], ids[444]])).collect())
+    assert got == [3, 444], got

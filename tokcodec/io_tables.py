@@ -1235,7 +1235,7 @@ def read_encoded(
     spark: SparkSession, path: str, columns: list[str] | None = None,
     range_filter: tuple[str, int, int] | None = None,
     in_filter: tuple[str, list[int]] | None = None,
-    eq_filter: tuple[str, str | bytes] | None = None,
+    eq_filter: tuple[str, str | bytes | list] | None = None,
     contains_filter: tuple[str, object] | None = None,
     verify_checksums: bool = False,
     as_of_epoch: int | None = None,
@@ -1281,10 +1281,14 @@ def read_encoded(
     (the IVF ANN probe path — encode with ``cluster_by='cell'`` so
     chunk zones are tight).
 
-    ``eq_filter=(str_column, value)`` prunes via per-chunk bloom
-    filters (write with ``bloom_columns=[str_column]``): chunks whose
-    bloom definitively excludes the value are skipped; chunks with no
-    bloom block always survive (no false negatives).
+    ``eq_filter=(str_column, value_or_list)`` prunes via per-chunk
+    bloom filters (write with ``bloom_columns=[str_column]``): chunks
+    whose bloom definitively excludes the value are skipped; chunks
+    with no bloom block always survive (no false negatives). A key
+    LIST is the multi-key point lookup ("which of these doc_ids
+    exist") — ANY bloom hit keeps the chunk, the residual becomes IN;
+    per-chunk probe cost is O(keys), so for removal lists past a few
+    thousand keys prefer ``delete_encoded`` or a broadcast semi-join.
 
     ``contains_filter=(array_column, value_or_list)`` is array-element
     membership — "every row whose tokens array contains X", or with a
@@ -1477,20 +1481,38 @@ def _normalize_filter(schema: T.StructType, manifest: dict,
     (callers with no live SparkContext — the Python DataSource's
     planner worker — use the bounds for pruning only)."""
     if kind == "eq":
+        # one key, or a key LIST (multi-key point lookup — "which of
+        # these doc_ids exist": the removal-list membership probe). A
+        # list probes the bloom once per key and a chunk survives on
+        # ANY hit; the residual becomes IN. For lists past a few
+        # thousand keys use delete_encoded / a broadcast semi-join
+        # instead — per-chunk probe cost is O(keys).
         col, value = spec
         if col not in schema.fieldNames():
             raise ValueError(
                 f"eq_filter column {col!r} not in table schema "
                 f"{schema.fieldNames()}"
             )
-        if col in manifest.get("uuid_columns", []) and isinstance(value, str):
+        many = isinstance(value, (list, tuple, set, frozenset))
+        vals = sorted(value) if isinstance(value, (set, frozenset)) \
+            else (list(value) if many else [value])
+        if not vals:
+            raise ValueError(
+                "eq_filter key list must be non-empty "
+                "(an empty IN matches nothing)")
+        if col in manifest.get("uuid_columns", []):
             # the column is stored as 16-byte binary: probe the bloom
             # and compare with the stored representation (the decoded
             # frame is uuid-expanded only afterwards)
-            value = bytes.fromhex(value.replace("-", ""))
-        return {"kind": "eq", "col": col, "value": value,
-                "residual": (F.col(col) == value) if make_residual
-                else None}
+            vals = [bytes.fromhex(v.replace("-", ""))
+                    if isinstance(v, str) else v for v in vals]
+        residual = None
+        if make_residual:
+            residual = (F.col(col).isin(vals) if many
+                        else (F.col(col) == vals[0]))
+        return {"kind": "eq", "col": col,
+                "value": vals if many else vals[0],
+                "residual": residual}
     if kind == "contains":
         # array-element membership: prune via the column's ELEMENT
         # bloom (bloom_block_row_elements); residual = array_contains
