@@ -21,7 +21,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input", required=True, help="encoded table path")
-    p.add_argument("--output", required=True, help="output parquet path")
+    p.add_argument("--output", default=None,
+                   help="output parquet path (required unless --explain)")
     p.add_argument("--columns", default="",
                    help="comma-separated projection (default: all)")
     p.add_argument("--range-filter", action="append", default=None,
@@ -54,6 +55,11 @@ def main() -> None:
                    help="incremental (CDC-append) read: only rows "
                         "committed at epochs AFTER this one")
     p.add_argument("--verify-checksums", action="store_true")
+    p.add_argument("--explain", action="store_true",
+                   help="print the pruning report (explain_scan: "
+                        "chunks/rows/bytes scanned vs total, per "
+                        "filter and combined) instead of decoding — "
+                        "no --output write happens")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -112,6 +118,18 @@ def main() -> None:
             cf = (c, ints if len(ints) > 1 else ints[0])
         else:
             cf = (c, v)  # string elements / reader validates the rest
+    if args.explain:
+        from tokcodec.io_tables import explain_scan
+
+        print(json.dumps(explain_scan(
+            spark, args.input, columns=columns,
+            range_filter=rf, eq_filter=ef, contains_filter=cf,
+            as_of_epoch=args.as_of_epoch, as_of_ts=args.as_of_ts,
+            as_of_tag=args.as_of_tag, since_epoch=args.since_epoch)))
+        spark.stop()
+        return
+    if not args.output:
+        p.error("--output is required unless --explain")
     reader = read_encoded_direct if args.direct else read_encoded
     df = reader(spark, args.input, columns=columns,
                 range_filter=rf, eq_filter=ef, contains_filter=cf,

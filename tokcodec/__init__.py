@@ -23,6 +23,7 @@ from tokcodec.io_tables import (  # noqa: F401
     delete_encoded,
     describe_encoded,
     encoded_size_bytes,
+    explain_scan,
     parquet_size_bytes,
     read_encoded,
     read_encoded_as,

@@ -2589,6 +2589,131 @@ def count_encoded(spark: SparkSession, path: str,
     return int(win.n_rows.sum()) if len(win) else 0
 
 
+def explain_scan(
+    spark: SparkSession, path: str, columns: list[str] | None = None,
+    range_filter=None, in_filter=None, eq_filter=None,
+    contains_filter=None, encryption_key: bytes | None = None,
+    as_of_epoch: int | None = None, as_of_ts=None,
+    as_of_tag: str | None = None, since_epoch: int | None = None,
+) -> dict:
+    """EXPLAIN for an encoded-table scan: how much the given filters
+    would prune — per filter and combined — WITHOUT decoding any
+    values (≙ Spark's .explain + parquet's row-group statistics view;
+    the question a 100 TB operator asks before running the real read:
+    "does my predicate actually skip data, or am I about to decode
+    the whole table?").
+
+    Runs the reader's own planning (same _normalize_filter /
+    _filter_survivors machinery as read_encoded, so the numbers are
+    the real scan's numbers) over block METADATA + bloom payloads
+    only. Returns::
+
+        {chunks_total, chunks_scanned, rows_total, rows_scanned,
+         bytes_total, bytes_scanned,         # enc_bytes of the decode
+                                             # set's block rows
+         buckets_total, selectivity,         # scanned/total chunks
+         filters: [{kind, column, chunks_surviving}, ...]}
+
+    rows_scanned is an UPPER BOUND (chunk granularity — the exact
+    residual still drops rows inside surviving chunks; pending
+    equality deletes drop more). The per-filter rows show each
+    predicate's individual pruning power; the combined numbers use the
+    same intersected-survivor semi-join the real read plans.
+    """
+    as_of_epoch = _resolve_as_of(spark, path, as_of_epoch, as_of_ts,
+                                 as_of_tag)
+    manifest, lin = _load_table(spark, path, as_of_epoch=as_of_epoch,
+                                since_epoch=since_epoch)
+    schema = manifest_schema(manifest)
+    filts: list[tuple[str, tuple]] = []
+    for rf in _as_filter_list(range_filter):
+        filts.append(("range", rf))
+    if in_filter is not None:
+        filts.append(("in", tuple(in_filter)))
+    if eq_filter is not None:
+        filts.append(("eq", tuple(eq_filter)))
+    if contains_filter is not None:
+        filts.append(("contains", tuple(contains_filter)))
+    fcols: list[str] = []
+    for _, spec in filts:
+        if spec[0] not in schema.fieldNames():
+            raise ValueError(
+                f"filter column {spec[0]!r} not in encoded table")
+        if spec[0] not in fcols:
+            fcols.append(spec[0])
+    if columns is not None:
+        missing = set(columns) - set(schema.fieldNames())
+        if missing:
+            raise ValueError(
+                f"columns not in encoded table: {sorted(missing)}")
+    decode_cols = (None if columns is None
+                   else list(dict.fromkeys(list(columns) + fcols)))
+    _check_encryption_key(manifest, decode_cols or fcols or None,
+                          encryption_key)
+    lin_rows = [(int(r.bucket), r.run_id) for r in lin.collect()]
+    lin_local = spark.createDataFrame(lin_rows,
+                                      "bucket int, run_id string")
+    files = _run_files(spark, path, sorted({rid for _, rid in lin_rows}))
+    blocks = _blocks_df(
+        spark, path, lin_local,
+        columns_needed=None if decode_cols is None else set(decode_cols),
+        files=files).persist()
+    try:
+        # anchor chunk/row counts on one column's values rows (chunk
+        # geometry is shared across a bucket's columns)
+        anchor = fcols[0] if fcols else schema.fields[0].name
+        vals = blocks.filter((F.col("column") == anchor)
+                             & (F.col("component") == "values"))
+        tot = blocks.agg(
+            F.sum("enc_bytes").alias("b"),
+        ).collect()[0]
+        vt = vals.agg(F.count("*").alias("c"),
+                      F.sum("n_rows").alias("r"),
+                      F.countDistinct("bucket").alias("bk")).collect()[0]
+        out = {
+            "chunks_total": int(vt["c"] or 0),
+            "rows_total": int(vt["r"] or 0),
+            "bytes_total": int(tot["b"] or 0),
+            "buckets_total": int(vt["bk"] or 0),
+            "filters": [],
+        }
+        if not filts:
+            out.update(chunks_scanned=out["chunks_total"],
+                       rows_scanned=out["rows_total"],
+                       bytes_scanned=out["bytes_total"],
+                       selectivity=1.0)
+            return out
+        keys = ["run_id", "bucket", "chunk"]
+        surv = None
+        for kind, spec in filts:
+            s, _res = _filter_survivors(blocks, schema, manifest, kind,
+                                        spec,
+                                        encryption_key=encryption_key)
+            s = s.persist()
+            out["filters"].append({
+                "kind": kind, "column": spec[0],
+                "chunks_surviving": int(s.count()),
+            })
+            surv = s if surv is None else surv.join(
+                F.broadcast(s), keys, "inner")
+        kept = blocks.join(F.broadcast(surv), keys, "left_semi")
+        kb = kept.agg(F.sum("enc_bytes").alias("b")).collect()[0]
+        kv = kept.filter((F.col("column") == anchor)
+                         & (F.col("component") == "values")).agg(
+            F.count("*").alias("c"),
+            F.sum("n_rows").alias("r")).collect()[0]
+        out.update(
+            chunks_scanned=int(kv["c"] or 0),
+            rows_scanned=int(kv["r"] or 0),
+            bytes_scanned=int(kb["b"] or 0),
+            selectivity=(int(kv["c"] or 0) / out["chunks_total"]
+                         if out["chunks_total"] else 0.0),
+        )
+        return out
+    finally:
+        blocks.unpersist()
+
+
 def describe_encoded(spark: SparkSession, path: str) -> dict:
     """Table observability from metadata only: schema, bucket count,
     per-column codec selection frequencies, bytes in/out and overall
