@@ -48,19 +48,25 @@ def main() -> None:
     p.add_argument("--delete-keys-parquet", default=None,
                    help="parquet path holding ONE column of keys "
                         "(the opt-out/contamination list shape)")
+    p.add_argument("--approx-distinct", default=None, metavar="COLUMN",
+                   help="approximate distinct count from the column's "
+                        "HLL sketch blocks (write with "
+                        "sketch_columns=[...]); array columns report "
+                        "distinct-ELEMENT count (vocabulary NDV)")
     args = p.parse_args()
     if args.delete_column and not (args.delete_keys
                                    or args.delete_keys_parquet):
         p.error("--delete-column needs --delete-keys or "
                 "--delete-keys-parquet")
     if not (args.compact or args.vacuum or args.describe
-            or args.delete_column):
+            or args.delete_column or args.approx_distinct):
         p.error("nothing to do: pass --delete-column, --compact, "
-                "--vacuum and/or --describe")
+                "--vacuum, --describe and/or --approx-distinct")
 
     from pyspark.sql import SparkSession
 
     from tokcodec.io_tables import (
+        approx_count_distinct_encoded,
         compact_encoded,
         delete_encoded,
         describe_encoded,
@@ -87,6 +93,9 @@ def main() -> None:
         out["vacuum"] = vacuum_encoded(spark, args.table)
     if args.describe:
         out["describe"] = describe_encoded(spark, args.table)
+    if args.approx_distinct:
+        out["approx_distinct"] = approx_count_distinct_encoded(
+            spark, args.table, args.approx_distinct)
     print(json.dumps(out))
     spark.stop()
 

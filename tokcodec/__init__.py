@@ -18,6 +18,7 @@ from tokcodec.decode import decode_blocks  # noqa: F401
 from tokcodec.encode import encode_table, with_bucket  # noqa: F401
 from tokcodec.graph import connected_components  # noqa: F401
 from tokcodec.io_tables import (  # noqa: F401
+    approx_count_distinct_encoded,
     compact_encoded,
     count_encoded,
     delete_encoded,

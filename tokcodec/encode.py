@@ -343,6 +343,7 @@ def make_encode_fn(schema: T.StructType, run_id: str,
                    chunk_max_rows: int = CHUNK_MAX_ROWS,
                    chunk_max_values: int = CHUNK_MAX_VALUES,
                    bloom_columns: tuple[str, ...] = (),
+                   sketch_columns: tuple[str, ...] = (),
                    enum_columns: dict[str, list[str]] | None = None,
                    codec_override: dict[str, str] | None = None,
                    encrypted_columns: tuple[str, ...] = (),
@@ -462,6 +463,22 @@ def make_encode_fn(schema: T.StructType, run_id: str,
                         encrypt_block_row(encryption_key, br,
                                           salt=encryption_salt)
                     rows.append(br)
+                if name in sketch_columns:
+                    # 4 KB HLL per (column, chunk): mergeable distinct
+                    # counts without a scan (see tokcodec.hll)
+                    from tokcodec.hll import hll_block_row
+
+                    sr = hll_block_row(bucket, name, arr)
+                    sr["run_id"] = run_id
+                    sr["chunk"] = ci
+                    if name in encrypted_columns:
+                        # a plaintext sketch of an encrypted column
+                        # leaks its cardinality — encrypt like blooms
+                        from tokcodec.crypto import encrypt_block_row
+
+                        encrypt_block_row(encryption_key, sr,
+                                          salt=encryption_salt)
+                    rows.append(sr)
                 if enum_columns and name in enum_columns:
                     # enum-as-type (reference EnumsValues.java:22-34):
                     # the dict codec already stores each symbol once;
@@ -509,6 +526,7 @@ def make_encode_map_fn(schema: T.StructType, run_id: str,
                        chunk_max_rows: int = CHUNK_MAX_ROWS,
                        chunk_max_values: int = CHUNK_MAX_VALUES,
                        bloom_columns: tuple[str, ...] = (),
+                       sketch_columns: tuple[str, ...] = (),
                        enum_columns: dict[str, list[str]] | None = None,
                        codec_override: dict[str, str] | None = None):
     """mapInArrow variant: one partition may hold several whole buckets
@@ -520,6 +538,7 @@ def make_encode_map_fn(schema: T.StructType, run_id: str,
                            chunk_max_rows=chunk_max_rows,
                            chunk_max_values=chunk_max_values,
                            bloom_columns=bloom_columns,
+                           sketch_columns=sketch_columns,
                            enum_columns=enum_columns,
                            codec_override=codec_override)
 
@@ -549,6 +568,7 @@ def make_encode_sorted_fn(schema: T.StructType, run_id: str,
                           chunk_max_rows: int = CHUNK_MAX_ROWS,
                           chunk_max_values: int = CHUNK_MAX_VALUES,
                           bloom_columns: tuple[str, ...] = (),
+                          sketch_columns: tuple[str, ...] = (),
                           enum_columns: dict[str, list[str]] | None = None,
                           codec_override: dict[str, str] | None = None,
                           encrypted_columns: tuple[str, ...] = (),
@@ -564,6 +584,7 @@ def make_encode_sorted_fn(schema: T.StructType, run_id: str,
                            chunk_max_rows=chunk_max_rows,
                            chunk_max_values=chunk_max_values,
                            bloom_columns=bloom_columns,
+                           sketch_columns=sketch_columns,
                            enum_columns=enum_columns,
                            codec_override=codec_override,
                            encrypted_columns=encrypted_columns,
@@ -624,13 +645,15 @@ def encode_table(df: DataFrame, n_buckets: int, run_id: str = "run0",
 
 def validate_annotations(schema: T.StructType,
                          bloom_columns: tuple[str, ...] = (),
-                         enum_columns: dict[str, list[str]] | None = None
+                         enum_columns: dict[str, list[str]] | None = None,
+                         sketch_columns: tuple[str, ...] = (),
                          ) -> None:
     """Fail at plan time (driver) when a bloom/enum column is missing
     or of an unsupported type — not deep inside an executor task.
     Bloom columns: string/binary (value blooms) or arrays of
     int-lane/string/binary elements (element blooms for
-    contains_filter). Enum columns: string/binary only."""
+    contains_filter). Sketch (HLL) columns: int/string/binary scalars
+    or arrays of those. Enum columns: string/binary only."""
     _INT_ELEM = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     for c in tuple(bloom_columns):
         f = next((f for f in schema.fields if f.name == c), None)
@@ -644,6 +667,20 @@ def validate_annotations(schema: T.StructType,
             raise ValueError(
                 f"bloom column {c!r} must be an existing string/binary "
                 "column or an array of int/string/binary elements"
+            )
+    _SKETCHABLE = _INT_ELEM + (T.StringType, T.BinaryType)
+    for c in tuple(sketch_columns or ()):
+        f = next((f for f in schema.fields if f.name == c), None)
+        ok = f is not None and (
+            isinstance(f.dataType, _SKETCHABLE)
+            or (isinstance(f.dataType, T.ArrayType)
+                and isinstance(f.dataType.elementType, _SKETCHABLE))
+        )
+        if not ok:
+            raise ValueError(
+                f"sketch column {c!r} must be an existing int/string/"
+                "binary column or an array of int/string/binary "
+                "elements"
             )
     for c in tuple(enum_columns or ()):
         f = next((f for f in schema.fields if f.name == c), None)

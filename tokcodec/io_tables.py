@@ -419,14 +419,22 @@ def _committed_pandas(lin, epoch: int | None = None):
 
 
 def _commit_lineage_local(spark: SparkSession, path: str,
-                          metric_paths: list[str], epoch: int) -> int:
+                          metric_paths: list[str], epoch: int,
+                          tombstones=None) -> int:
     """THE commit, without a Spark job: read this run's metrics block
     files (known by exact path from the writer tasks), derive one
     lineage row per bucket (the same derivation as
     lineage.lineage_from_blocks), and append ONE parquet file to the
     lineage dir via write-temp + atomic rename — the file lands whole
     or not at all, exactly like the Spark job-commit rename it
-    replaces. Returns the number of committed rows."""
+    replaces. Returns the number of committed rows.
+
+    ``tombstones``: optional (run_id, bucket, epoch) triples appended
+    as tombstone rows in the SAME parquet file, so a commit that
+    supersedes prior generations (the DataSource writer's overwrite
+    mode — compact_encoded's atomic tombstones+commits append, minus
+    the Spark job) lands atomically with them. ``spark`` is unused
+    (pyarrow fs I/O throughout); Spark-free callers pass None."""
     import time
 
     import pyarrow as pa
@@ -479,6 +487,13 @@ def _commit_lineage_local(spark: SparkSession, path: str,
         ("offset", pa.int64()), ("wall_ms", pa.float64()),
         ("ts", pa.float64()),
     ])
+    for rid, bkt, ep in tombstones or ():
+        rows.append({
+            "run_id": rid, "bucket": int(bkt), "epoch": int(ep),
+            "status": "tombstone", "n_rows": 0, "orig_bytes": 0,
+            "enc_bytes": 0, "ratio": 0.0, "codecs": "{}",
+            "checksum": 0, "offset": 0, "wall_ms": 0.0, "ts": ts,
+        })
     table = pa.Table.from_pylist(rows, schema=schema)
     fs.create_dir(root, recursive=True)
     name = f"part-{uuid.uuid4().hex}-local.parquet"
@@ -502,6 +517,7 @@ def write_encoded(
     chunk_max_values: int | None = None,
     uuid_columns: list[str] | None = None,
     bloom_columns: list[str] | None = None,
+    sketch_columns: list[str] | None = None,
     enum_columns: dict[str, list[str]] | None = None,
     schema_evolution: bool = False,
     codec_override: dict[str, str] | None = None,
@@ -585,6 +601,14 @@ def write_encoded(
         )
         encrypted_columns = _inherit_encrypted(
             existing, encrypted_columns, encryption_key is not None)
+        # advisory index lists: inherit when omitted (appends keep
+        # indexing the same columns), overwrite when passed — unlike
+        # uuid/enum/encrypted they never change how rows decode, so
+        # no mismatch error
+        if bloom_columns is None:
+            bloom_columns = existing.get("bloom_columns", [])
+        if sketch_columns is None:
+            sketch_columns = existing.get("sketch_columns", [])
     encrypted_columns = sorted(encrypted_columns or [])
     # membership is validated AFTER schema evolution below: an evolved
     # append may legitimately omit a nullable encrypted column (it is
@@ -644,6 +668,7 @@ def write_encoded(
         b, stored_schema, path, n_buckets, run_id, epoch,
         cluster_by=cluster_by, chunk_max_rows=chunk_max_rows,
         chunk_max_values=chunk_max_values, bloom_columns=bloom_columns,
+        sketch_columns=sketch_columns,
         enum_columns=enum_columns, codec_override=codec_override,
         encrypted_columns=tuple(encrypted_columns),
         encryption_key=encryption_key,
@@ -664,7 +689,9 @@ def write_encoded(
                 schema_manifest(stored_schema, n_buckets, run_id,
                                 uuid_columns=uuid_columns,
                                 enum_columns=enum_columns,
-                                encrypted_columns=encrypted_columns))
+                                encrypted_columns=encrypted_columns,
+                                bloom_columns=bloom_columns,
+                                sketch_columns=sketch_columns))
 
     win = _committed_pandas(_lineage_local(spark, path))
     orig_bytes = int(win.orig_bytes.sum()) if len(win) else None
@@ -686,7 +713,8 @@ def _write_run(b: DataFrame, schema: T.StructType, path: str,
                cluster_by: str | list[str] | None = None,
                chunk_max_rows: int | None = None,
                chunk_max_values: int | None = None,
-               bloom_columns=None, enum_columns=None,
+               bloom_columns=None, sketch_columns=None,
+               enum_columns=None,
                codec_override: dict[str, str] | None = None,
                encrypted_columns: tuple[str, ...] = (),
                encryption_key: bytes | None = None):
@@ -700,7 +728,8 @@ def _write_run(b: DataFrame, schema: T.StructType, path: str,
     spark = b.sparkSession
     blocks_p, _, _ = _paths(path)
     validate_annotations(schema, tuple(bloom_columns or ()),
-                         enum_columns or None)
+                         enum_columns or None,
+                         sketch_columns=tuple(sketch_columns or ()))
     validate_codec_override(schema, codec_override)
     from tokcodec.encode import make_encode_sorted_fn
 
@@ -716,6 +745,7 @@ def _write_run(b: DataFrame, schema: T.StructType, path: str,
         chunk_max_rows=chunk_max_rows or CHUNK_MAX_ROWS,
         chunk_max_values=chunk_max_values or CHUNK_MAX_VALUES,
         bloom_columns=tuple(bloom_columns or ()),
+        sketch_columns=tuple(sketch_columns or ()),
         enum_columns=enum_columns or None,
         codec_override=codec_override,
         encrypted_columns=tuple(encrypted_columns or ()),
@@ -2394,6 +2424,11 @@ def upsert_encoded(spark: SparkSession, path: str, df: DataFrame,
     files, new_metrics = _write_run(
         merged, schema, path, nb, run_id, new_epoch,
         enum_columns=enum_cols or None,
+        # rewritten buckets keep the table's declared indexes — an
+        # upsert must not silently strip bloom/sketch blocks from the
+        # buckets it touches
+        bloom_columns=manifest.get("bloom_columns", []),
+        sketch_columns=manifest.get("sketch_columns", []),
         encrypted_columns=tuple(enc_cols),
         encryption_key=encryption_key,
     )
@@ -2413,7 +2448,11 @@ def upsert_encoded(spark: SparkSession, path: str, df: DataFrame,
                 schema_manifest(schema, nb, run_id,
                                 uuid_columns=uuid_cols,
                                 enum_columns=enum_cols,
-                                encrypted_columns=enc_cols))
+                                encrypted_columns=enc_cols,
+                                bloom_columns=manifest.get(
+                                    "bloom_columns", []),
+                                sketch_columns=manifest.get(
+                                    "sketch_columns", [])))
     return {"run_id": run_id, "epoch": new_epoch,
             "buckets_rewritten": len(touched),
             "superseded": len(olds),
@@ -2427,6 +2466,8 @@ def compact_encoded(
     chunk_max_rows: int | None = None,
     chunk_max_values: int | None = None,
     encryption_key: bytes | None = None,
+    bloom_columns: list[str] | None = None,
+    sketch_columns: list[str] | None = None,
 ) -> dict:
     """Rewrite everything committed into ONE fresh run (the Iceberg
     `rewrite_data_files` maintenance action). Streaming ingest leaves
@@ -2463,6 +2504,10 @@ def compact_encoded(
     uuid_cols = manifest.get("uuid_columns", [])
     enum_cols = manifest.get("enum_columns", {})
     enc_cols = manifest.get("encrypted_columns", [])
+    if bloom_columns is None:
+        bloom_columns = manifest.get("bloom_columns", [])
+    if sketch_columns is None:
+        sketch_columns = manifest.get("sketch_columns", [])
 
     # uuid columns come back expanded; encrypted tables re-encrypt
     # with fresh nonces under the same key
@@ -2473,6 +2518,11 @@ def compact_encoded(
         b, df.schema, path, nb, run_id, new_epoch,
         cluster_by=cluster_by, chunk_max_rows=chunk_max_rows,
         chunk_max_values=chunk_max_values, enum_columns=enum_cols or None,
+        # blooms/sketches: default to the table's declared index
+        # lists so routine compaction keeps them; pass [] to drop,
+        # or new lists to re-index (reads stay correct either way —
+        # bloomless chunks always survive; distinct counts raise)
+        bloom_columns=bloom_columns, sketch_columns=sketch_columns,
         encrypted_columns=tuple(enc_cols), encryption_key=encryption_key,
     )
     commits = lineage_from_blocks(new_metrics, epoch=new_epoch)
@@ -2490,7 +2540,9 @@ def compact_encoded(
                 schema_manifest(df.schema, nb, run_id,
                                 uuid_columns=uuid_cols,
                                 enum_columns=enum_cols,
-                                encrypted_columns=enc_cols))
+                                encrypted_columns=enc_cols,
+                                bloom_columns=bloom_columns,
+                                sketch_columns=sketch_columns))
     # a metrics FILE row's n_rows counts its metrics block rows = the
     # buckets it covers; data rows come from the committed lineage
     buckets = sum(f["n_rows"] for f in files
@@ -2712,6 +2764,100 @@ def explain_scan(
         return out
     finally:
         blocks.unpersist()
+
+
+def approx_count_distinct_encoded(
+    spark: SparkSession, path: str, column: str,
+    encryption_key: bytes | None = None,
+    as_of_epoch: int | None = None, as_of_ts=None,
+    as_of_tag: str | None = None, since_epoch: int | None = None,
+) -> dict:
+    """Approximate distinct count from per-chunk HLL sketches — never
+    a data scan, never a distinct shuffle (≙ Iceberg's puffin theta
+    sketches; see tokcodec.hll for the algorithm and the reference
+    gap). Write the table with ``sketch_columns=[column]``; array
+    columns report their DISTINCT-ELEMENT count (token-vocabulary
+    NDV), scalar columns their distinct-value count.
+
+    Scale shape: sketches merge associatively, so each task max-folds
+    its partition's 4 KB payloads down to ONE and the driver merges
+    only O(partitions) registers — at 10^6 chunks the job moves ~4 GB
+    of sketch bytes through executors but only ~128 KB to the driver.
+    Time travel / incremental windows compose like every reader.
+
+    Returns ``{estimate, relative_error, chunks, rows}`` where
+    ``relative_error`` is the sketch's standard error (1.04/sqrt(m))
+    and ``rows`` the exact row count the merged sketches cover.
+    Raises if the column has no sketch blocks (older runs can lack
+    them after a write without ``sketch_columns`` — re-encode or
+    compact with sketches to backfill)."""
+    import numpy as np
+
+    from tokcodec.hll import M as _HLL_M, hll_estimate, hll_merge
+
+    as_of_epoch = _resolve_as_of(spark, path, as_of_epoch, as_of_ts,
+                                 as_of_tag)
+    manifest, lin = _load_table(spark, path, as_of_epoch=as_of_epoch,
+                                since_epoch=since_epoch)
+    schema = manifest_schema(manifest)
+    if column not in schema.fieldNames():
+        raise ValueError(
+            f"column {column!r} not in encoded table "
+            f"{schema.fieldNames()}")
+    _check_encryption_key(manifest, [column], encryption_key)
+    lin_rows = [(int(r.bucket), r.run_id) for r in lin.collect()]
+    lin_local = spark.createDataFrame(lin_rows,
+                                      "bucket int, run_id string")
+    files = _run_files(spark, path,
+                       sorted({rid for _, rid in lin_rows}))
+    blocks = _blocks_df(spark, path, lin_local,
+                        columns_needed={column}, files=files)
+    target = blocks.filter((F.col("column") == column)
+                           & (F.col("component") == "hll"))
+
+    def fold(batches):
+        import pyarrow as pa
+
+        from tokcodec.crypto import decrypt_block_row, is_encrypted
+
+        acc = np.zeros(_HLL_M, dtype=np.uint8)
+        n_chunks = 0
+        n_rows = 0
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            recs = tbl.to_pylist()
+            for r in recs:
+                if is_encrypted(r):
+                    decrypt_block_row(encryption_key, r)
+                np.maximum(acc, np.frombuffer(r["payload"],
+                                              dtype=np.uint8), out=acc)
+                n_chunks += 1
+                n_rows += int(r["n_rows"] or 0)
+        if n_chunks:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([acc.tobytes()], pa.binary()),
+                 pa.array([n_chunks], pa.int64()),
+                 pa.array([n_rows], pa.int64())],
+                names=["payload", "chunks", "rows"])
+
+    # run_id/bucket/chunk/column/component ride along for the AAD of
+    # encrypted sketches (decrypt_block_row authenticates position)
+    parts = target.select(
+        "run_id", "bucket", "chunk", "column", "component",
+        "meta", "payload", "n_rows",
+    ).mapInArrow(
+        fold, "payload binary, chunks long, rows long").collect()
+    if not parts:
+        raise ValueError(
+            f"no HLL sketch blocks for column {column!r} — write with "
+            f"sketch_columns=[{column!r}] (or compact with it) first")
+    regs = hll_merge([bytes(r["payload"]) for r in parts])
+    return {
+        "estimate": int(round(hll_estimate(regs))),
+        "relative_error": round(1.04 / (_HLL_M ** 0.5), 4),
+        "chunks": int(sum(r["chunks"] for r in parts)),
+        "rows": int(sum(r["rows"] for r in parts)),
+    }
 
 
 def describe_encoded(spark: SparkSession, path: str) -> dict:

@@ -115,7 +115,9 @@ LAYOUT_VERSION = 2
 def schema_manifest(schema: T.StructType, n_buckets: int, run_id: str,
                     uuid_columns: list[str] | None = None,
                     enum_columns: dict[str, list[str]] | None = None,
-                    encrypted_columns: list[str] | None = None) -> str:
+                    encrypted_columns: list[str] | None = None,
+                    bloom_columns: list[str] | None = None,
+                    sketch_columns: list[str] | None = None) -> str:
     return json.dumps(
         {"layout": LAYOUT_VERSION,
          "ddl": schema.simpleString(), "json": schema.jsonValue(),
@@ -125,7 +127,15 @@ def schema_manifest(schema: T.StructType, n_buckets: int, run_id: str,
          # which columns' payloads are AES-GCM encrypted — the list is
          # public metadata (plaintext-footer mode); the key never
          # touches the table
-         "encrypted_columns": sorted(encrypted_columns or [])},
+         "encrypted_columns": sorted(encrypted_columns or []),
+         # ADVISORY index declarations (unlike the four lists above
+         # they do not change row decoding): the columns the LAST
+         # write bloom/sketch-indexed. compact_encoded / upsert reuse
+         # them so maintenance rewrites keep the table's indexes
+         # without the caller re-declaring them; readers never need
+         # them (chunks without a bloom always survive)
+         "bloom_columns": sorted(bloom_columns or []),
+         "sketch_columns": sorted(sketch_columns or [])},
         separators=(",", ":"),
     )
 
