@@ -270,13 +270,25 @@ def q_metadata_rowcount(spark, sf_dir):
 
 def q_roundtrip_docid_range(spark, sf_dir):
     """String zone-map range scan (parquet truncated-statistics
-    analogue): chunks whose [slo, shi] string bounds miss the
-    lexicographic doc_id window are never decoded; the residual keeps
-    exactness. Oracle = the same VARCHAR BETWEEN over the portable
-    tokenizer output."""
+    analogue), routed through the registered Spark DATA SOURCE:
+    spark.read.format('tokcodec') with a WHERE doc_id BETWEEN — the
+    two one-sided Catalyst filters arrive via pushFilters, merge into
+    ONE two-sided range spec, and prune chunks whose [slo, shi]
+    string bounds miss the window; Spark re-applies the exact
+    predicate. The DuckDB hash gate therefore covers the whole
+    DataSource read path (planning, pushdown, executor decode).
+    Oracle = the same VARCHAR BETWEEN over the portable tokenizer
+    output."""
+    from tokcodec.datasource import TokcodecDataSource
+
     _decoded_sequences(spark, sf_dir)  # ensure encoded table exists
-    ranged = read_encoded(spark, _entry_table_path(sf_dir),
-                          range_filter=("doc_id", "200", "219"))
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(TokcodecDataSource)
+    ranged = (
+        spark.read.format("tokcodec").option("pushdown", "true")
+        .load(_entry_table_path(sf_dir))
+        .filter((F.col("doc_id") >= "200") & (F.col("doc_id") <= "219"))
+    )
     return ranged.groupBy("source").agg(
         F.count("*").alias("n"),
         F.sum("n_tok").alias("sum_tok"),

@@ -62,7 +62,7 @@ def test_pushdown_filters_correct(spark, table):
 
 def test_filter_specs_shapes(spark, table):
     from pyspark.sql.datasource import (
-        EqualTo, GreaterThanOrEqual, IsNotNull, LessThan)
+        EqualTo, GreaterThanOrEqual, In, IsNotNull, LessThan)
     from tokcodec.datasource import _read_json
 
     manifest = _read_json(table + "/_manifest.json")
@@ -75,11 +75,34 @@ def test_filter_specs_shapes(spark, table):
         LessThan(("n_tok",), 9),
         IsNotNull(("source",)),          # unprunable shape -> skipped
         EqualTo(("tokens",), [1]),       # non-zone lane -> skipped
+        In(("n_tok",), (3, 5)),
+        In(("source",), ("s1", "s2")),   # string IN -> bloom ANY-of
     ])
     kinds = [(s["kind"], s["col"]) for s in specs]
-    assert kinds == [("eq", "doc_id"), ("zone", "n_tok"),
-                     ("zone", "n_tok")]
+    # the two one-sided n_tok bounds merge into ONE two-sided range
+    assert kinds == [("zone", "n_tok"), ("eq", "doc_id"),
+                     ("zone", "n_tok"), ("eq", "source")]
+    assert specs[0]["bounds"] == [(2, 9)]
+    assert specs[2]["bounds"] == [(3, 3), (5, 5)]
+    assert specs[3]["value"] == ["s1", "s2"]
     assert all("residual" not in s for s in specs)
+
+
+def test_filter_specs_string_between_merges(spark, table):
+    """A string BETWEEN arrives as two one-sided filters; merged they
+    prune via the truncated [slo, shi] bounds — the only pruning
+    possible on a string lane."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+
+    sch = T.StructType([T.StructField("s", T.StringType())])
+    manifest = {"uuid_columns": [], "encrypted_columns": []}
+    specs = _filter_specs(sch, manifest, [
+        GreaterThanOrEqual(("s",), "200"),
+        LessThanOrEqual(("s",), "219"),
+    ])
+    assert [(s["kind"], s["col"], s["lane"]) for s in specs] == [
+        ("zone", "s", "str")]
+    assert specs[0]["bounds"] == [(b"200", b"219")]
 
 
 def test_filter_specs_temporal_and_string_bounds(spark, table):
@@ -164,6 +187,106 @@ def test_stream_tails_epochs(spark, table, tmp_path):
     ids = {r.doc_id for r in spark.sql(
         "SELECT doc_id FROM ds_tail2").collect()}
     assert ids == {"y0", "y1", "y2"}
+
+
+def test_write_roundtrip_and_append(spark, table, tmp_path):
+    """df.write.format('tokcodec') creates a table read_encoded can
+    decode bit-identically; a second save() APPENDS at a fresh epoch
+    (never replaces same-epoch buckets)."""
+    from tokcodec.io_tables import read_encoded
+
+    path = str(tmp_path / "wtbl")
+    df = _mk(spark, 120).repartition(4, "doc_id")
+    df.write.format("tokcodec").mode("append") \
+        .option("bloom_columns", "doc_id").save(path)
+    back = read_encoded(spark, path)
+    assert back.count() == 120
+    assert (sorted(r.doc_id for r in back.collect())
+            == sorted(f"d{i}" for i in range(120)))
+    # engine reader's bloom pruning works on the DS-written table
+    one = read_encoded(spark, path, eq_filter=("doc_id", "d7"))
+    assert one.count() == 1
+    # append lands at epoch 1: time travel shows the pre-append state
+    _mk(spark, 10, prefix="x").repartition(2, "doc_id") \
+        .write.format("tokcodec").mode("append").save(path)
+    assert read_encoded(spark, path).count() == 130
+    assert read_encoded(spark, path, as_of_epoch=0).count() == 120
+    # and the DS reader round-trips its own writes
+    assert spark.read.format("tokcodec").load(path).count() == 130
+
+
+def test_write_overwrite_supersedes(spark, tmp_path):
+    from tokcodec.io_tables import read_encoded
+
+    path = str(tmp_path / "owtbl")
+    _mk(spark, 30).repartition(2).write.format("tokcodec").mode("append").save(path)
+    _mk(spark, 7, prefix="n").repartition(2).write.format("tokcodec") \
+        .mode("overwrite").save(path)
+    out = spark.read.format("tokcodec").load(path)
+    ids = {r.doc_id for r in out.collect()}
+    assert ids == {f"n{i}" for i in range(7)}
+    assert read_encoded(spark, path).count() == 7
+
+
+def test_write_schema_mismatch_append_rejected(spark, tmp_path):
+    path = str(tmp_path / "smtbl")
+    _mk(spark, 5).write.format("tokcodec").mode("append").save(path)
+    bad = _mk(spark, 5).withColumnRenamed("n_tok", "m_tok")
+    with pytest.raises(Exception, match="schema mismatch"):
+        bad.write.format("tokcodec").mode("append").save(path)
+
+
+def test_write_encrypted_through_sink(spark, tmp_path):
+    from tokcodec.io_tables import read_encoded
+
+    path = str(tmp_path / "wenc")
+    key = bytes(range(16, 32))
+    (_mk(spark, 16).repartition(2).write.format("tokcodec")
+     .mode("append").option("encryption_key_hex", key.hex())
+     .option("encrypted_columns", "tokens").save(path))
+    out = read_encoded(spark, path, encryption_key=key)
+    assert out.agg(F.sum("n_tok")).collect()[0][0] == 32
+    with pytest.raises(Exception):
+        read_encoded(spark, path).collect()
+    # plaintext append to an encrypted table is refused
+    with pytest.raises(Exception, match="needs the key"):
+        _mk(spark, 4).write.format("tokcodec").mode("append").save(path)
+
+
+def test_stream_sink_commits_epochs(spark, tmp_path):
+    """writeStream.format('tokcodec'): micro-batches land as epochs,
+    composable with since_epoch CDC reads and the readStream source."""
+    import os
+
+    from tokcodec.io_tables import read_encoded
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    _mk(spark, 12).write.mode("overwrite").parquet(src_dir)
+    path = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    sch = spark.read.parquet(src_dir).schema
+    q = (spark.readStream.schema(sch).parquet(src_dir)
+         .writeStream.format("tokcodec")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start(path))
+    q.awaitTermination(180)
+    assert read_encoded(spark, path).count() == 12
+    # second batch of files -> a later epoch
+    _mk(spark, 3, prefix="y").write.mode("append").parquet(src_dir)
+    q2 = (spark.readStream.schema(sch).parquet(src_dir)
+          .writeStream.format("tokcodec")
+          .option("checkpointLocation", ckpt)
+          .trigger(availableNow=True).start(path))
+    q2.awaitTermination(180)
+    out = read_encoded(spark, path)
+    assert out.count() == 15
+    lin = spark.read.parquet(path + "/lineage")
+    epochs = {int(r.epoch) for r in lin.select("epoch").collect()}
+    assert len(epochs) >= 2
+    inc = {r.doc_id for r in read_encoded(
+        spark, path, since_epoch=0).collect()}
+    assert inc == {"y0", "y1", "y2"}
 
 
 def test_encrypted_table_through_source(spark, table, tmp_path):
