@@ -968,11 +968,40 @@ def q_emb_neardup_lsh(spark, sf_dir):
     )
 
 
-def q_emb_label_stats(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
-    return e.groupBy("label").agg(
+def q_vocab_remap_roundtrip(spark, sf_dir):
+    """Vocabulary surgery under the hash gate: a subset of the
+    sequences table is encoded, every token id is remapped
+    old -> 2*old + 1 through remap_tokens (compact_encoded's
+    rewrite-time Arrow transform hook: broadcast dense numpy LUT,
+    atomic tombstones+commit supersede, zone maps and codec choice
+    re-derived from the NEW ids), decoded, and aggregated; the oracle
+    recomputes the same aggregates from the raw documents with DuckDB
+    list_transform — so a single wrong id anywhere in the rewrite
+    breaks the hash. (Replaced emb_label_stats, a plain groupBy
+    already covered by several other aggregate queries.)"""
+    key = os.path.abspath(sf_dir) + "#remap"
+    if key not in _DECODED_CACHE:
+        import shutil
+
+        from tokcodec.remap import remap_tokens
+
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet"))
+        seq = documents_to_sequences(docs).filter(
+            F.col("doc_id").cast("long") % 5 == 0)
+        path = _entry_table_path(sf_dir) + "_remap"
+        shutil.rmtree(path, ignore_errors=True)
+        write_encoded(seq, path, n_buckets=4, run_id="pre")
+        remap_tokens(spark, path, "tokens",
+                     {i: 2 * i + 1 for i in range(1 << 16)})
+        _DECODED_CACHE[key] = read_encoded(spark, path).persist()
+    dec = _DECODED_CACHE[key]
+    return dec.groupBy("source").agg(
         F.count("*").alias("n"),
-        F.max(F.size("embedding")).alias("dim"),
+        F.sum(F.expr(
+            "aggregate(tokens, 0L, (a, x) -> a + x)")).alias("sum_tok"),
+        F.min(F.expr("array_min(tokens)")).alias("tok_min"),
+        F.max(F.expr("array_max(tokens)")).alias("tok_max"),
     )
 
 
@@ -1939,7 +1968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_fingerprints": q_docs_fingerprints,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_neardup_lsh": q_emb_neardup_lsh,
-        "emb_label_stats": q_emb_label_stats,
+        "vocab_remap_roundtrip": q_vocab_remap_roundtrip,
         "roundtrip_embeddings_topk": q_roundtrip_embeddings_topk,
         "emb_quantized_roundtrip": q_emb_quantized_roundtrip,
         "cube_orders": q_cube_orders,
@@ -2269,9 +2298,17 @@ SELECT label, COUNT(*) AS n,
        MIN(list_aggregate(codes, 'min')) AS min_q,
        MAX(list_aggregate(codes, 'max')) AS max_q
 FROM q GROUP BY label""",
-        "emb_label_stats": """
-SELECT label, COUNT(*) AS n, MAX(len(embedding)) AS dim
-FROM embeddings GROUP BY label""",
+        "vocab_remap_roundtrip": f"""{_SEQ_CTE}
+SELECT source, COUNT(*) AS n,
+       CAST(SUM(list_aggregate(list_transform(tokens,
+            t -> 2 * CAST(t AS BIGINT) + 1), 'sum')) AS BIGINT)
+         AS sum_tok,
+       MIN(list_aggregate(list_transform(tokens, t -> 2 * t + 1),
+           'min')) AS tok_min,
+       MAX(list_aggregate(list_transform(tokens, t -> 2 * t + 1),
+           'max')) AS tok_max
+FROM seq WHERE CAST(doc_id AS BIGINT) % 5 = 0
+GROUP BY source""",
         "roundtrip_embeddings_topk": """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
 SELECT vec_id, label

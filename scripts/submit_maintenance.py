@@ -48,6 +48,21 @@ def main() -> None:
     p.add_argument("--delete-keys-parquet", default=None,
                    help="parquet path holding ONE column of keys "
                         "(the opt-out/contamination list shape)")
+    p.add_argument("--remap-column", default=None, metavar="COLUMN",
+                   help="vocabulary surgery: remap this int/array<int> "
+                        "column's ids through --remap-parquet "
+                        "(columns old, new), atomically (compaction "
+                        "commit). Runs INSTEAD of --compact.")
+    p.add_argument("--remap-parquet", default=None,
+                   help="parquet with two int columns old,new")
+    p.add_argument("--remap-unmapped", default="error",
+                   help="'error' (default), 'keep', or an int UNK id")
+    p.add_argument("--profile", nargs="?", const="*", default=None,
+                   metavar="COLUMNS",
+                   help="per-column data profile from metadata only "
+                        "(value bounds, nulls, sizes, codec mix, HLL "
+                        "NDV where sketched); optionally a comma list "
+                        "of columns")
     p.add_argument("--approx-distinct", default=None, metavar="COLUMN",
                    help="approximate distinct count from the column's "
                         "HLL sketch blocks (write with "
@@ -58,10 +73,17 @@ def main() -> None:
                                    or args.delete_keys_parquet):
         p.error("--delete-column needs --delete-keys or "
                 "--delete-keys-parquet")
+    if args.remap_column and not args.remap_parquet:
+        p.error("--remap-column needs --remap-parquet")
+    if args.remap_column and args.compact:
+        p.error("--remap-column already rewrites the table; "
+                "drop --compact")
     if not (args.compact or args.vacuum or args.describe
-            or args.delete_column or args.approx_distinct):
+            or args.delete_column or args.approx_distinct
+            or args.profile or args.remap_column):
         p.error("nothing to do: pass --delete-column, --compact, "
-                "--vacuum, --describe and/or --approx-distinct")
+                "--vacuum, --describe, --profile, --remap-column "
+                "and/or --approx-distinct")
 
     from pyspark.sql import SparkSession
 
@@ -70,6 +92,7 @@ def main() -> None:
         compact_encoded,
         delete_encoded,
         describe_encoded,
+        profile_encoded,
         vacuum_encoded,
     )
 
@@ -84,6 +107,19 @@ def main() -> None:
             spark, args.table, args.delete_column, keys,
             delete_id=args.run_id if not args.compact else None,
         )
+    if args.remap_column:
+        from tokcodec.remap import remap_tokens
+
+        pairs = spark.read.parquet(args.remap_parquet).collect()
+        mapping = {int(r[0]): int(r[1]) for r in pairs}
+        um = args.remap_unmapped
+        if um not in ("error", "keep"):
+            um = int(um)
+        out["remap"] = remap_tokens(
+            spark, args.table, args.remap_column, mapping,
+            on_unmapped=um, run_id=args.run_id,
+            n_buckets=args.buckets or None,
+            cluster_by=args.cluster_by)
     if args.compact:
         out["compact"] = compact_encoded(
             spark, args.table, run_id=args.run_id,
@@ -96,7 +132,13 @@ def main() -> None:
     if args.approx_distinct:
         out["approx_distinct"] = approx_count_distinct_encoded(
             spark, args.table, args.approx_distinct)
-    print(json.dumps(out))
+    if args.profile:
+        cols = None if args.profile == "*" else [
+            c.strip() for c in args.profile.split(",") if c.strip()]
+        out["profile"] = profile_encoded(spark, args.table,
+                                         columns=cols)
+    # default=str: profile bounds may be date/Decimal values
+    print(json.dumps(out, default=str))
     spark.stop()
 
 

@@ -250,3 +250,33 @@ def test_combined_filters_projection(spark, enc_strings):
     assert got.columns == ["payload"]
     assert sorted(r.payload for r in got.collect()) == \
         [b"blob-00150", b"blob-00151"]
+
+
+def test_nullable_zone_bounds_exclude_fill(spark, tmp_path):
+    """A nullable int column's zone bounds come from its NON-NULL
+    values: the null-fill default (0) must not pin lo at 0, so a
+    range far below the real values prunes EVERY chunk (it used to
+    decode all of them). Null rows can never satisfy the residual,
+    so correctness is unchanged."""
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from tokcodec import explain_scan
+
+    sch = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("v", T.IntegerType(), True),
+    ])
+    df = spark.createDataFrame(
+        [Row(doc_id=f"d{i}", v=None if i % 7 == 0 else 100 + i % 50)
+         for i in range(400)], sch)
+    path = str(tmp_path / "nullzone")
+    write_encoded(df, path, n_buckets=2, run_id="r1")
+    rep = explain_scan(spark, path, range_filter=("v", 0, 50))
+    assert rep["chunks_scanned"] == 0
+    assert read_encoded(spark, path,
+                        range_filter=("v", 0, 50)).count() == 0
+    # the real range still decodes and matches, nulls dropped by the
+    # residual
+    got = read_encoded(spark, path, range_filter=("v", 100, 149))
+    assert got.count() == df.filter("v is not null").count()

@@ -17,6 +17,7 @@ from tokcodec.datasource import TokcodecDataSource  # noqa: F401
 from tokcodec.decode import decode_blocks  # noqa: F401
 from tokcodec.encode import encode_table, with_bucket  # noqa: F401
 from tokcodec.graph import connected_components  # noqa: F401
+from tokcodec.remap import make_remap_transform, remap_tokens  # noqa: F401
 from tokcodec.io_tables import (  # noqa: F401
     approx_count_distinct_encoded,
     compact_encoded,
@@ -26,6 +27,7 @@ from tokcodec.io_tables import (  # noqa: F401
     encoded_size_bytes,
     explain_scan,
     parquet_size_bytes,
+    profile_encoded,
     read_encoded,
     read_encoded_as,
     read_encoded_direct,

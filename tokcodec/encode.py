@@ -227,6 +227,32 @@ def _decimal_bytes(arr: pa.Array) -> pa.Array:
     )
 
 
+def _nn_zone_patch(rows: list[dict], arr: pa.Array, to_int) -> list[dict]:
+    """Re-derive a nullable chunk's zone bounds from its NON-NULL
+    values. Codec stats must cover the null-fill defaults (bitpack
+    width, FOR reference), but zone [lo, hi] exists only for pruning
+    and profiling — and range/eq residuals are null-false, so
+    excluding nulls keeps pruning sound while making it TIGHTER (a
+    nullable column's fill zeros no longer pin lo at 0) and makes
+    profile_encoded's bounds exact. String bounds never had the
+    problem (pc.min_max skips nulls)."""
+    import json as _json
+
+    nn = arr.drop_null()
+    meta = _json.loads(rows[0]["meta"])
+    if "lo" not in meta:
+        return rows
+    bounds = to_int(nn) if len(nn) else None
+    if bounds is None:
+        # all-null (or all-NaN) chunk: no stats, always survives
+        meta.pop("lo", None)
+        meta.pop("hi", None)
+    else:
+        meta["lo"], meta["hi"] = bounds
+    rows[0]["meta"] = _json.dumps(meta, separators=(",", ":"))
+    return rows
+
+
 def _encode_leaf(bucket: int, name: str, component: str, arr: pa.Array,
                  dt: T.DataType, codec: str | None = None) -> list[dict]:
     if isinstance(dt, T.DecimalType):
@@ -234,22 +260,44 @@ def _encode_leaf(bucket: int, name: str, component: str, arr: pa.Array,
             return [encode_str_component(bucket, name, component,
                                          _decimal_bytes(arr), codec=codec)]
         v = _decimal_unscaled(arr)
-        return [encode_int_component(bucket, name, component, v, 8,
+        rows = [encode_int_component(bucket, name, component, v, 8,
                                      codec=codec)]
+        if arr.null_count:
+            rows = _nn_zone_patch(rows, arr, lambda nn: (
+                int(_decimal_unscaled(nn).min()),
+                int(_decimal_unscaled(nn).max())))
+        return rows
     if isinstance(dt, (T.StringType, T.BinaryType)):
         # binary (opaque multimodal blobs) shares the string layout
         return [encode_str_component(bucket, name, component, arr,
                                      codec=codec)]
     if isinstance(dt, (T.FloatType, T.DoubleType)):
-        if arr.null_count:
+        had_nulls = bool(arr.null_count)
+        nn_src = arr
+        if had_nulls:
             arr = arr.fill_null(0.0)
         v = arr.to_numpy(zero_copy_only=False)
-        return [encode_float_component(bucket, name, component, v,
+        rows = [encode_float_component(bucket, name, component, v,
                                        codec=codec)]
+        if had_nulls:
+            def _fbounds(nn):
+                w = nn.to_numpy(zero_copy_only=False)
+                w = w[np.isfinite(w)]
+                if len(w) == 0:
+                    return None  # all-NaN non-nulls: drop stats
+                return float(w.min()), float(w.max())
+
+            rows = _nn_zone_patch(rows, nn_src, _fbounds)
+        return rows
     if type(dt) in _INT_ITEMSIZE:
         v = _to_native_np(arr)
-        return [encode_int_component(bucket, name, component, v,
+        rows = [encode_int_component(bucket, name, component, v,
                                      _INT_ITEMSIZE[type(dt)], codec=codec)]
+        if arr.null_count:
+            rows = _nn_zone_patch(rows, arr, lambda nn: (
+                int(_to_native_np(nn).min()),
+                int(_to_native_np(nn).max())))
+        return rows
     raise NotImplementedError(f"column {name}: unsupported leaf type {dt}")
 
 

@@ -2468,6 +2468,7 @@ def compact_encoded(
     encryption_key: bytes | None = None,
     bloom_columns: list[str] | None = None,
     sketch_columns: list[str] | None = None,
+    transform=None,
 ) -> dict:
     """Rewrite everything committed into ONE fresh run (the Iceberg
     `rewrite_data_files` maintenance action). Streaming ingest leaves
@@ -2483,7 +2484,20 @@ def compact_encoded(
 
     ``n_buckets``/``cluster_by``/chunk knobs allow re-shaping the
     table at compaction time (the only safe point to change bucketing,
-    since resume keys and lineage are bucket-addressed)."""
+    since resume keys and lineage are bucket-addressed).
+
+    ``transform``: optional rewrite-time hook — a picklable function
+    ``pyarrow.RecordBatch -> pyarrow.RecordBatch`` applied to the
+    decoded rows between decode and re-encode, executor-side and
+    Arrow-vectorized (never per-row Python). The schema must be
+    preserved. This is the one safe point to rewrite VALUES at table
+    scale under the atomic supersede commit: vocabulary remapping
+    (see tokcodec.remap.remap_tokens), redaction, normalization —
+    Iceberg's rewrite_data_files has no value-rewrite hook, so this
+    covers what would otherwise be a full read->write->swap pipeline.
+    Dropping/adding rows is allowed (counts re-derive from the new
+    metrics), but uuid columns reach the hook in their canonical
+    string form and must stay valid."""
     import time
 
     blocks_p, lineage_p, manifest_p = _paths(path)
@@ -2512,6 +2526,12 @@ def compact_encoded(
     # uuid columns come back expanded; encrypted tables re-encrypt
     # with fresh nonces under the same key
     dec = read_encoded(spark, path, encryption_key=encryption_key)
+    if transform is not None:
+        def _apply(batches, _hook=transform):
+            for b in batches:
+                yield _hook(b)
+
+        dec = dec.mapInArrow(_apply, dec.schema)
     df = _uuid_to_binary(dec, uuid_cols)
     b = with_bucket(df, nb)
     files, new_metrics = _write_run(
@@ -2858,6 +2878,255 @@ def approx_count_distinct_encoded(
         "chunks": int(sum(r["chunks"] for r in parts)),
         "rows": int(sum(r["rows"] for r in parts)),
     }
+
+
+def _profile_value(v, dt):
+    """Storage-lane zone bound -> user-facing value (days -> date,
+    epoch-µs -> UTC datetime, nanos -> time, unscaled -> Decimal)."""
+    import datetime as _dt
+    import decimal as _decimal
+
+    if v is None:
+        return None
+    if isinstance(dt, T.DateType):
+        return (_dt.date(1970, 1, 1) + _dt.timedelta(days=int(v)))
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return _dt.datetime.fromtimestamp(
+            int(v) / 1e6, tz=_dt.timezone.utc).replace(tzinfo=None)
+    if isinstance(dt, T.TimeType):
+        us = int(v) // 1000
+        return _dt.time(us // 3_600_000_000,
+                        us // 60_000_000 % 60,
+                        us // 1_000_000 % 60, us % 1_000_000)
+    if isinstance(dt, T.DecimalType) and dt.precision <= 18:
+        return _decimal.Decimal(int(v)).scaleb(-dt.scale)
+    if isinstance(dt, T.BooleanType):
+        return bool(v)
+    return v
+
+
+def profile_encoded(spark: SparkSession, path: str,
+                    columns: list[str] | None = None,
+                    encryption_key: bytes | None = None,
+                    as_of_epoch: int | None = None, as_of_ts=None,
+                    as_of_tag: str | None = None) -> dict:
+    """Per-column data profile from METADATA only — the question a
+    100 TB operator asks before writing any query: value ranges, null
+    presence, sizes, codec mix, approximate NDV. No value payload is
+    ever decoded; nothing shuffles.
+
+    Per column: ``{type, chunks, min, max, bounds_are_prefixes (str
+    lanes: 24-byte truncated bounds, not exact values), element_stats
+    (list lanes: bounds/NDV describe the ELEMENTS), null_chunks,
+    null_rows_upper_bound, orig_bytes, enc_bytes, codecs: {codec:
+    chunk count}, ndv (present iff the column was written with
+    sketch_columns — the HLL registers max-fold task-side exactly
+    like approx_count_distinct_encoded), encrypted}``.
+
+    Scale shape: one distributed pass over block-metadata rows with
+    per-task partial aggregation — the driver merges O(partitions x
+    columns) partials, each a few numbers plus at most one 4 KB HLL
+    register set per column. Projection skips unrequested columns'
+    files entirely (reference P3); the parquet payload column is
+    read only when a requested column carries sketches (its HLL rows
+    live in the same files). Encrypted columns' bounds live in the
+    encrypted ``emeta`` envelope: WITH the key they profile like any
+    column; without it they come back redacted (``min``/``max``
+    None, ``encrypted`` True) — the stats-leak closure working as
+    intended. int/date/timestamp/TIME/decimal(<=18) bounds are exact
+    (zone maps store exact lo/hi); float bounds are exact over finite
+    values (NaNs excluded); string/binary bounds are truncated
+    prefixes (lower bound <= true min, upper >= true max)."""
+    import base64 as _b64
+
+    as_of_epoch = _resolve_as_of(spark, path, as_of_epoch, as_of_ts,
+                                 as_of_tag)
+    manifest, lin = _load_table(spark, path, as_of_epoch=as_of_epoch)
+    schema = manifest_schema(manifest)
+    by_name = {f.name: f for f in schema.fields}
+    if columns is None:
+        columns = [f.name for f in schema.fields]
+    missing = set(columns) - set(by_name)
+    if missing:
+        raise ValueError(
+            f"columns not in encoded table: {sorted(missing)}")
+    enc_cols = set(manifest.get("encrypted_columns", []))
+    if encryption_key is not None:
+        _check_encryption_key(manifest, list(enc_cols), encryption_key)
+    sketched = set(manifest.get("sketch_columns", [])) & set(columns)
+    lin_rows = [(int(r.bucket), r.run_id) for r in lin.collect()]
+    lin_local = spark.createDataFrame(lin_rows,
+                                      "bucket int, run_id string")
+    files = _run_files(spark, path,
+                       sorted({rid for _, rid in lin_rows}))
+    blocks = _blocks_df(spark, path, lin_local,
+                        columns_needed=set(columns), files=files)
+    meta_cols = ["run_id", "bucket", "chunk", "column", "component",
+                 "codec", "n_rows", "meta", "orig_bytes", "enc_bytes"]
+    if sketched:
+        meta_cols.append("payload")  # only for the HLL register rows
+    want_ndv = frozenset(sketched)
+    key = encryption_key
+    have_key = key is not None
+
+    def fold(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from tokcodec.crypto import decrypt_block_meta, is_encrypted
+        from tokcodec.hll import M as _HLL_M
+
+        acc: dict[str, dict] = {}
+
+        def a(col):
+            if col not in acc:
+                acc[col] = {"chunks": 0, "lo": None, "hi": None,
+                            "slo": None, "shi": None, "shi_inf": False,
+                            "null_chunks": 0, "null_rows": 0,
+                            "orig": 0, "enc": 0, "codecs": {},
+                            "regs": None}
+            return acc[col]
+
+        for batch in batches:
+            for r in pa.Table.from_batches([batch]).to_pylist():
+                col, comp = r["column"], r["component"]
+                st = a(col)
+                st["orig"] += int(r["orig_bytes"] or 0)
+                st["enc"] += int(r["enc_bytes"] or 0)
+                if comp == "validity":
+                    st["null_chunks"] += 1
+                    st["null_rows"] += int(r["n_rows"] or 0)
+                    continue
+                if comp == "hll" and col in want_ndv:
+                    if is_encrypted(r):
+                        if not have_key:
+                            continue
+                        from tokcodec.crypto import decrypt_block_row
+
+                        decrypt_block_row(key, r)
+                    regs = np.frombuffer(r["payload"], dtype=np.uint8)
+                    if st["regs"] is None:
+                        st["regs"] = np.zeros(_HLL_M, dtype=np.uint8)
+                    np.maximum(st["regs"], regs, out=st["regs"])
+                    continue
+                if comp != "values":
+                    continue
+                st["chunks"] += 1
+                st["codecs"][r["codec"]] = \
+                    st["codecs"].get(r["codec"], 0) + 1
+                meta = json.loads(r["meta"] or "{}")
+                if "emeta" in meta:
+                    if not have_key:
+                        continue  # redacted without the key
+                    meta = decrypt_block_meta(key, r)
+                lo, hi = meta.get("lo"), meta.get("hi")
+                if lo is not None:
+                    st["lo"] = lo if st["lo"] is None \
+                        else min(st["lo"], lo)
+                if hi is not None:
+                    st["hi"] = hi if st["hi"] is None \
+                        else max(st["hi"], hi)
+                slo = meta.get("slo")
+                if slo is not None:
+                    b = _b64.b64decode(slo)
+                    st["slo"] = b if st["slo"] is None \
+                        else min(st["slo"], b)
+                if meta.get("shi_inf"):
+                    st["shi_inf"] = True
+                shi = meta.get("shi")
+                if shi is not None:
+                    b = _b64.b64decode(shi)
+                    st["shi"] = b if st["shi"] is None \
+                        else max(st["shi"], b)
+        if acc:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([json.dumps(
+                    {c: {**s,
+                         "slo": (_b64.b64encode(s["slo"]).decode()
+                                 if s["slo"] is not None else None),
+                         "shi": (_b64.b64encode(s["shi"]).decode()
+                                 if s["shi"] is not None else None),
+                         "regs": (_b64.b64encode(
+                             s["regs"].tobytes()).decode()
+                             if s["regs"] is not None else None)}
+                     for c, s in acc.items()})], pa.string())],
+                names=["partial"])
+
+    parts = blocks.select(*meta_cols).mapInArrow(
+        fold, "partial string").collect()
+
+    from tokcodec.hll import hll_estimate, hll_merge
+
+    win = _committed_pandas(_lineage_local(spark, path))
+    if as_of_epoch is not None:
+        win = win[win.epoch <= int(as_of_epoch)]
+    table_rows = int(win.n_rows.sum()) if len(win) else 0
+    out: dict = {"rows": table_rows, "columns": {}}
+    merged: dict[str, dict] = {}
+    for p in parts:
+        for col, s in json.loads(p["partial"]).items():
+            m = merged.setdefault(col, {
+                "chunks": 0, "lo": None, "hi": None, "slo": None,
+                "shi": None, "shi_inf": False, "null_chunks": 0,
+                "null_rows": 0, "orig": 0, "enc": 0, "codecs": {},
+                "regs": []})
+            m["chunks"] += s["chunks"]
+            m["null_chunks"] += s["null_chunks"]
+            m["null_rows"] += s["null_rows"]
+            m["orig"] += s["orig"]
+            m["enc"] += s["enc"]
+            for cdc, n in s["codecs"].items():
+                m["codecs"][cdc] = m["codecs"].get(cdc, 0) + n
+            for k, better in (("lo", min), ("hi", max)):
+                if s[k] is not None:
+                    m[k] = s[k] if m[k] is None else better(m[k], s[k])
+            for k, better in (("slo", min), ("shi", max)):
+                if s[k] is not None:
+                    b = _b64.b64decode(s[k])
+                    m[k] = b if m[k] is None else better(m[k], b)
+            m["shi_inf"] = m["shi_inf"] or s["shi_inf"]
+            if s["regs"] is not None:
+                m["regs"].append(_b64.b64decode(s["regs"]))
+    for col in columns:
+        fld = by_name[col]
+        dt = fld.dataType
+        is_list = isinstance(dt, T.ArrayType)
+        vt = dt.elementType if is_list else dt
+        m = merged.get(col)
+        prof = {
+            "type": dt.simpleString(),
+            "encrypted": col in enc_cols,
+            "element_stats": is_list,
+        }
+        if m is None:
+            prof.update({"chunks": 0, "min": None, "max": None})
+            out["columns"][col] = prof
+            continue
+        str_lane = m["slo"] is not None or m["shi"] is not None
+        if str_lane:
+            prof["min"] = m["slo"].decode("utf-8", errors="replace") \
+                if m["slo"] is not None else None
+            prof["max"] = None if m["shi_inf"] else (
+                m["shi"].decode("utf-8", errors="replace")
+                if m["shi"] is not None else None)
+            prof["bounds_are_prefixes"] = True
+        else:
+            prof["min"] = _profile_value(m["lo"], vt)
+            prof["max"] = _profile_value(m["hi"], vt)
+            prof["bounds_are_prefixes"] = False
+        if col in enc_cols and not have_key:
+            prof["min"] = prof["max"] = None  # redacted
+        prof.update({
+            "chunks": m["chunks"],
+            "null_chunks": m["null_chunks"],
+            "null_rows_upper_bound": m["null_rows"],
+            "orig_bytes": m["orig"], "enc_bytes": m["enc"],
+            "codecs": m["codecs"],
+        })
+        if col in sketched and m["regs"]:
+            prof["ndv"] = int(round(hll_estimate(hll_merge(m["regs"]))))
+        out["columns"][col] = prof
+    return out
 
 
 def describe_encoded(spark: SparkSession, path: str) -> dict:
