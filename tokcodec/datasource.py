@@ -194,8 +194,10 @@ def _make_partitions(path, accepted, files, schema, specs, dels,
     rows = _direct_file_rows(files, scan_cols, "")
     parts = []
     for bucket, runs in sorted(accepted.items()):
-        flist = [(fp, col) for lo, hi, fp, col in rows
-                 if lo <= bucket <= hi]
+        # a file holds exactly one run: accept/reject per
+        # (file, bucket) here, so read() never run-filters rows
+        flist = [(fp, col) for lo, hi, fp, col, rid in rows
+                 if lo <= bucket <= hi and rid in runs]
         if flist:
             parts.append(_BucketPartition(bucket, runs, flist, specs,
                                           dels, fill))
@@ -232,10 +234,11 @@ def _decode_bucket(path: str, part: _BucketPartition,
     fs, blocks_root = _fs(posixpath.join(path, "blocks"))
     parts = []
     for rel, _col in part.files:
+        # run acceptance was decided at planning (one run per file);
+        # the bucket filter prunes row groups of multi-bucket files
         with fs.open_input_file(posixpath.join(blocks_root, rel)) as f:
             t = pq.read_table(f, filters=[
                 ("bucket", "=", part.bucket),
-                ("run_id", "in", sorted(set(part.runs))),
             ])
         if t.num_rows:
             parts.append(t)

@@ -1888,25 +1888,37 @@ def read_encoded_direct(
 
         for batch in batches:
             bks = sorted(set(batch.column("bucket").to_pylist()))
-            local: dict[int, list[tuple[str, str]]] = {}
-            for lo, hi, fp, colname in files_b.value:
+            # Per-bucket file lists. A file belongs to exactly ONE
+            # run, so run accept/reject is decided here per
+            # (file, bucket) from the plan — the losing side of a
+            # re-encoded bucket is never opened, and no row-level
+            # run_id filter runs. (A once-per-file read + zero-copy
+            # per-bucket slice was prototyped for the shared-file
+            # case: pure-pyarrow it is 3.7x cheaper, but Spark-level
+            # A/B at sf0.1 measured it NEUTRAL-to-worse — 1.27-1.60 s
+            # vs 1.13-1.17 s — because repartitionByRange adds a
+            # ~0.3 s sampling job, group-hashing adds collision skew,
+            # and the OS page cache already makes the re-read cheap;
+            # the per-bucket open stays, measured not guessed. At
+            # production bucket sizes files are bucket-grained and
+            # the question vanishes.)
+            local: dict[int, list[str]] = {}
+            for lo, hi, fp, colname, rid in files_b.value:
                 i = _bisect.bisect_left(bks, lo)
                 j = _bisect.bisect_right(bks, hi)
                 for bkt in bks[i:j]:
-                    local.setdefault(bkt, []).append((fp, colname))
+                    if rid in acc_b.value.get(bkt, ()):
+                        local.setdefault(bkt, []).append(fp)
             for bucket in batch.column("bucket").to_pylist():
-                runs = acc_b.value.get(bucket)
-                flist = local.get(bucket, [])
-                if not runs or not flist:
+                flist = local.get(bucket, ())
+                if not flist:
                     continue
                 parts = []
-                for fp, colname in flist:  # bounded: files per bucket
-                    # filters prune row groups of multi-bucket files;
-                    # run_id filter drops losing re-encode runs that
-                    # share a file's bucket range
+                for fp in flist:  # bounded: files per bucket
+                    # the bucket filter prunes row groups of
+                    # multi-bucket files
                     t = pq.read_table(fp, filters=[
                         ("bucket", "=", bucket),
-                        ("run_id", "in", sorted(set(runs))),
                     ])
                     if t.num_rows:
                         parts.append(t)
@@ -1955,18 +1967,23 @@ def register_encoded(spark: SparkSession, path: str, name: str,
     return df
 
 
-def _direct_file_rows(files: list[dict], scan_cols,
-                      blocks_p: str) -> list[tuple[int, int, str, str]]:
-    """Direct-reader broadcast payload: one (lo, hi, path, column) row
-    per file bucket-range — size is O(file ranges), independent of the
-    table's bucket count (wide-range files do NOT fan out here)."""
-    rows: list[tuple[int, int, str, str]] = []
+def _direct_file_rows(
+        files: list[dict], scan_cols,
+        blocks_p: str) -> list[tuple[int, int, str, str, str]]:
+    """Direct-reader broadcast payload: one (lo, hi, path, column,
+    run_id) row per file bucket-range — size is O(file ranges),
+    independent of the table's bucket count (wide-range files do NOT
+    fan out here). Carrying the file's run_id lets readers decide
+    accept/reject per (file, bucket) from the plan alone — no
+    row-level run_id filtering (a file holds exactly one run)."""
+    rows: list[tuple[int, int, str, str, str]] = []
     for f in files:
         if f["column"] not in scan_cols:
             continue
         full = posixpath.join(blocks_p, f["path"])
         for lo, hi in f["bucket_ranges"]:
-            rows.append((int(lo), int(hi), full, f["column"]))
+            rows.append((int(lo), int(hi), full, f["column"],
+                         f["run_id"]))
     rows.sort()
     return rows
 
