@@ -31,6 +31,7 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
+from tokcodec.codecs.alp import alp_decode, alp_encode, alp_probe
 from tokcodec.codecs.fsst import fsst_decode, fsst_encode
 from tokcodec.codecs.intcodecs import decode_ints, encode_ints
 from tokcodec.codecs.strcodecs import (
@@ -221,18 +222,24 @@ def split_decode(payload: bytes, meta: dict, n: int) -> np.ndarray:
 def encode_float_component(bucket, column, component, v: np.ndarray,
                            codec: str | None = None) -> dict:
     if codec is None:
-        # pick plain vs split by which zstd-compresses a sample better
-        samp = v[: min(len(v), 1 << 14)]
-        zp = len(_ZSTD.compress(
-            np.ascontiguousarray(samp).tobytes()).to_pybytes())
+        # race alp / split / plain on a sample: alp competes only when
+        # the sample says the data is decimal-shaped (exceptions are
+        # pure overhead otherwise), then the smaller zstd'd sample wins
+        samp = np.ascontiguousarray(v[: min(len(v), 1 << 14)])
+        zp = len(_ZSTD.compress(samp.tobytes()).to_pybytes())
         sp_payload, _ = split_encode(samp)
         zs = len(_ZSTD.compress(sp_payload).to_pybytes())
-        split_wins = zs < zp
-    else:
-        split_wins = codec == "split"
-    if split_wins:
+        codec = "split" if zs < zp else "plain_f"
+        best = min(zs, zp)
+        if len(samp) and alp_probe(samp) <= 0.3:
+            ap, _am = alp_encode(samp)
+            za = len(_ZSTD.compress(ap).to_pybytes())
+            if za < best:
+                codec = "alp"
+    if codec == "alp":
+        payload, meta = alp_encode(v)
+    elif codec == "split":
         payload, meta = split_encode(v)
-        codec = "split"
     else:
         payload = np.ascontiguousarray(v).tobytes()
         meta = {"dtype": v.dtype.str}
@@ -261,6 +268,8 @@ def encode_float_component(bucket, column, component, v: np.ndarray,
 def decode_float_component(row) -> np.ndarray:
     meta = json.loads(row["meta"])
     payload = _outer_decompress(row["payload"], meta)
+    if row["codec"] == "alp":
+        return alp_decode(payload, meta, row["n_rows"])
     if row["codec"] == "split":
         return split_decode(payload, meta, row["n_rows"])
     return np.frombuffer(payload, dtype=np.dtype(meta["dtype"]), count=row["n_rows"]).copy()

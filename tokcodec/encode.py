@@ -743,7 +743,7 @@ def validate_annotations(schema: T.StructType,
 _LANE_CODECS = {
     "int": ("plain", "bitpack", "for", "delta", "rle", "dict"),
     "str": ("plain_str", "dict_str", "fsst"),
-    "float": ("plain_f", "split"),
+    "float": ("plain_f", "split", "alp"),
 }
 
 
