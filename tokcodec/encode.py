@@ -40,11 +40,22 @@ _INT_ITEMSIZE = {
 }
 
 
+DEFAULT_SALT_COLS = ("source", "doc_id")
+
+
+def effective_salt_cols(columns, salt_cols=None) -> list[str]:
+    """The columns bucketing actually hashes: requested salt columns
+    that exist, else the first column. Recorded in the table manifest
+    so co-bucketed joins can prove two tables share a partitioning."""
+    want = tuple(salt_cols) if salt_cols else DEFAULT_SALT_COLS
+    return [c for c in want if c in columns] or [list(columns)[0]]
+
+
 def with_bucket(df: DataFrame, n_buckets: int,
-                salt_cols: tuple[str, ...] = ("source", "doc_id")) -> DataFrame:
+                salt_cols: tuple[str, ...] = DEFAULT_SALT_COLS) -> DataFrame:
     """Salted bucketing on a content hash — deterministic across runs
     (the resume key) and uniform regardless of input order/skew."""
-    cols = [c for c in salt_cols if c in df.columns] or df.columns[:1]
+    cols = effective_salt_cols(df.columns, salt_cols)
     return df.withColumn(
         BUCKET_COL, F.pmod(F.xxhash64(*cols), F.lit(n_buckets)).cast("int")
     )

@@ -48,6 +48,7 @@ from tokcodec.encode import (
     CHUNK_MAX_ROWS,
     CHUNK_MAX_VALUES,
     METRICS_COLUMN,
+    effective_salt_cols,
     with_bucket,
 )
 from tokcodec.lineage import committed, lineage_from_blocks
@@ -523,6 +524,7 @@ def write_encoded(
     codec_override: dict[str, str] | None = None,
     encryption_key: bytes | None = None,
     encrypted_columns: list[str] | None = None,
+    salt_cols: tuple[str, ...] | None = None,
 ) -> dict:
     """Encode ``df`` into ``path``. With ``resume=True``, buckets whose
     lineage commit already exists are skipped (anti-join against the
@@ -646,7 +648,28 @@ def write_encoded(
     if unknown_enc:
         raise ValueError(
             f"encrypted_columns not in schema: {sorted(unknown_enc)}")
-    b = with_bucket(df, n_buckets)
+    # resolve + record the bucketing salt: the manifest's salt_cols is
+    # the co-partitioning contract join_encoded checks. Appends must
+    # keep the table's hashing; tables from before the field default
+    # to the legacy resolution; an explicit [] in the manifest means
+    # "not content-bucketed" (DataSource partition-id writes) and
+    # appends preserve that marker so joins keep refusing the table
+    resolved_salt = effective_salt_cols(df.columns, salt_cols)
+    record_salt = resolved_salt
+    if existing is not None:
+        prev = existing.get("salt_cols")
+        if prev is None:  # pre-field manifest: legacy default applied
+            prev = effective_salt_cols(
+                [f.name for f in manifest_schema(existing).fields])
+        if salt_cols is None:
+            resolved_salt = prev or effective_salt_cols(df.columns)
+            record_salt = prev
+        elif resolved_salt != prev:
+            raise ValueError(
+                f"salt_cols mismatch on append: table buckets on "
+                f"{prev or '<not content-bucketed>'}, got "
+                f"{resolved_salt}")
+    b = with_bucket(df, n_buckets, salt_cols=tuple(resolved_salt))
     done: list[int] = []
     if resume:
         # driver-side lineage read: resume bookkeeping is O(buckets)
@@ -691,7 +714,8 @@ def write_encoded(
                                 enum_columns=enum_columns,
                                 encrypted_columns=encrypted_columns,
                                 bloom_columns=bloom_columns,
-                                sketch_columns=sketch_columns))
+                                sketch_columns=sketch_columns,
+                                salt_cols=record_salt))
 
     win = _committed_pandas(_lineage_local(spark, path))
     orig_bytes = int(win.orig_bytes.sum()) if len(win) else None
@@ -1473,6 +1497,27 @@ def _as_filter_list(range_filter) -> list[tuple]:
     if isinstance(range_filter[0], (tuple, list)):
         return [tuple(rf) for rf in range_filter]
     return [tuple(range_filter)]
+
+
+def _manifest_salt(manifest: dict) -> list[str]:
+    """The salt columns maintenance should HASH with: the recorded
+    list, else (pre-field or not-content-bucketed tables) the legacy
+    default resolution over the stored schema."""
+    return (manifest.get("salt_cols")
+            or effective_salt_cols(
+                [f.name for f in manifest_schema(manifest).fields]))
+
+
+def _manifest_salt_claim(manifest: dict) -> list[str]:
+    """What a PARTIAL rewrite (upsert) may re-record: preserves an
+    explicit [] ("not content-bucketed") because untouched buckets
+    keep their old placement. Full rewrites (compaction) re-bucket
+    every row, so they record _manifest_salt instead."""
+    prev = manifest.get("salt_cols")
+    if prev is not None:
+        return prev
+    return effective_salt_cols(
+        [f.name for f in manifest_schema(manifest).fields])
 
 
 def _check_encryption_key(manifest: dict, columns, key: bytes | None) -> None:
@@ -2410,9 +2455,10 @@ def upsert_encoded(spark: SparkSession, path: str, df: DataFrame,
                                encryption_key=encryption_key)
     hit = (stored_keys.join(in_keys, on=key_column)
            .select(BUCKET_COL).distinct().collect())
-    # 2) plus the buckets the incoming rows hash to
+    # 2) plus the buckets the incoming rows hash to — with the TABLE's
+    # recorded salt so new keys co-locate with the stored hashing
     b_in = with_bucket(_uuid_to_binary(df.select(*want_cols), uuid_cols),
-                       nb)
+                       nb, salt_cols=tuple(_manifest_salt(manifest)))
     new_b = b_in.select(BUCKET_COL).distinct().collect()
     touched = sorted({int(r[BUCKET_COL]) for r in hit}
                      | {int(r[BUCKET_COL]) for r in new_b})
@@ -2469,7 +2515,8 @@ def upsert_encoded(spark: SparkSession, path: str, df: DataFrame,
                                 bloom_columns=manifest.get(
                                     "bloom_columns", []),
                                 sketch_columns=manifest.get(
-                                    "sketch_columns", [])))
+                                    "sketch_columns", []),
+                                salt_cols=_manifest_salt_claim(manifest)))
     return {"run_id": run_id, "epoch": new_epoch,
             "buckets_rewritten": len(touched),
             "superseded": len(olds),
@@ -2550,7 +2597,9 @@ def compact_encoded(
 
         dec = dec.mapInArrow(_apply, dec.schema)
     df = _uuid_to_binary(dec, uuid_cols)
-    b = with_bucket(df, nb)
+    # re-bucket with the table's recorded salt: compaction is the
+    # migration path that stamps salt_cols onto pre-field tables
+    b = with_bucket(df, nb, salt_cols=tuple(_manifest_salt(manifest)))
     files, new_metrics = _write_run(
         b, df.schema, path, nb, run_id, new_epoch,
         cluster_by=cluster_by, chunk_max_rows=chunk_max_rows,
@@ -2579,7 +2628,8 @@ def compact_encoded(
                                 enum_columns=enum_cols,
                                 encrypted_columns=enc_cols,
                                 bloom_columns=bloom_columns,
-                                sketch_columns=sketch_columns))
+                                sketch_columns=sketch_columns,
+                                salt_cols=_manifest_salt(manifest)))
     # a metrics FILE row's n_rows counts its metrics block rows = the
     # buckets it covers; data rows come from the committed lineage
     buckets = sum(f["n_rows"] for f in files

@@ -117,11 +117,17 @@ def schema_manifest(schema: T.StructType, n_buckets: int, run_id: str,
                     enum_columns: dict[str, list[str]] | None = None,
                     encrypted_columns: list[str] | None = None,
                     bloom_columns: list[str] | None = None,
-                    sketch_columns: list[str] | None = None) -> str:
+                    sketch_columns: list[str] | None = None,
+                    salt_cols: list[str] | None = None) -> str:
     return json.dumps(
         {"layout": LAYOUT_VERSION,
          "ddl": schema.simpleString(), "json": schema.jsonValue(),
          "n_buckets": n_buckets, "run_id": run_id,
+         # the columns content-hash bucketing salts on — the PROOF two
+         # tables are co-partitioned (join_encoded). Empty/absent =
+         # not content-bucketed (DataSource partition-id writes,
+         # pre-field tables): co-bucketed joins refuse such tables
+         "salt_cols": list(salt_cols or []),
          "uuid_columns": sorted(uuid_columns or []),
          "enum_columns": enum_columns or {},
          # which columns' payloads are AES-GCM encrypted — the list is
