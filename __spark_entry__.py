@@ -52,6 +52,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from tokcodec.io_tables import read_encoded, write_encoded  # noqa: E402
+from tokcodec.joins import join_encoded  # noqa: E402
 from tokcodec.tokenize import TOKENS_SQL_DUCKDB, documents_to_sequences  # noqa: E402
 
 _DECODED_CACHE: dict[str, DataFrame] = {}
@@ -257,15 +258,34 @@ def q_roundtrip_point_lookup(spark, sf_dir):
 
 
 def q_metadata_rowcount(spark, sf_dir):
-    """COUNT(*) served from commit metadata alone (count_encoded sums
-    the winning lineage rows; no block payload is opened) must equal
-    DuckDB's COUNT over the source — the metadata fast path a 10^12-row
-    table needs, under the hash gate."""
+    """Aggregate PUSHDOWN under the hash gate (extends the old
+    commit-metadata rowcount): three rows, three planning paths.
+    'commit' = COUNT(*) from lineage alone (count_encoded — no block
+    is opened); 'all' = COUNT/COUNT(col)/SUM/MIN/MAX of n_tok from
+    per-chunk small materialized aggregates (aggregate_encoded,
+    VLDB'98 SMA — every chunk metadata-answered, nothing decoded);
+    'mid' = the same aggregate under a zone range filter whose
+    boundary chunks decode exactly (meta + residual-decode mix). All
+    three must equal DuckDB recomputing from the raw parquet — the
+    metadata fast paths a 10^12-row table needs, proven exact."""
+    from tokcodec.agg import aggregate_encoded
     from tokcodec.io_tables import count_encoded
 
     _decoded_sequences(spark, sf_dir)  # ensure encoded table exists
-    n = count_encoded(spark, _entry_table_path(sf_dir))
-    return spark.createDataFrame([(n,)], "n_rows bigint")
+    path = _entry_table_path(sf_dir)
+    n = count_encoded(spark, path)
+    a = aggregate_encoded(spark, path, "n_tok")
+    m = aggregate_encoded(spark, path, "n_tok",
+                          range_filter=("n_tok", 30, 80))
+    rows = [("commit", n, n, None, None, None)] + [
+        (tag, g["rows"], g["nonnull"],
+         None if g["sum"] is None else int(g["sum"]),
+         g["min"], g["max"])
+        for tag, g in (("all", a), ("mid", m))
+    ]
+    return spark.createDataFrame(
+        rows, "scope string, n_rows bigint, nn bigint, "
+              "sum_tok bigint, min_tok bigint, max_tok bigint")
 
 
 def q_roundtrip_docid_range(spark, sf_dir):
@@ -677,16 +697,46 @@ def q_setops_except_intersect(spark, sf_dir):
     return ex.crossJoin(inter)
 
 
-def q_sort_topk(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
-        .limit(25)
-        .select(
-            "l_orderkey",
-            "l_linenumber",
-            F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
-        )
+def q_cobucket_join_stats(spark, sf_dir):
+    """Shuffle-free co-bucketed join between TWO encoded tables
+    (tokcodec.joins.join_encoded, r5): sequences and a per-doc
+    metadata table are written with the SAME content-bucketing salt
+    (doc_id) and bucket count; the manifests prove co-partitioning,
+    so the join runs one task per bucket — both sides decoded
+    executor-side from the driver's file plan and hash-joined in
+    Arrow, with NO shuffle of table data (Hive/Iceberg bucketed-join
+    shape; at 10^12 rows the exchange never happens). The joined rows
+    aggregate per (source, lang); the oracle joins the raw parquet in
+    DuckDB, so both decode paths AND the join itself sit under the
+    hash gate. Replaces sort_topk (raw orderBy/limit — top-k already
+    covered by roundtrip_projection_topn / join_topcustomers /
+    emb_cosine_topk)."""
+    key = os.path.abspath(sf_dir) + "#cbj"
+    if key not in _DECODED_CACHE:
+        import shutil
+
+        base = os.path.join(
+            tempfile.gettempdir(), "tokcodec_entry_cbj",
+            os.path.abspath(sf_dir).replace(os.sep, "_"))
+        shutil.rmtree(base, ignore_errors=True)
+        docs = _t(spark, sf_dir, "documents")
+        seq = documents_to_sequences(docs)
+        meta = docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            "lang", F.col("n_chars").cast("long").alias("n_chars"))
+        write_encoded(seq, os.path.join(base, "seq"), n_buckets=8,
+                      run_id="l", salt_cols=("doc_id",))
+        write_encoded(meta, os.path.join(base, "meta"), n_buckets=8,
+                      run_id="r", salt_cols=("doc_id",))
+        _DECODED_CACHE[key] = base
+    base = _DECODED_CACHE[key]
+    j = join_encoded(spark, os.path.join(base, "seq"),
+                     os.path.join(base, "meta"), on="doc_id")
+    return j.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_tok").cast("long")).alias("sum_tok"),
+        F.expr(f"sum({_TOK_SUM})").alias("tok_sum"),
+        F.sum("n_chars").alias("sum_chars"),
     )
 
 
@@ -1956,7 +2006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_top_order": q_window_top_order,
         "rollup_flags": q_rollup_flags,
         "setops_except_intersect": q_setops_except_intersect,
-        "sort_topk": q_sort_topk,
+        "cobucket_join_stats": q_cobucket_join_stats,
         "string_date_funcs": q_string_date_funcs,
         "roundtrip_time_of_day": q_roundtrip_time_of_day,
         "zorder_user_time_slab": q_zorder_user_time_slab,
@@ -2039,8 +2089,19 @@ SELECT source,
        MAX(doc_id) AS last_id
 FROM seq WHERE doc_id BETWEEN '200' AND '219'
 GROUP BY source""",
-        "metadata_rowcount": f"""{_SEQ_CTE}
-SELECT COUNT(*) AS n_rows FROM seq""",
+        "metadata_rowcount": f"""{_SEQ_CTE},
+nt AS (SELECT CAST(len(tokens) AS BIGINT) AS n FROM seq)
+SELECT 'commit' AS scope, COUNT(*) AS n_rows, COUNT(*) AS nn,
+       CAST(NULL AS BIGINT) AS sum_tok,
+       CAST(NULL AS BIGINT) AS min_tok,
+       CAST(NULL AS BIGINT) AS max_tok
+FROM seq
+UNION ALL
+SELECT 'all', COUNT(*), COUNT(n), CAST(SUM(n) AS BIGINT),
+       MIN(n), MAX(n) FROM nt
+UNION ALL
+SELECT 'mid', COUNT(*), COUNT(n), CAST(SUM(n) AS BIGINT),
+       MIN(n), MAX(n) FROM nt WHERE n BETWEEN 30 AND 80""",
         "stream_ingest_roundtrip": f"""{_SEQ_CTE}
 SELECT source,
        COUNT(*) AS n_docs,
@@ -2145,11 +2206,15 @@ WITH a AS (SELECT l_partkey FROM lineitem WHERE l_discount >= 0.05),
 SELECT (SELECT COUNT(*) FROM d) AS n_rows,
        (SELECT COUNT(DISTINCT l_partkey) FROM d) AS n_parts,
        (SELECT COUNT(*) FROM i) AS n_common_parts""",
-        "sort_topk": """
-SELECT l_orderkey, l_linenumber,
-       CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents
-FROM lineitem
-ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 25""",
+        "cobucket_join_stats": f"""{_SEQ_CTE}
+SELECT s.source, d.lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(s.tokens)) AS BIGINT) AS sum_tok,
+       CAST(SUM(coalesce(list_aggregate(s.tokens, 'sum'), 0))
+            AS BIGINT) AS tok_sum,
+       CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
+FROM seq s JOIN documents d ON s.doc_id = CAST(d.doc_id AS VARCHAR)
+GROUP BY s.source, d.lang""",
         "string_date_funcs": """
 SELECT strftime(o_orderdate, '%Y-%m') AS ym,
        UPPER(o_orderpriority[1]) AS pfx,

@@ -199,6 +199,7 @@ def main() -> None:
         "vocab_topk",
         "delete_roundtrip",
         "docs_repetition_stats",
+        "cobucket_join_stats",
     ]
     qs = entrymod.queries()
     # the heavy LSH pipelines get min-of-3: their multi-second walls

@@ -1,0 +1,206 @@
+"""Aggregate pushdown (tokcodec.agg.aggregate_encoded): metadata-only
+COUNT/SUM/MIN/MAX for covered chunks, exact decode of boundary
+chunks, and every fallback path (deletes, encryption, evolution,
+bloom filters, missing sum stats) — all checked against Spark's own
+aggregation over the decoded table."""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from tokcodec.agg import aggregate_encoded
+from tokcodec.io_tables import (
+    delete_encoded,
+    read_encoded,
+    write_encoded,
+)
+
+
+def _truth(df, col, pred=None):
+    if pred is not None:
+        df = df.filter(pred)
+    r = df.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.count(col).alias("nonnull"),
+        F.sum(col).alias("s"),
+        F.min(col).alias("mn"),
+        F.max(col).alias("mx"),
+    ).collect()[0]
+    return {"rows": int(r["rows"]), "nonnull": int(r["nonnull"]),
+            "sum": None if r["s"] is None else r["s"],
+            "min": r["mn"], "max": r["mx"]}
+
+
+def _check(got, want):
+    for k in ("rows", "nonnull", "min", "max"):
+        assert got[k] == want[k], (k, got, want)
+    gs, ws = got["sum"], want["sum"]
+    assert (gs is None) == (ws is None), (got, want)
+    if gs is not None:
+        assert int(gs) == int(ws) or gs == ws, (got, want)
+
+
+@pytest.fixture(scope="module")
+def table(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("aggtbl") / "t")
+    # v rises with id so chunk zones are tight; every 7th v is null
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 7 != 0, F.col("id") * 3).cast("long")
+        .alias("v"),
+        (F.col("id") % 10).cast("int").alias("grp"),
+        F.concat(F.lit("s"), F.col("id")).alias("name"),
+    )
+    # small chunks + cluster_by k => many chunks, tight k zones
+    write_encoded(df.repartition(1), base, n_buckets=4,
+                  chunk_max_rows=64, cluster_by="k",
+                  bloom_columns=["name"])
+    yield spark, base, df
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_unfiltered_all_meta(table):
+    spark, base, df = table
+    got = aggregate_encoded(spark, base, "v")
+    _check(got, _truth(df, "v"))
+    assert got["chunks_decoded"] == 0
+    assert got["chunks_meta"] == got["chunks_total"] > 4
+
+
+def test_boundary_filter_mixed(table):
+    spark, base, df = table
+    got = aggregate_encoded(spark, base, "v",
+                            range_filter=("k", 100, 899))
+    _check(got, _truth(df, "v", (F.col("k") >= 100) & (F.col("k") <= 899)))
+    # interior chunks answered from metadata, boundary chunks decoded
+    assert got["chunks_meta"] > 0
+    assert 0 < got["chunks_decoded"] < got["chunks_total"]
+    assert got["chunks_scanned"] < got["chunks_total"]
+
+
+def test_filter_on_agg_column_itself(table):
+    spark, base, df = table
+    got = aggregate_encoded(spark, base, "v",
+                            range_filter=("v", 300, 2400))
+    _check(got, _truth(df, "v", (F.col("v") >= 300) & (F.col("v") <= 2400)))
+
+
+def test_empty_result(table):
+    spark, base, df = table
+    got = aggregate_encoded(spark, base, "v",
+                            range_filter=("k", 5000, 6000))
+    assert got["rows"] == 0 and got["nonnull"] == 0
+    assert got["sum"] is None and got["min"] is None
+
+
+def test_bloom_filter_all_partial(table):
+    spark, base, df = table
+    got = aggregate_encoded(spark, base, "v",
+                            eq_filter=("name", "s123"))
+    _check(got, _truth(df, "v", F.col("name") == "s123"))
+    assert got["chunks_meta"] == 0  # blooms never prove coverage
+    assert got["chunks_scanned"] < got["chunks_total"]  # but they prune
+
+
+def test_in_filter_and_conjunction(table):
+    spark, base, df = table
+    got = aggregate_encoded(spark, base, "v",
+                            range_filter=[("k", 0, 499),
+                                          ("grp", 2, 2)])
+    _check(got, _truth(df, "v", (F.col("k") <= 499) & (F.col("grp") == 2)))
+    got = aggregate_encoded(spark, base, "v",
+                            in_filter=("grp", [3, 5]))
+    _check(got, _truth(df, "v", F.col("grp").isin(3, 5)))
+
+
+def test_decimal_column(spark, tmp_path):
+    base = str(tmp_path / "dec")
+    df = spark.range(200).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.5).cast("decimal(12,2)").alias("amt"))
+    write_encoded(df.repartition(1), base, n_buckets=2,
+                  chunk_max_rows=32, cluster_by="k")
+    got = aggregate_encoded(spark, base, "amt",
+                            range_filter=("k", 10, 150))
+    want = _truth(df, "amt", (F.col("k") >= 10) & (F.col("k") <= 150))
+    _check(got, want)
+    assert got["chunks_meta"] > 0
+
+
+def test_deletes_force_decode_path(table, tmp_path):
+    spark, base, df = table
+    dst = str(tmp_path / "del")
+    shutil.copytree(base, dst)
+    delete_encoded(spark, dst, "k", [10, 20, 30])
+    got = aggregate_encoded(spark, dst, "v")
+    want = _truth(read_encoded(spark, dst), "v")
+    _check(got, want)
+    assert got["path"] == "decode"
+    assert got["rows"] == 997
+
+
+def test_overflow_guard_skips_sum_stat(spark, tmp_path):
+    base = str(tmp_path / "big")
+    big = 2**62
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.lit(big) + F.col("id")).alias("v"))
+    write_encoded(df.repartition(1), base, n_buckets=1,
+                  chunk_max_rows=32)
+    # chunks can't store a provably-unwrapped sum -> decode path
+    got = aggregate_encoded(spark, base, "v")
+    assert got["chunks_decoded"] == got["chunks_total"] > 0
+    assert int(got["sum"]) == sum(big + i for i in range(100))
+
+
+def test_all_null_chunks(spark, tmp_path):
+    base = str(tmp_path / "nulls")
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.lit(None).cast("long").alias("v"))
+    write_encoded(df.repartition(1), base, n_buckets=1,
+                  chunk_max_rows=32)
+    got = aggregate_encoded(spark, base, "v")
+    assert got == {**got, "rows": 100, "nonnull": 0, "sum": None,
+                   "min": None, "max": None}
+    assert got["chunks_decoded"] == 0  # all-null chunks ARE meta-known
+
+
+def test_meta_sum_matches_disk(spark, tmp_path):
+    """The stored per-chunk stats themselves are exact: recompute from
+    the decoded table grouped the way chunks split."""
+    base = str(tmp_path / "disk")
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 5 != 0, F.col("id")).alias("v"))
+    write_encoded(df.repartition(1), base, n_buckets=1,
+                  chunk_max_rows=100)
+    import glob
+
+    import pyarrow.parquet as pq
+    metas = []
+    for f in glob.glob(f"{base}/blocks/col-v/*.parquet"):
+        t = pq.read_table(f, columns=["component", "meta", "n_rows"])
+        for comp, meta, n in zip(t.column("component").to_pylist(),
+                                 t.column("meta").to_pylist(),
+                                 t.column("n_rows").to_pylist()):
+            if comp == "values":
+                metas.append((json.loads(meta), n))
+    assert metas
+    tot = sum(m.get("sum", 0) for m, _ in metas)
+    nulls = sum(m["nulls"] for m, _ in metas)
+    want = df.agg(F.sum("v"), F.count(F.lit(1)) - F.count("v")).collect()[0]
+    assert tot == want[0]
+    assert nulls == want[1]
+
+
+def test_rejects_unsupported_columns(table):
+    spark, base, df = table
+    with pytest.raises(ValueError, match="supports int"):
+        aggregate_encoded(spark, base, "name")
+    with pytest.raises(ValueError, match="not in encoded table"):
+        aggregate_encoded(spark, base, "nope")

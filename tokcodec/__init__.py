@@ -41,6 +41,7 @@ from tokcodec.io_tables import (  # noqa: F401
     vacuum_encoded,
     write_encoded,
 )
+from tokcodec.agg import aggregate_encoded  # noqa: F401
 from tokcodec.joins import join_encoded  # noqa: F401
 from tokcodec.naming import camel_to_snake, map_fields, snake_to_camel  # noqa: F401
 from tokcodec.pack import pack_sequences  # noqa: F401

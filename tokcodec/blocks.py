@@ -87,6 +87,22 @@ def _block_row(bucket, column, component, codec, n_rows, payload, meta, orig_byt
     }
 
 
+def int_sum_stat(v: np.ndarray, lo: int, hi: int) -> dict:
+    """Small-materialized-aggregate (Moerkotte, VLDB'98): the chunk's
+    exact value sum, stored only when |sum| provably fits int64 —
+    |sum| <= n * max(|lo|, |hi|) < 2^62 — so the int64 numpy reduction
+    can never have wrapped. Chunks that skip the stat (or predate it)
+    simply fall off aggregate_encoded's metadata fast path onto the
+    exact decode path."""
+    n = len(v)
+    if not n:
+        return {}
+    mag = max(abs(int(lo)), abs(int(hi)))
+    if mag.bit_length() + (n - 1).bit_length() + 1 >= 63:
+        return {}
+    return {"sum": int(v.sum(dtype=np.int64))}
+
+
 # ----------------------------------------------------------- int chunks
 def encode_int_component(bucket, column, component, v: np.ndarray, itemsize: int,
                          codec: str | None = None) -> dict:
@@ -108,6 +124,7 @@ def encode_int_component(bucket, column, component, v: np.ndarray, itemsize: int
         # stats the reference toggles via C5)
         meta["lo"] = st["min"] if st else int(v.min())
         meta["hi"] = st["max"] if st else int(v.max())
+        meta.update(int_sum_stat(v, meta["lo"], meta["hi"]))
     payload = _outer_compress(payload, meta)
     return _block_row(bucket, column, component, codec, len(v), payload, meta,
                       len(v) * itemsize)

@@ -25,6 +25,7 @@ from tokcodec.blocks import (
     encode_float_component,
     encode_int_component,
     encode_str_component,
+    int_sum_stat,
 )
 from tokcodec.schema import BLOCK_DDL, spark_type_to_arrow
 
@@ -264,12 +265,35 @@ def _nn_zone_patch(rows: list[dict], arr: pa.Array, to_int) -> list[dict]:
     return rows
 
 
+def _sma_patch(rows: list[dict], component: str, arr: pa.Array,
+               to_np=None) -> list[dict]:
+    """TOP-LEVEL scalar 'values' chunks additionally record the exact
+    null count — and, for nullable int-lane chunks, re-derive the
+    small-materialized-aggregate sum over NON-NULL values (the codec's
+    sum covered the null-fill defaults). aggregate_encoded's metadata
+    fast path requires 'nulls' to be present, so chunks from older
+    writes (and nested component paths, which skip the bloat) fall to
+    its exact decode path instead of silently miscounting."""
+    if component != "values":
+        return rows
+    meta = json.loads(rows[0]["meta"])
+    meta["nulls"] = int(arr.null_count)
+    if arr.null_count and meta.pop("sum", None) is not None \
+            and to_np is not None and "lo" in meta:
+        meta.update(int_sum_stat(to_np(arr.drop_null()),
+                                 meta["lo"], meta["hi"]))
+    rows[0]["meta"] = json.dumps(meta, separators=(",", ":"))
+    return rows
+
+
 def _encode_leaf(bucket: int, name: str, component: str, arr: pa.Array,
                  dt: T.DataType, codec: str | None = None) -> list[dict]:
     if isinstance(dt, T.DecimalType):
         if dt.precision > 18:
-            return [encode_str_component(bucket, name, component,
-                                         _decimal_bytes(arr), codec=codec)]
+            return _sma_patch(
+                [encode_str_component(bucket, name, component,
+                                      _decimal_bytes(arr), codec=codec)],
+                component, arr)
         v = _decimal_unscaled(arr)
         rows = [encode_int_component(bucket, name, component, v, 8,
                                      codec=codec)]
@@ -277,11 +301,12 @@ def _encode_leaf(bucket: int, name: str, component: str, arr: pa.Array,
             rows = _nn_zone_patch(rows, arr, lambda nn: (
                 int(_decimal_unscaled(nn).min()),
                 int(_decimal_unscaled(nn).max())))
-        return rows
+        return _sma_patch(rows, component, arr, to_np=_decimal_unscaled)
     if isinstance(dt, (T.StringType, T.BinaryType)):
         # binary (opaque multimodal blobs) shares the string layout
-        return [encode_str_component(bucket, name, component, arr,
-                                     codec=codec)]
+        return _sma_patch(
+            [encode_str_component(bucket, name, component, arr,
+                                  codec=codec)], component, arr)
     if isinstance(dt, (T.FloatType, T.DoubleType)):
         had_nulls = bool(arr.null_count)
         nn_src = arr
@@ -299,7 +324,7 @@ def _encode_leaf(bucket: int, name: str, component: str, arr: pa.Array,
                 return float(w.min()), float(w.max())
 
             rows = _nn_zone_patch(rows, nn_src, _fbounds)
-        return rows
+        return _sma_patch(rows, component, nn_src)
     if type(dt) in _INT_ITEMSIZE:
         v = _to_native_np(arr)
         rows = [encode_int_component(bucket, name, component, v,
@@ -308,7 +333,7 @@ def _encode_leaf(bucket: int, name: str, component: str, arr: pa.Array,
             rows = _nn_zone_patch(rows, arr, lambda nn: (
                 int(_to_native_np(nn).min()),
                 int(_to_native_np(nn).max())))
-        return rows
+        return _sma_patch(rows, component, arr, to_np=_to_native_np)
     raise NotImplementedError(f"column {name}: unsupported leaf type {dt}")
 
 

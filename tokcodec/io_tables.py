@@ -1299,9 +1299,16 @@ def read_encoded(
     with_bucket_column: bool = False,
     since_epoch: int | None = None,
     as_of_tag: str | None = None,
+    _chunk_subset: DataFrame | None = None,
 ) -> DataFrame:
     """Decode an encoded table; ``columns`` is projection pushdown —
     only those columns' block FILES enter the scan (reference P3).
+
+    ``_chunk_subset`` (internal): a small (run_id, bucket, chunk)
+    DataFrame; when given, ONLY those chunks are decoded (broadcast
+    semi-join, same shape as filter pruning). aggregate_encoded uses
+    it to decode exactly the filter-boundary chunks its metadata fast
+    path could not answer.
 
     ``buckets``: restrict the read to those storage buckets (planning-
     time pruning — other buckets' lineage rows never enter the file
@@ -1470,6 +1477,9 @@ def read_encoded(
                     out = out.drop(c)
         return out
 
+    if _chunk_subset is not None:
+        blocks = blocks.join(F.broadcast(_chunk_subset),
+                             ["run_id", "bucket", "chunk"], "left_semi")
     bcol = BUCKET_COL if with_bucket_column else None
     if not filts:
         return _finish(decode_blocks(blocks, schema, decode_cols,
