@@ -277,11 +277,14 @@ def q_metadata_rowcount(spark, sf_dir):
     a = aggregate_encoded(spark, path, "n_tok")
     m = aggregate_encoded(spark, path, "n_tok",
                           range_filter=("n_tok", 30, 80))
+    # element mode over the tokens ARRAY: corpus token count, token
+    # checksum and vocab range — all from chunk metadata
+    t = aggregate_encoded(spark, path, "tokens", elements=True)
     rows = [("commit", n, n, None, None, None)] + [
         (tag, g["rows"], g["nonnull"],
          None if g["sum"] is None else int(g["sum"]),
          g["min"], g["max"])
-        for tag, g in (("all", a), ("mid", m))
+        for tag, g in (("all", a), ("mid", m), ("tok", t))
     ]
     return spark.createDataFrame(
         rows, "scope string, n_rows bigint, nn bigint, "
@@ -670,11 +673,41 @@ def q_window_top_order(spark, sf_dir):
     )
 
 
-def q_rollup_flags(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
-        F.count("*").alias("n"),
+def q_events_daily_pushdown(spark, sf_dir):
+    """GROUPED aggregate pushdown (r5): the daily-rollup shape at
+    100 TB. Events encode day-CLUSTERED (cluster_by='day') with an
+    integer cents column; aggregate_encoded_grouped answers per-day
+    COUNT/SUM/MIN/MAX from chunk metadata for every single-day chunk
+    (day zone is a point) and decodes only day-straddling chunks —
+    the oracle recomputes the rollup from the raw parquet, so the
+    whole meta+decode merge sits under the hash gate. Replaces
+    rollup_flags (ROLLUP machinery already gated via
+    roundtrip_source_agg's rollup pass)."""
+    from tokcodec.agg import aggregate_encoded_grouped
+
+    key = os.path.abspath(sf_dir) + "#gday"
+    if key not in _DECODED_CACHE:
+        import shutil
+
+        path = os.path.join(
+            tempfile.gettempdir(), "tokcodec_entry_gday",
+            os.path.abspath(sf_dir).replace(os.sep, "_"))
+        shutil.rmtree(path, ignore_errors=True)
+        e = _t(spark, sf_dir, "events").select(
+            F.col("ts").cast("date").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        write_encoded(e, path, n_buckets=4, run_id="gday",
+                      chunk_max_rows=256, cluster_by="day")
+        _DECODED_CACHE[key] = path
+    path = _DECODED_CACHE[key]
+    g = aggregate_encoded_grouped(spark, path, "day", "cents")
+    return g.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n_rows").alias("n_events"),
+        F.col("sum").alias("sum_cents"),
+        F.col("min").alias("min_cents"),
+        F.col("max").alias("max_cents"),
     )
 
 
@@ -2004,7 +2037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_topcustomers": q_join_topcustomers,
         "semi_anti_join": q_semi_anti_join,
         "window_top_order": q_window_top_order,
-        "rollup_flags": q_rollup_flags,
+        "events_daily_pushdown": q_events_daily_pushdown,
         "setops_except_intersect": q_setops_except_intersect,
         "cobucket_join_stats": q_cobucket_join_stats,
         "string_date_funcs": q_string_date_funcs,
@@ -2101,7 +2134,15 @@ SELECT 'all', COUNT(*), COUNT(n), CAST(SUM(n) AS BIGINT),
        MIN(n), MAX(n) FROM nt
 UNION ALL
 SELECT 'mid', COUNT(*), COUNT(n), CAST(SUM(n) AS BIGINT),
-       MIN(n), MAX(n) FROM nt WHERE n BETWEEN 30 AND 80""",
+       MIN(n), MAX(n) FROM nt WHERE n BETWEEN 30 AND 80
+UNION ALL
+SELECT 'tok', CAST(SUM(len(tokens)) AS BIGINT),
+       CAST(SUM(len(tokens)) AS BIGINT),
+       CAST(SUM(coalesce(list_aggregate(tokens, 'sum'), 0))
+            AS BIGINT),
+       CAST(MIN(list_aggregate(tokens, 'min')) AS BIGINT),
+       CAST(MAX(list_aggregate(tokens, 'max')) AS BIGINT)
+FROM seq""",
         "stream_ingest_roundtrip": f"""{_SEQ_CTE}
 SELECT source,
        COUNT(*) AS n_docs,
@@ -2192,11 +2233,16 @@ FROM (
     PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
   FROM orders)
 WHERE rn = 1 AND o_custkey % 10 = 0""",
-        "rollup_flags": """
-SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-       COUNT(*) AS n
-FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+        "events_daily_pushdown": """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents,
+       CAST(MIN(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+           AS min_cents,
+       CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+           AS max_cents
+FROM events GROUP BY day""",
         "setops_except_intersect": """
 WITH a AS (SELECT l_partkey FROM lineitem WHERE l_discount >= 0.05),
      b AS (SELECT l_partkey FROM lineitem WHERE l_tax >= 0.05),

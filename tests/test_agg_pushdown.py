@@ -204,3 +204,145 @@ def test_rejects_unsupported_columns(table):
         aggregate_encoded(spark, base, "name")
     with pytest.raises(ValueError, match="not in encoded table"):
         aggregate_encoded(spark, base, "nope")
+
+
+def test_elements_mode_tokens(spark, tmp_path):
+    base = str(tmp_path / "tok")
+    df = spark.range(400).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 11 == 0, None).otherwise(
+            F.sequence(F.lit(0).cast("int"),
+                       (F.col("id") % 9).cast("int"))).alias("tokens"))
+    write_encoded(df.repartition(1), base, n_buckets=2,
+                  chunk_max_rows=50, cluster_by="k")
+    got = aggregate_encoded(spark, base, "tokens", elements=True)
+    ex = df.select(F.explode("tokens").alias("e"))
+    want = _truth(ex, "e")
+    _check(got, want)
+    assert got["chunks_decoded"] == 0  # all metadata
+
+    got = aggregate_encoded(spark, base, "tokens", elements=True,
+                            range_filter=("k", 30, 333))
+    want = _truth(
+        df.filter((F.col("k") >= 30) & (F.col("k") <= 333))
+        .select(F.explode("tokens").alias("e")), "e")
+    _check(got, want)
+    assert got["chunks_meta"] > 0 and got["chunks_decoded"] > 0
+
+
+def test_elements_mode_null_elements(spark, tmp_path):
+    base = str(tmp_path / "tokn")
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.array(F.col("id").cast("int"),
+                F.when(F.col("id") % 3 == 0, None)
+                .otherwise(F.col("id") * 2).cast("int")).alias("a"))
+    write_encoded(df.repartition(1), base, n_buckets=1,
+                  chunk_max_rows=32)
+    got = aggregate_encoded(spark, base, "a", elements=True)
+    want = _truth(df.select(F.explode("a").alias("e")), "e")
+    _check(got, want)
+
+
+def test_elements_rejects_non_array(table):
+    spark, base, df = table
+    with pytest.raises(ValueError, match="flat array"):
+        aggregate_encoded(spark, base, "v", elements=True)
+
+
+# ------------------------------------------------------------ grouped
+from tokcodec.agg import aggregate_encoded_grouped  # noqa: E402
+
+
+def _gtruth(df, g, col, pred=None):
+    if pred is not None:
+        df = df.filter(pred)
+    rows = df.groupBy(g).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(col).alias("nonnull"),
+        F.sum(col).cast("long").alias("sum"),
+        F.min(col).cast("long").alias("min"),
+        F.max(col).cast("long").alias("max"),
+    ).collect()
+    return sorted((tuple(r) for r in rows), key=repr)
+
+
+@pytest.fixture(scope="module")
+def gtable(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("gagg") / "t")
+    # 20 groups x 50 rows, day-clustered chunks of 64: most chunks
+    # single-group, some straddle two groups
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") / 50).cast("int").alias("day"),
+        F.when(F.col("id") % 13 != 0, F.col("id") * 2).cast("long")
+        .alias("v"),
+    )
+    write_encoded(df.repartition(1), base, n_buckets=4,
+                  chunk_max_rows=64, cluster_by="day")
+    yield spark, base, df
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_grouped_matches_spark(gtable):
+    spark, base, df = gtable
+    st = {}
+    got = aggregate_encoded_grouped(spark, base, "day", "v",
+                                    stats_out=st)
+    assert sorted((tuple(r) for r in got.collect()), key=repr) \
+        == _gtruth(df, "day", "v")
+    assert st["chunks_meta"] > 0  # interior chunks never decoded
+
+
+def test_grouped_with_filter(gtable):
+    spark, base, df = gtable
+    got = aggregate_encoded_grouped(
+        spark, base, "day", "v", range_filter=("k", 100, 899))
+    want = _gtruth(df, "day", "v",
+                   (F.col("k") >= 100) & (F.col("k") <= 899))
+    assert sorted((tuple(r) for r in got.collect()), key=repr) == want
+
+
+def test_grouped_date_column(spark, tmp_path):
+    base = str(tmp_path / "gd")
+    df = spark.range(600).select(
+        F.col("id").alias("k"),
+        F.date_add(F.lit("2024-01-01").cast("date"),
+                   (F.col("id") / 40).cast("int")).alias("day"),
+        (F.col("id") % 97).cast("long").alias("v"))
+    write_encoded(df.repartition(1), base, n_buckets=2,
+                  chunk_max_rows=48, cluster_by="day")
+    st = {}
+    got = aggregate_encoded_grouped(spark, base, "day", "v",
+                                    stats_out=st)
+    assert sorted(tuple(str(x) for x in r) for r in got.collect()) \
+        == sorted(tuple(str(x) for x in r)
+                  for r in _gtruth(df, "day", "v"))
+    assert st["chunks_meta"] > 0
+
+
+def test_grouped_null_groups(spark, tmp_path):
+    base = str(tmp_path / "gn")
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 10 != 9, (F.col("id") / 30).cast("int"))
+        .alias("day"),
+        F.col("id").alias("v"))
+    write_encoded(df.repartition(1), base, n_buckets=1,
+                  chunk_max_rows=32, cluster_by="day")
+    got = aggregate_encoded_grouped(spark, base, "day", "v")
+    assert sorted((tuple(r) for r in got.collect()), key=repr) \
+        == sorted(_gtruth(df, "day", "v"), key=repr)
+
+
+def test_grouped_deletes_fallback(gtable, tmp_path):
+    spark, base, df = gtable
+    dst = str(tmp_path / "gdel")
+    shutil.copytree(base, dst)
+    delete_encoded(spark, dst, "k", [0, 1, 2, 950])
+    st = {}
+    got = aggregate_encoded_grouped(spark, dst, "day", "v",
+                                    stats_out=st)
+    want = _gtruth(read_encoded(spark, dst), "day", "v")
+    assert sorted((tuple(r) for r in got.collect()), key=repr) == want
+    assert st["path"] == "decode"

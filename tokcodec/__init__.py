@@ -41,7 +41,10 @@ from tokcodec.io_tables import (  # noqa: F401
     vacuum_encoded,
     write_encoded,
 )
-from tokcodec.agg import aggregate_encoded  # noqa: F401
+from tokcodec.agg import (  # noqa: F401
+    aggregate_encoded,
+    aggregate_encoded_grouped,
+)
 from tokcodec.joins import join_encoded  # noqa: F401
 from tokcodec.naming import camel_to_snake, map_fields, snake_to_camel  # noqa: F401
 from tokcodec.pack import pack_sequences  # noqa: F401

@@ -63,16 +63,34 @@ from tokcodec.schema import manifest_schema
 _INT_LANES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 
-def _decode_path(spark, path, column, filts_kw, scale) -> dict:
-    """Exact fallback: ordinary filtered read + aggregate."""
+def _storage_to_logical(col, dt):
+    """Zone-domain int -> the column's logical Spark value (the same
+    storage mapping the int lane uses: dates are days, timestamps are
+    epoch-µs)."""
+    if isinstance(dt, T.DateType):
+        return F.date_from_unix_date(col.cast("int"))
+    if isinstance(dt, T.TimestampType):
+        return F.timestamp_micros(col)
+    return col.cast(dt)
+
+
+def _decode_path(spark, path, column, filts_kw, scale,
+                 elements=False) -> dict:
+    """Exact fallback: ordinary filtered read + aggregate. In element
+    mode the rows explode first (null/empty arrays contribute no
+    elements — the same thing the stored lengths say)."""
     df = read_encoded(spark, path, columns=[column], **filts_kw)
+    c = column
+    if elements:
+        df = df.select(F.explode(column).alias("__el"))
+        c = "__el"
     r = df.agg(
         F.count(F.lit(1)).alias("rows"),
-        F.count(column).alias("nonnull"),
-        F.sum(F.col(column).cast("decimal(38," + str(scale) + ")"))
+        F.count(c).alias("nonnull"),
+        F.sum(F.col(c).cast("decimal(38," + str(scale) + ")"))
         .alias("s"),
-        F.min(column).alias("mn"),
-        F.max(column).alias("mx"),
+        F.min(c).alias("mn"),
+        F.max(c).alias("mx"),
     ).collect()[0]
     return {"rows": int(r["rows"]), "nonnull": int(r["nonnull"]),
             "sum": r["s"], "min": r["mn"], "max": r["mx"]}
@@ -85,6 +103,7 @@ def aggregate_encoded(
     encryption_key: bytes | None = None,
     as_of_epoch: int | None = None, as_of_ts=None,
     as_of_tag: str | None = None, since_epoch: int | None = None,
+    elements: bool = False,
 ) -> dict:
     """Exact ``{rows, nonnull, sum, min, max}`` of one int/decimal
     column under the readers' filter surface, plus telemetry
@@ -93,6 +112,15 @@ def aggregate_encoded(
     the same shapes read_encoded does. SQL alignment: ``rows`` is
     COUNT(*), ``nonnull`` is COUNT(column); ``sum``/``min``/``max``
     are NULL (None) when no non-null row passes.
+
+    ``elements=True`` aggregates over the ELEMENTS of a flat
+    ``array<int>`` column (the tokens lane): ``rows`` becomes the
+    total element count, ``nonnull``/``sum``/``min``/``max`` fold the
+    element values — "how many tokens, their checksum, the vocab
+    range" at corpus scale from metadata alone. A flat list's element
+    chunks carry the same stats a scalar's do (the element leaf IS a
+    ``values`` component), and row-level filter coverage transfers:
+    a chunk all of whose ROWS pass contributes all of its elements.
     """
     as_of_epoch = _resolve_as_of(spark, path, as_of_epoch, as_of_ts,
                                  as_of_tag)
@@ -103,6 +131,13 @@ def aggregate_encoded(
     if column not in by_name:
         raise ValueError(f"column {column!r} not in encoded table")
     dt = by_name[column].dataType
+    if elements:
+        if not (isinstance(dt, T.ArrayType)
+                and isinstance(dt.elementType, _INT_LANES)):
+            raise ValueError(
+                f"elements=True needs a flat array<int> column; "
+                f"{column!r} is {dt.simpleString()}")
+        dt = dt.elementType
     scale = 0
     if isinstance(dt, T.DecimalType):
         if dt.precision > 18:
@@ -153,7 +188,8 @@ def aggregate_encoded(
     dels = _active_deletes(spark, path, as_of_epoch=as_of_epoch)
     if dels or (involved & enc_cols) \
             or _evolution_fill_columns(files, involved):
-        out = _decode_path(spark, path, column, filts_kw, scale)
+        out = _decode_path(spark, path, column, filts_kw, scale,
+                           elements=elements)
         out["sum"] = None if out["sum"] is None else (
             out["sum"] if scale else int(out["sum"]))
         out.update(chunks_meta=0, chunks_decoded=None,
@@ -254,7 +290,8 @@ def aggregate_encoded(
     mx = m["mx"]
     if n_partial:
         d = _decode_path(spark, path, column,
-                         dict(filts_kw, _chunk_subset=partial), scale)
+                         dict(filts_kw, _chunk_subset=partial), scale,
+                         elements=elements)
         rows += d["rows"]
         nonnull += d["nonnull"]
         if d["sum"] is not None:
@@ -276,3 +313,211 @@ def aggregate_encoded(
         "chunks_meta": int(m["c"] or 0), "chunks_decoded": n_partial,
         "path": "meta+decode" if n_partial else "meta",
     }
+
+
+def aggregate_encoded_grouped(
+    spark: SparkSession, path: str, group_col: str, column: str,
+    range_filter=None, in_filter=None, eq_filter=None,
+    contains_filter=None,
+    encryption_key: bytes | None = None,
+    as_of_epoch: int | None = None, as_of_ts=None,
+    as_of_tag: str | None = None, since_epoch: int | None = None,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """GROUPED aggregate pushdown: one row per ``group_col`` value
+    with ``n_rows`` (COUNT(*)), ``nonnull`` (COUNT(column)), ``sum``,
+    ``min``, ``max`` of ``column`` — the "daily rollup" shape.
+
+    Chunks that (a) every filter provably covers and (b) hold exactly
+    ONE group value (the group column's zone is a point: lo == hi,
+    zero nulls) contribute from METADATA alone; cluster the table by
+    the group column at write (``cluster_by=group_col``) and interior
+    chunks never decode — only group-boundary chunks do. Everything
+    else routes through the exact read restricted to that chunk set,
+    aggregated with Spark's own partial-agg groupBy. At 100 TB a
+    day-clustered events table answers "per-day event count + value
+    sum" with a metadata job plus a decode of ~one straddler chunk
+    per day per bucket.
+
+    ``group_col``: int-lane scalar (ints, DATE, TIMESTAMP — storage
+    ints convert back to logical values). ``column``: plain int
+    column (decimal/float: use read_encoded + groupBy). Rows whose
+    group value is NULL form SQL's NULL group (they only ever travel
+    the decode path — a chunk containing them is never single-group).
+    Pending deletes / evolution fill / encrypted involved columns
+    fall back wholesale to the exact read. ``stats_out`` (optional
+    dict) receives {chunks_total, chunks_meta, chunks_decoded, path}
+    telemetry.
+    """
+    as_of_epoch = _resolve_as_of(spark, path, as_of_epoch, as_of_ts,
+                                 as_of_tag)
+    manifest, lin = _load_table(spark, path, as_of_epoch=as_of_epoch,
+                                since_epoch=since_epoch)
+    schema = manifest_schema(manifest)
+    by_name = {f.name: f for f in schema.fields}
+    for c in (group_col, column):
+        if c not in by_name:
+            raise ValueError(f"column {c!r} not in encoded table")
+    gdt = by_name[group_col].dataType
+    adt = by_name[column].dataType
+    if not isinstance(gdt, (*_INT_LANES, T.DateType, T.TimestampType)):
+        raise ValueError(
+            f"group column must be int/date/timestamp; {group_col!r} "
+            f"is {gdt.simpleString()}")
+    if not isinstance(adt, _INT_LANES):
+        raise ValueError(
+            f"grouped pushdown aggregates plain int columns; "
+            f"{column!r} is {adt.simpleString()} — read_encoded + "
+            "groupBy instead")
+
+    filts: list[tuple[str, tuple]] = []
+    for rf in _as_filter_list(range_filter):
+        filts.append(("range", rf))
+    if in_filter is not None:
+        filts.append(("in", tuple(in_filter)))
+    if eq_filter is not None:
+        filts.append(("eq", tuple(eq_filter)))
+    if contains_filter is not None:
+        filts.append(("contains", tuple(contains_filter)))
+    fcols = []
+    for _, spec in filts:
+        if spec[0] not in by_name:
+            raise ValueError(
+                f"filter column {spec[0]!r} not in encoded table")
+        if spec[0] not in fcols:
+            fcols.append(spec[0])
+    filts_kw = dict(range_filter=range_filter, in_filter=in_filter,
+                    eq_filter=eq_filter,
+                    contains_filter=contains_filter,
+                    encryption_key=encryption_key,
+                    as_of_epoch=as_of_epoch, since_epoch=since_epoch)
+
+    def _group_agg(df):
+        return df.groupBy(group_col).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(column).alias("nonnull"),
+            F.sum(F.col(column).cast("decimal(38,0)")).alias("sum"),
+            F.min(column).cast("long").alias("min"),
+            F.max(column).cast("long").alias("max"),
+        )
+
+    def _finish(df):
+        return df.select(
+            group_col, "n_rows", "nonnull",
+            F.col("sum").cast("long").alias("sum"), "min", "max")
+
+    lin_rows = [(int(r.bucket), r.run_id) for r in lin.collect()]
+    run_ids = sorted({rid for _, rid in lin_rows})
+    files = _run_files(spark, path, run_ids)
+    involved = set([group_col, column] + fcols)
+    enc_cols = set(manifest.get("encrypted_columns", []))
+    dels = _active_deletes(spark, path, as_of_epoch=as_of_epoch)
+    if dels or (involved & enc_cols) \
+            or _evolution_fill_columns(files, involved):
+        if stats_out is not None:
+            stats_out.update(path="decode")
+        return _finish(_group_agg(read_encoded(
+            spark, path, columns=[group_col, column], **filts_kw)))
+
+    lin_local = spark.createDataFrame(lin_rows,
+                                      "bucket int, run_id string")
+    blocks = _blocks_df(spark, path, lin_local,
+                        columns_needed=involved, files=files).persist()
+    try:
+        keys = ["run_id", "bucket", "chunk"]
+        surv = None
+        for kind, spec in filts:
+            s, _res = _filter_survivors(blocks, schema, manifest, kind,
+                                        spec,
+                                        encryption_key=encryption_key)
+            surv = s if surv is None else surv.join(F.broadcast(s),
+                                                    keys, "inner")
+        vals = blocks.filter((F.col("component") == "values")
+                             & F.col("column").isin(list(involved)))
+        if surv is not None:
+            vals = vals.join(F.broadcast(surv), keys, "left_semi")
+
+        def _j(c, fld):
+            return F.max(F.when(
+                F.col("column") == c,
+                F.get_json_object("meta", f"$.{fld}").cast("long")))
+
+        aggs = [
+            F.max(F.when(F.col("column") == column,
+                         F.col("n_rows"))).alias("n"),
+            _j(column, "lo").alias("a_lo"),
+            _j(column, "hi").alias("a_hi"),
+            _j(column, "nulls").alias("a_nulls"),
+            _j(column, "sum").alias("a_sum"),
+            _j(group_col, "lo").alias("g_lo"),
+            _j(group_col, "hi").alias("g_hi"),
+            _j(group_col, "nulls").alias("g_nulls"),
+        ]
+        cov = F.lit(True)
+        for i, (kind, spec) in enumerate(filts):
+            nf = _normalize_filter(schema, manifest, kind, spec,
+                                   make_residual=False)
+            c = nf["col"]
+            if nf["kind"] != "zone" or nf["lane"] != "int" \
+                    or kind not in ("range", "in"):
+                cov = cov & F.lit(False)
+                continue
+            aggs += [_j(c, "lo").alias(f"f{i}_lo"),
+                     _j(c, "hi").alias(f"f{i}_hi"),
+                     _j(c, "nulls").alias(f"f{i}_nulls")]
+            lo, hi, nl = (F.col(f"f{i}_lo"), F.col(f"f{i}_hi"),
+                          F.col(f"f{i}_nulls"))
+            if kind == "range":
+                (flo, fhi), = nf["bounds"]
+                c_ok = (lo >= F.lit(int(flo))) & (hi <= F.lit(int(fhi)))
+            else:
+                probes = [int(zv) for zv, _ in nf["bounds"]]
+                c_ok = (lo == hi) & lo.isin(probes)
+            cov = cov & lo.isNotNull() & c_ok & (nl == 0)
+        meta_ok = (cov
+                   & F.col("g_lo").isNotNull()
+                   & (F.col("g_lo") == F.col("g_hi"))
+                   & (F.col("g_nulls") == 0)
+                   & F.col("a_nulls").isNotNull()
+                   & (F.col("a_sum").isNotNull()
+                      | (F.col("a_nulls") == F.col("n"))))
+        per_chunk = (vals.groupBy(*keys).agg(*aggs)
+                     .withColumn("meta_ok", meta_ok).persist())
+        meta_g = per_chunk.filter("meta_ok").groupBy("g_lo").agg(
+            F.sum("n").alias("n_rows"),
+            F.sum(F.col("n") - F.col("a_nulls")).alias("nonnull"),
+            F.sum(F.col("a_sum").cast("decimal(38,0)")).alias("sum"),
+            F.min("a_lo").alias("min"), F.max("a_hi").alias("max"),
+        ).select(
+            _storage_to_logical(F.col("g_lo"), gdt).alias(group_col),
+            "n_rows", "nonnull", "sum", "min", "max",
+        ).localCheckpoint(eager=True)
+        partial = (per_chunk.filter(~F.col("meta_ok")).select(*keys)
+                   .localCheckpoint(eager=True))
+        n_partial = partial.count()
+        if stats_out is not None:
+            stats_out.update(
+                chunks_total=int(blocks.filter(
+                    (F.col("component") == "values")
+                    & (F.col("column") == column)).count()),
+                chunks_meta=int(per_chunk.filter("meta_ok").count()),
+                chunks_decoded=n_partial,
+                path="meta+decode" if n_partial else "meta")
+    finally:
+        blocks.unpersist()
+        try:
+            per_chunk.unpersist()
+        except NameError:
+            pass
+    if not n_partial:
+        return _finish(meta_g)
+    dec_g = _group_agg(read_encoded(
+        spark, path, columns=[group_col, column],
+        **dict(filts_kw, _chunk_subset=partial)))
+    merged = meta_g.unionByName(dec_g).groupBy(group_col).agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("nonnull").alias("nonnull"),
+        F.sum("sum").alias("sum"),
+        F.min("min").alias("min"), F.max("max").alias("max"),
+    )
+    return _finish(merged)
