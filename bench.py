@@ -200,6 +200,10 @@ def main() -> None:
         "delete_roundtrip",
         "docs_repetition_stats",
         "cobucket_join_stats",
+        # aggregate pushdown (r5): metadata-only corpus stats over
+        # ~38M tokens + the day-clustered grouped rollup
+        "metadata_rowcount",
+        "events_daily_pushdown",
     ]
     qs = entrymod.queries()
     # the heavy LSH pipelines get min-of-3: their multi-second walls

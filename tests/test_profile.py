@@ -140,3 +140,32 @@ def test_profile_cli(spark, table):
     cols = rep["profile"]["columns"]
     assert cols["day"]["min"] == "2024-01-01"
     assert cols["n_tok"]["min"] == 5
+
+
+def test_profile_exact_nulls_and_sum(spark, tmp_path):
+    """r5 SMA stats surface in the profile: exact null_rows and exact
+    sum, for scalars and for array<int> elements."""
+    from pyspark.sql import functions as F
+
+    from tokcodec.io_tables import profile_encoded, write_encoded
+
+    base = str(tmp_path / "psma")
+    df = spark.range(500).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 4 != 0, F.col("id") * 2).alias("v"),
+        F.sequence(F.lit(0).cast("int"),
+                   (F.col("id") % 5).cast("int")).alias("tokens"))
+    write_encoded(df.repartition(1), base, n_buckets=2,
+                  chunk_max_rows=64)
+    prof = profile_encoded(spark, base)
+    want_nulls = df.filter(F.col("v").isNull()).count()
+    want_sum = df.agg(F.sum("v")).collect()[0][0]
+    assert prof["columns"]["v"]["null_rows"] == want_nulls
+    assert prof["columns"]["v"]["sum"] == want_sum
+    tok = prof["columns"]["tokens"]
+    want_tok = df.select(F.explode("tokens").alias("e")).agg(
+        F.sum("e"), F.count(F.lit(1))).collect()[0]
+    assert tok["sum"] == want_tok[0]
+    assert tok["null_rows"] == 0
+    assert prof["columns"]["k"]["sum"] == 500 * 499 // 2
+    assert prof["columns"]["k"]["null_rows"] == 0

@@ -3013,7 +3013,14 @@ def profile_encoded(spark: SparkSession, path: str,
     intended. int/date/timestamp/TIME/decimal(<=18) bounds are exact
     (zone maps store exact lo/hi); float bounds are exact over finite
     values (NaNs excluded); string/binary bounds are truncated
-    prefixes (lower bound <= true min, upper >= true max)."""
+    prefixes (lower bound <= true min, upper >= true max).
+
+    When every values chunk of a column carries the r5
+    small-materialized-aggregate stats, the profile adds ``null_rows``
+    (EXACT — the upper bound stays for older tables) and ``sum``
+    (exact value total; int and decimal(<=18) lanes; for array<int>
+    columns both describe the ELEMENTS, so ``sum`` over a tokens
+    column is the corpus token checksum)."""
     import base64 as _b64
 
     as_of_epoch = _resolve_as_of(spark, path, as_of_epoch, as_of_ts,
@@ -3061,7 +3068,11 @@ def profile_encoded(spark: SparkSession, path: str,
                             "slo": None, "shi": None, "shi_inf": False,
                             "null_chunks": 0, "null_rows": 0,
                             "orig": 0, "enc": 0, "codecs": {},
-                            "regs": None}
+                            "regs": None,
+                            # r5 small-materialized-aggregate stats:
+                            # exact when every values chunk carries
+                            # them (nk/sk count the chunks that do)
+                            "nulls": 0, "nk": 0, "sum": 0, "sk": 0}
             return acc[col]
 
         for batch in batches:
@@ -3096,6 +3107,15 @@ def profile_encoded(spark: SparkSession, path: str,
                     if not have_key:
                         continue  # redacted without the key
                     meta = decrypt_block_meta(key, r)
+                if meta.get("nulls") is not None:
+                    st["nulls"] += int(meta["nulls"])
+                    st["nk"] += 1
+                if meta.get("sum") is not None:
+                    st["sum"] += int(meta["sum"])
+                    st["sk"] += 1
+                elif meta.get("nulls") is not None \
+                        and int(meta["nulls"]) == int(r["n_rows"] or 0):
+                    st["sk"] += 1  # all-null chunk: sum contributes 0
                 lo, hi = meta.get("lo"), meta.get("hi")
                 if lo is not None:
                     st["lo"] = lo if st["lo"] is None \
@@ -3146,10 +3166,14 @@ def profile_encoded(spark: SparkSession, path: str,
                 "chunks": 0, "lo": None, "hi": None, "slo": None,
                 "shi": None, "shi_inf": False, "null_chunks": 0,
                 "null_rows": 0, "orig": 0, "enc": 0, "codecs": {},
-                "regs": []})
+                "regs": [], "nulls": 0, "nk": 0, "sum": 0, "sk": 0})
             m["chunks"] += s["chunks"]
             m["null_chunks"] += s["null_chunks"]
             m["null_rows"] += s["null_rows"]
+            m["nulls"] += s.get("nulls", 0)
+            m["nk"] += s.get("nk", 0)
+            m["sum"] += s.get("sum", 0)
+            m["sk"] += s.get("sk", 0)
             m["orig"] += s["orig"]
             m["enc"] += s["enc"]
             for cdc, n in s["codecs"].items():
@@ -3200,6 +3224,23 @@ def profile_encoded(spark: SparkSession, path: str,
             "orig_bytes": m["orig"], "enc_bytes": m["enc"],
             "codecs": m["codecs"],
         })
+        if not (col in enc_cols and not have_key):
+            # r5 exact SMA stats, present iff EVERY values chunk of
+            # the column carries them (tables written before the stat
+            # keep the upper bound only)
+            if m["nk"] == m["chunks"] > 0:
+                prof["null_rows"] = m["nulls"]
+            if (m["sk"] == m["chunks"] > 0
+                    and isinstance(vt, (T.ByteType, T.ShortType,
+                                        T.IntegerType, T.LongType))):
+                prof["sum"] = m["sum"]
+            elif (m["sk"] == m["chunks"] > 0
+                  and isinstance(vt, T.DecimalType)
+                  and vt.precision <= 18):
+                import decimal as _decimal
+
+                prof["sum"] = _decimal.Decimal(
+                    m["sum"]).scaleb(-vt.scale)
         if col in sketched and m["regs"]:
             prof["ndv"] = int(round(hll_estimate(hll_merge(m["regs"]))))
         out["columns"][col] = prof
