@@ -33,6 +33,7 @@ from tokcodec.io_tables import (  # noqa: F401
     read_encoded_direct,
     register_encoded,
     resolve_as_of_ts,
+    sample_encoded,
     suggest_buckets,
     tag_encoded,
     tags_encoded,

@@ -1300,6 +1300,7 @@ def read_encoded(
     since_epoch: int | None = None,
     as_of_tag: str | None = None,
     _chunk_subset: DataFrame | None = None,
+    _sample: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Decode an encoded table; ``columns`` is projection pushdown —
     only those columns' block FILES enter the scan (reference P3).
@@ -1480,6 +1481,20 @@ def read_encoded(
     if _chunk_subset is not None:
         blocks = blocks.join(F.broadcast(_chunk_subset),
                              ["run_id", "bucket", "chunk"], "left_semi")
+    if _sample is not None:
+        # chunk-granular Bernoulli sample, decided inside the scan's
+        # own filter (no extra job): the keep-hash is identical for
+        # every component row of a chunk, so whole chunks survive
+        if evolved:
+            raise ValueError(
+                "sampling is not supported on tables with pending "
+                "evolution null-fill (fill anchors would desync from "
+                "the sampled chunk set) — compact_encoded first")
+        frac, seed = _sample
+        blocks = blocks.filter(
+            F.pmod(F.xxhash64("run_id", "bucket", "chunk",
+                              F.lit(int(seed))),
+                   F.lit(1_000_000)) < int(frac * 1_000_000))
     bcol = BUCKET_COL if with_bucket_column else None
     if not filts:
         return _finish(decode_blocks(blocks, schema, decode_cols,
@@ -1495,6 +1510,28 @@ def read_encoded(
                         encryption_key=encryption_key,
                         bucket_column=bcol)
     return _finish(out.filter(residual))
+
+
+def sample_encoded(spark: SparkSession, path: str, fraction: float,
+                   seed: int = 0, **read_kw) -> DataFrame:
+    """Deterministic CHUNK-granular Bernoulli sample of an encoded
+    table (≙ TABLESAMPLE SYSTEM): every (run, bucket, chunk) is kept
+    with probability ≈ ``fraction``, decided by a hash of its identity
+    + ``seed`` inside the scan's own block filter — no extra planning
+    job, no decode of dropped chunks, and the same (table, fraction,
+    seed) always yields the same rows. The unit is a chunk, not a row
+    (rows within a chunk are correlated — corpus inspection /
+    eyeballing / profiling at 100 TB, not i.i.d. row sampling; chunk
+    geometry at write sets the granularity). Fractions compose:
+    ``fraction=1`` is the full table, and a larger fraction's sample
+    is NOT necessarily a superset of a smaller one's (independent
+    threshold per chunk, single hash). Accepts every read_encoded
+    keyword (projection, filters, time travel, deletes still apply).
+    Tables with pending evolution null-fill must compact first."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1]: {fraction}")
+    return read_encoded(spark, path, _sample=(float(fraction),
+                                              int(seed)), **read_kw)
 
 
 def _as_filter_list(range_filter) -> list[tuple]:

@@ -36,12 +36,14 @@ from tokcodec.encode import METRICS_COLUMN
 from tokcodec.io_tables import (
     _active_deletes,
     _apply_deletes,
+    _as_of_schema,
     _check_encryption_key,
     _direct_file_rows,
     _evolution_fill_columns,
     _expand_uuid_cols,
     _load_table,
     _paths,
+    _resolve_as_of,
     _run_files,
 )
 from tokcodec.schema import manifest_schema
@@ -55,19 +57,40 @@ _ACERO_HOW = {
 
 
 def _plan_side(spark: SparkSession, path: str, on: list[str],
-               columns: list[str] | None, encryption_key: bytes | None):
+               columns: list[str] | None, encryption_key: bytes | None,
+               as_of_epoch: int | None = None, as_of_ts=None,
+               as_of_tag: str | None = None):
     """Direct-scan plan for one join side: which buckets/files exist,
     how to decode them, and which extra columns ride along (delete
-    keys). Returns a dict; no filters/time-travel in the join reader
-    — read through read_encoded(_direct) first if you need those."""
+    keys). Returns a dict. Time travel (``as_of_*``) snapshots the
+    side independently — join "training set as of epoch 7" against
+    "labels as of tag v2" for reproducible pipelines; bucketing is
+    immutable across epochs (appends keep the recorded salt), so
+    co-partitioning holds at ANY snapshot pair. No filters in the
+    join reader — read through read_encoded(_direct) for those."""
     blocks_p, _, _ = _paths(path)
-    manifest, lin = _load_table(spark, path)
+    as_of_epoch = _resolve_as_of(spark, path, as_of_epoch, as_of_ts,
+                                 as_of_tag)
+    manifest, lin = _load_table(spark, path, as_of_epoch=as_of_epoch)
     full_schema = manifest_schema(manifest)
+    accepted: dict[int, list[str]] = {}
+    for r in lin.collect():  # one row per (bucket, epoch) — tiny
+        accepted.setdefault(int(r.bucket), []).append(r.run_id)
+    run_ids = {rid for rs in accepted.values() for rid in rs}
+    if as_of_epoch is not None:
+        # snapshot-schema time travel: project the union of the
+        # participating runs' stored schemas (read_encoded parity)
+        files, run_schemas = _run_files(spark, path, run_ids,
+                                        with_schemas=True)
+        full_schema = _as_of_schema(full_schema, run_schemas)
+    else:
+        files = _run_files(spark, path, run_ids)
     by_name = {f.name: f for f in full_schema.fields}
     missing = [c for c in on if c not in by_name]
     if missing:
         raise ValueError(f"join keys {missing} not in table {path!r}")
-    dels = _active_deletes(spark, path)
+    dels = _active_deletes(spark, path, as_of_epoch=as_of_epoch)
+    dels = [d for d in dels if d["key_column"] in by_name]
     want = list(columns) if columns is not None \
         else [f.name for f in full_schema.fields]
     unknown = set(want) - set(by_name)
@@ -79,11 +102,6 @@ def _plan_side(spark: SparkSession, path: str, on: list[str],
               if d["key_column"] not in want + extra]
     decode_names = want + extra
     schema = T.StructType([by_name[c] for c in decode_names])
-    accepted: dict[int, list[str]] = {}
-    for r in lin.collect():  # one row per (bucket, epoch) — tiny
-        accepted.setdefault(int(r.bucket), []).append(r.run_id)
-    files = _run_files(spark, path,
-                       {rid for rs in accepted.values() for rid in rs})
     scan_cols = {f.name for f in schema.fields}
     fill_from = None
     if _evolution_fill_columns(files, scan_cols):
@@ -145,6 +163,10 @@ def join_encoded(
     right_columns: list[str] | None = None,
     encryption_key: bytes | None = None,
     right_encryption_key: bytes | None = None,
+    left_as_of_epoch: int | None = None, left_as_of_ts=None,
+    left_as_of_tag: str | None = None,
+    right_as_of_epoch: int | None = None, right_as_of_ts=None,
+    right_as_of_tag: str | None = None,
 ) -> DataFrame:
     """Equi-join two encoded tables WITHOUT shuffling either one.
 
@@ -157,7 +179,11 @@ def join_encoded(
 
     ``how``: inner | left | left_semi | left_anti. Output columns =
     left side's (projected) columns, then the right side's non-key
-    columns (semi/anti: left only). Pending equality deletes apply
+    columns (semi/anti: left only). Each side snapshots independently
+    via ``left_as_of_epoch/_ts/_tag`` and ``right_as_of_*`` (snapshot
+    schema included) — "sequences as of epoch 7 joined to labels as
+    of tag v2" for reproducible pipelines; bucketing is immutable
+    across epochs, so co-partitioning holds at any snapshot pair. Pending equality deletes apply
     merge-on-read: left-side deletes under every ``how``; right-side
     deletes only under ``how='inner'`` (any other shape would need
     the delete applied BEFORE the join — read through read_encoded
@@ -167,9 +193,14 @@ def join_encoded(
     if how not in _ACERO_HOW:
         raise ValueError(
             f"how={how!r}; supported: {sorted(_ACERO_HOW)}")
-    lp = _plan_side(spark, left_path, on, left_columns, encryption_key)
+    lp = _plan_side(spark, left_path, on, left_columns, encryption_key,
+                    as_of_epoch=left_as_of_epoch,
+                    as_of_ts=left_as_of_ts, as_of_tag=left_as_of_tag)
     rp = _plan_side(spark, right_path, on, right_columns,
-                    right_encryption_key)
+                    right_encryption_key,
+                    as_of_epoch=right_as_of_epoch,
+                    as_of_ts=right_as_of_ts,
+                    as_of_tag=right_as_of_tag)
     lman, rman = lp["manifest"], rp["manifest"]
     lsalt = _salt_of(lman, left_path)
     rsalt = _salt_of(rman, right_path)
