@@ -60,6 +60,21 @@ def main() -> None:
                         "chunks/rows/bytes scanned vs total, per "
                         "filter and combined) instead of decoding — "
                         "no --output write happens")
+    p.add_argument("--aggregate", default=None, metavar="COLUMN",
+                   help="print exact COUNT/COUNT(col)/SUM/MIN/MAX of "
+                        "an int/decimal column (aggregate_encoded: "
+                        "metadata for covered chunks, decode only at "
+                        "filter boundaries) instead of decoding; "
+                        "COLUMN[:elements] folds a flat array<int> "
+                        "column's elements. No --output write")
+    p.add_argument("--group-by", default=None, metavar="GCOL",
+                   help="with --aggregate: per-group rollup "
+                        "(aggregate_encoded_grouped) written to "
+                        "--output as parquet")
+    p.add_argument("--sample", default=None, metavar="FRACTION[:SEED]",
+                   help="chunk-granular deterministic sample of the "
+                        "table (sample_encoded) — composes with "
+                        "projection/filters/time travel")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -128,16 +143,58 @@ def main() -> None:
             as_of_tag=args.as_of_tag, since_epoch=args.since_epoch)))
         spark.stop()
         return
+    if args.aggregate:
+        col, _, mode = args.aggregate.partition(":")
+        if args.group_by:
+            if not args.output:
+                p.error("--group-by needs --output")
+            from tokcodec.agg import aggregate_encoded_grouped
+
+            st: dict = {}
+            g = aggregate_encoded_grouped(
+                spark, args.input, args.group_by, col,
+                range_filter=rf, eq_filter=ef, contains_filter=cf,
+                as_of_epoch=args.as_of_epoch, as_of_ts=args.as_of_ts,
+                as_of_tag=args.as_of_tag,
+                since_epoch=args.since_epoch, stats_out=st)
+            g.write.mode("overwrite").parquet(args.output)
+            print(json.dumps({**st, "output": args.output}))
+            spark.stop()
+            return
+        from tokcodec.agg import aggregate_encoded
+
+        out = aggregate_encoded(
+            spark, args.input, col, elements=(mode == "elements"),
+            range_filter=rf, eq_filter=ef, contains_filter=cf,
+            as_of_epoch=args.as_of_epoch, as_of_ts=args.as_of_ts,
+            as_of_tag=args.as_of_tag, since_epoch=args.since_epoch)
+        print(json.dumps(out, default=str))
+        spark.stop()
+        return
     if not args.output:
         p.error("--output is required unless --explain")
-    reader = read_encoded_direct if args.direct else read_encoded
-    df = reader(spark, args.input, columns=columns,
-                range_filter=rf, eq_filter=ef, contains_filter=cf,
-                verify_checksums=args.verify_checksums,
-                as_of_epoch=args.as_of_epoch,
-                as_of_ts=args.as_of_ts,
-                as_of_tag=args.as_of_tag,
-                since_epoch=args.since_epoch)
+    if args.sample:
+        from tokcodec.io_tables import sample_encoded
+
+        frac, _, seed = args.sample.partition(":")
+        df = sample_encoded(spark, args.input, float(frac),
+                            seed=int(seed or 0), columns=columns,
+                            range_filter=rf, eq_filter=ef,
+                            contains_filter=cf,
+                            verify_checksums=args.verify_checksums,
+                            as_of_epoch=args.as_of_epoch,
+                            as_of_ts=args.as_of_ts,
+                            as_of_tag=args.as_of_tag,
+                            since_epoch=args.since_epoch)
+    else:
+        reader = read_encoded_direct if args.direct else read_encoded
+        df = reader(spark, args.input, columns=columns,
+                    range_filter=rf, eq_filter=ef, contains_filter=cf,
+                    verify_checksums=args.verify_checksums,
+                    as_of_epoch=args.as_of_epoch,
+                    as_of_ts=args.as_of_ts,
+                    as_of_tag=args.as_of_tag,
+                    since_epoch=args.since_epoch)
     df.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
     print(json.dumps({"rows": n, "output": args.output}))

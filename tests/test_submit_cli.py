@@ -272,3 +272,57 @@ def test_spark_submit_contains_filter(spark, tmp_path):
     assert res["rows"] == 2
     got = sorted(x["doc_id"] for x in spark.read.parquet(out).collect())
     assert got == ["d21", "d50"], got  # 168 // 8 = 21
+
+
+def test_spark_submit_aggregate_and_sample(spark, tmp_path):
+    """r5 CLI surface: --aggregate (scalar + :elements + --group-by)
+    and --sample through real spark-submit processes."""
+    from tokcodec.io_tables import write_encoded
+
+    enc = str(tmp_path / "aggenc")
+    out = str(tmp_path / "aggout")
+    df = spark.range(600).select(
+        F.col("id").alias("k"),
+        (F.col("id") / 150).cast("int").alias("day"),
+        (F.col("id") * 3).alias("v"),
+        F.sequence(F.lit(0).cast("int"),
+                   (F.col("id") % 4).cast("int")).alias("tokens"))
+    write_encoded(df.repartition(1), enc, n_buckets=2,
+                  chunk_max_rows=64, cluster_by="day")
+    submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    env = dict(os.environ, PYTHONPATH="/root/repo",
+               SPARK_LOCAL_DIRS="/dev/shm")
+
+    def run(args):
+        r = subprocess.run(
+            [submit, "--master", "local[4]"] + args,
+            cwd="/root/repo", env=env, capture_output=True, text=True,
+            timeout=420,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads([ln for ln in r.stdout.splitlines()
+                           if ln.startswith("{")][-1])
+
+    res = run(["scripts/submit_decode.py", "--input", enc,
+               "--aggregate", "v", "--range-filter", "k:60:539"])
+    assert res["rows"] == 480
+    assert int(res["sum"]) == sum(i * 3 for i in range(60, 540))
+    assert res["chunks_meta"] > 0
+
+    tok = run(["scripts/submit_decode.py", "--input", enc,
+               "--aggregate", "tokens:elements"])
+    want_el = df.select(F.explode("tokens").alias("e"))
+    assert tok["rows"] == want_el.count()
+    assert int(tok["sum"]) == want_el.agg(F.sum("e")).collect()[0][0]
+
+    g = run(["scripts/submit_decode.py", "--input", enc,
+             "--aggregate", "v", "--group-by", "day",
+             "--output", out])
+    assert g["chunks_meta"] > 0
+    back = spark.read.parquet(out)
+    assert back.count() == 4
+    assert back.agg(F.sum("n_rows")).collect()[0][0] == 600
+
+    s = run(["scripts/submit_decode.py", "--input", enc,
+             "--sample", "0.5:3", "--output", out])
+    assert 0 < s["rows"] < 600
