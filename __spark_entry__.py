@@ -280,12 +280,18 @@ def q_metadata_rowcount(spark, sf_dir):
     # element mode over the tokens ARRAY: corpus token count, token
     # checksum and vocab range — all from chunk metadata
     t = aggregate_encoded(spark, path, "tokens", elements=True)
+    # exact discrete quantiles via zone-map-guided rank search
+    # (quantile_encoded): min_tok/max_tok carry p50/p90 of n_tok,
+    # DuckDB's quantile_disc recomputes them
+    from tokcodec.agg import quantile_encoded
+
+    p50, p90 = quantile_encoded(spark, path, "n_tok", [0.5, 0.9])
     rows = [("commit", n, n, None, None, None)] + [
         (tag, g["rows"], g["nonnull"],
          None if g["sum"] is None else int(g["sum"]),
          g["min"], g["max"])
         for tag, g in (("all", a), ("mid", m), ("tok", t))
-    ]
+    ] + [("quant", a["rows"], a["nonnull"], None, p50, p90)]
     return spark.createDataFrame(
         rows, "scope string, n_rows bigint, nn bigint, "
               "sum_tok bigint, min_tok bigint, max_tok bigint")
@@ -2142,7 +2148,11 @@ SELECT 'tok', CAST(SUM(len(tokens)) AS BIGINT),
             AS BIGINT),
        CAST(MIN(list_aggregate(tokens, 'min')) AS BIGINT),
        CAST(MAX(list_aggregate(tokens, 'max')) AS BIGINT)
-FROM seq""",
+FROM seq
+UNION ALL
+SELECT 'quant', COUNT(*), COUNT(n), CAST(NULL AS BIGINT),
+       CAST(quantile_disc(n, 0.5) AS BIGINT),
+       CAST(quantile_disc(n, 0.9) AS BIGINT) FROM nt""",
         "stream_ingest_roundtrip": f"""{_SEQ_CTE}
 SELECT source,
        COUNT(*) AS n_docs,

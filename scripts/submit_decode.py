@@ -71,6 +71,11 @@ def main() -> None:
                    help="with --aggregate: per-group rollup "
                         "(aggregate_encoded_grouped) written to "
                         "--output as parquet")
+    p.add_argument("--quantile", default=None,
+                   metavar="COLUMN:Q[,Q...]",
+                   help="print exact discrete quantile(s) of an "
+                        "int-lane column (quantile_encoded: zone-map "
+                        "rank search, bounded decode). No --output")
     p.add_argument("--sample", default=None, metavar="FRACTION[:SEED]",
                    help="chunk-granular deterministic sample of the "
                         "table (sample_encoded) — composes with "
@@ -169,6 +174,21 @@ def main() -> None:
             as_of_epoch=args.as_of_epoch, as_of_ts=args.as_of_ts,
             as_of_tag=args.as_of_tag, since_epoch=args.since_epoch)
         print(json.dumps(out, default=str))
+        spark.stop()
+        return
+    if args.quantile:
+        from tokcodec.agg import quantile_encoded
+
+        col, _, qspec = args.quantile.partition(":")
+        qs = [float(x) for x in qspec.split(",")]
+        st: dict = {}
+        vals = quantile_encoded(
+            spark, args.input, col, qs,
+            as_of_epoch=args.as_of_epoch, as_of_ts=args.as_of_ts,
+            as_of_tag=args.as_of_tag, since_epoch=args.since_epoch,
+            stats_out=st)
+        print(json.dumps({**st, "quantiles": dict(
+            zip(map(str, qs), vals))}, default=str))
         spark.stop()
         return
     if not args.output:

@@ -346,3 +346,85 @@ def test_grouped_deletes_fallback(gtable, tmp_path):
     want = _gtruth(read_encoded(spark, dst), "day", "v")
     assert sorted((tuple(r) for r in got.collect()), key=repr) == want
     assert st["path"] == "decode"
+
+
+# ----------------------------------------------------------- quantiles
+from tokcodec.agg import quantile_encoded  # noqa: E402
+
+
+def _qtruth(vals, q):
+    import math
+
+    s = sorted(v for v in vals if v is not None)
+    if not s:
+        return None
+    return s[max(1, math.ceil(q * len(s))) - 1]
+
+
+@pytest.fixture(scope="module")
+def qtable(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("qagg") / "t")
+    import random
+
+    rng = random.Random(42)
+    vals = [rng.randrange(0, 100000) if i % 9 else None
+            for i in range(3000)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "k long, v long")
+    write_encoded(df.repartition(1), base, n_buckets=4,
+                  chunk_max_rows=100, cluster_by="v")
+    yield spark, base, vals
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_quantile_exact_bounded_decode(qtable):
+    spark, base, vals = qtable
+    st = {}
+    got = quantile_encoded(spark, base, "v", [0.01, 0.25, 0.5, 0.9, 1.0],
+                           stats_out=st)
+    want = [_qtruth(vals, q) for q in (0.01, 0.25, 0.5, 0.9, 1.0)]
+    assert got == want
+    # v-clustered chunks: the windows decode a fraction of the table
+    assert 0 < st["chunks_decoded"] < st["chunks_total"]
+
+
+def test_quantile_scalar_and_edges(qtable):
+    spark, base, vals = qtable
+    assert quantile_encoded(spark, base, "v", 0.5) == _qtruth(vals, 0.5)
+    assert quantile_encoded(spark, base, "v", 0.0) == _qtruth(vals, 0.0)
+    with pytest.raises(ValueError, match="out of"):
+        quantile_encoded(spark, base, "v", 1.5)
+    with pytest.raises(ValueError, match="not in encoded table"):
+        quantile_encoded(spark, base, "nope", 0.5)
+
+
+def test_quantile_unclustered_still_exact(spark, tmp_path):
+    base = str(tmp_path / "qu")
+    import random
+
+    rng = random.Random(7)
+    vals = [rng.randrange(0, 1000) for _ in range(800)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "k long, v long")
+    write_encoded(df.repartition(1), base, n_buckets=2,
+                  chunk_max_rows=64)  # NOT clustered by v
+    for q in (0.1, 0.5, 0.99):
+        assert quantile_encoded(spark, base, "v", q) == _qtruth(vals, q)
+
+
+def test_quantile_all_null_and_deletes(spark, tmp_path):
+    base = str(tmp_path / "qn")
+    df = spark.range(50).select(
+        F.col("id").alias("k"), F.lit(None).cast("long").alias("v"))
+    write_encoded(df.repartition(1), base, n_buckets=1)
+    assert quantile_encoded(spark, base, "v", 0.5) is None
+    base2 = str(tmp_path / "qd")
+    df2 = spark.range(100).select(
+        F.col("id").alias("k"), F.col("id").alias("v"))
+    write_encoded(df2.repartition(1), base2, n_buckets=1,
+                  chunk_max_rows=20)
+    delete_encoded(spark, base2, "k", list(range(50)))
+    st = {}
+    got = quantile_encoded(spark, base2, "v", 0.5, stats_out=st)
+    assert st["path"] == "decode"  # pending deletes: exact fallback
+    assert got == _qtruth(list(range(50, 100)), 0.5)

@@ -326,3 +326,30 @@ def test_spark_submit_aggregate_and_sample(spark, tmp_path):
     s = run(["scripts/submit_decode.py", "--input", enc,
              "--sample", "0.5:3", "--output", out])
     assert 0 < s["rows"] < 600
+
+
+def test_spark_submit_quantile(spark, tmp_path):
+    from tokcodec.io_tables import write_encoded
+
+    enc = str(tmp_path / "qenc")
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 997).alias("v"))
+    write_encoded(df.repartition(1), enc, n_buckets=2,
+                  chunk_max_rows=100, cluster_by="v")
+    submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    env = dict(os.environ, PYTHONPATH="/root/repo",
+               SPARK_LOCAL_DIRS="/dev/shm")
+    r = subprocess.run(
+        [submit, "--master", "local[4]", "scripts/submit_decode.py",
+         "--input", enc, "--quantile", "v:0.5,0.99"],
+        cwd="/root/repo", env=env, capture_output=True, text=True,
+        timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.loads([ln for ln in r.stdout.splitlines()
+                      if ln.startswith("{")][-1])
+    vals = sorted((i * 7 % 997) for i in range(1000))
+    import math
+
+    assert int(res["quantiles"]["0.5"]) == vals[max(1, math.ceil(0.5 * 1000)) - 1]
+    assert int(res["quantiles"]["0.99"]) == vals[max(1, math.ceil(0.99 * 1000)) - 1]
+    assert res["chunks_decoded"] < res["chunks_total"]

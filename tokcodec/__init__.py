@@ -45,6 +45,7 @@ from tokcodec.io_tables import (  # noqa: F401
 from tokcodec.agg import (  # noqa: F401
     aggregate_encoded,
     aggregate_encoded_grouped,
+    quantile_encoded,
 )
 from tokcodec.joins import join_encoded  # noqa: F401
 from tokcodec.naming import camel_to_snake, map_fields, snake_to_camel  # noqa: F401
