@@ -258,22 +258,32 @@ def aggregate_encoded(
                    & (F.col("a_sum").isNotNull()
                       | (F.col("a_nulls") == F.col("n"))))
         per_chunk = per_chunk.withColumn("meta_ok", meta_ok).persist()
-        m = per_chunk.filter("meta_ok").agg(
-            F.count(F.lit(1)).alias("c"),
-            F.sum("n").alias("rows"),
-            F.sum(F.col("n") - F.col("a_nulls")).alias("nonnull"),
-            F.sum(F.col("a_sum").cast("decimal(38,0)")).alias("s"),
-            F.min("a_lo").alias("mn"), F.max("a_hi").alias("mx"),
-        ).collect()[0]
-        # materialize the partial set while blocks is still cached:
-        # the decode job re-plans from it without re-deriving the
-        # pivot (localCheckpoint also severs the lineage so the
-        # broadcast semi-join below is a plain small scan)
-        partial = (per_chunk.filter(~F.col("meta_ok")).select(*keys)
-                   .localCheckpoint(eager=True))
-        n_partial = partial.count()
+        # BOTH sides' aggregates in ONE job (the fast path's cost is
+        # fixed small-job latency, not data)
+        zero = {"c": 0, "rows": 0, "nonnull": 0, "s": None,
+                "mn": None, "mx": None}
+        sides = {bool(r["meta_ok"]): r for r in
+                 per_chunk.groupBy("meta_ok").agg(
+                     F.count(F.lit(1)).alias("c"),
+                     F.sum("n").alias("rows"),
+                     F.sum(F.col("n") - F.col("a_nulls"))
+                     .alias("nonnull"),
+                     F.sum(F.col("a_sum").cast("decimal(38,0)"))
+                     .alias("s"),
+                     F.min("a_lo").alias("mn"),
+                     F.max("a_hi").alias("mx"),
+                 ).collect()}
+        m = sides.get(True, zero)
+        n_partial = int(sides.get(False, zero)["c"] or 0)
+        if n_partial:
+            # materialize the partial set while blocks is cached: the
+            # decode job re-plans from it without re-deriving the
+            # pivot (localCheckpoint severs the lineage so the
+            # broadcast semi-join below is a plain small scan)
+            partial = (per_chunk.filter(~F.col("meta_ok"))
+                       .select(*keys).localCheckpoint(eager=True))
         n_scanned = int(m["c"] or 0) + n_partial
-        n_total = int(blocks.filter(
+        n_total = n_scanned if not filts else int(blocks.filter(
             (F.col("component") == "values")
             & (F.col("column") == column)).count())
     finally:
