@@ -428,3 +428,43 @@ def test_quantile_all_null_and_deletes(spark, tmp_path):
     got = quantile_encoded(spark, base2, "v", 0.5, stats_out=st)
     assert st["path"] == "decode"  # pending deletes: exact fallback
     assert got == _qtruth(list(range(50, 100)), 0.5)
+
+
+def test_fuzz_aggregate_and_quantile(spark, tmp_path):
+    """Randomized geometries: negatives, nulls, duplicates, clustered
+    or not, random chunk sizes and random filter windows — aggregate
+    and quantile must equal Spark's own answers every time."""
+    import math
+    import random
+
+    rng = random.Random(1234)
+    for it in range(4):
+        base = str(tmp_path / f"f{it}")
+        n = rng.randrange(200, 1200)
+        null_every = rng.choice([0, 3, 7])
+        span = rng.choice([50, 5000, 10**9])
+        offs = rng.choice([0, -span // 2])
+        vals = [None if null_every and i % null_every == 0
+                else rng.randrange(0, span) + offs for i in range(n)]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "k long, v long")
+        kw = {"cluster_by": "v"} if rng.random() < 0.5 else {}
+        write_encoded(df.repartition(1), base,
+                      n_buckets=rng.choice([1, 3]),
+                      chunk_max_rows=rng.choice([32, 97, 400]), **kw)
+        a, b = sorted((rng.randrange(-span, span),
+                       rng.randrange(-span, span)))
+        got = aggregate_encoded(spark, base, "v",
+                                range_filter=("k", 0, n // 2))
+        want = _truth(df, "v", F.col("k") <= n // 2)
+        _check(got, want)
+        got = aggregate_encoded(spark, base, "v",
+                                range_filter=("v", a, b))
+        want = _truth(df, "v", (F.col("v") >= a) & (F.col("v") <= b))
+        _check(got, want)
+        nn = sorted(v for v in vals if v is not None)
+        for q in (rng.random(), 0.5):
+            gq = quantile_encoded(spark, base, "v", q)
+            wq = (None if not nn
+                  else nn[max(1, math.ceil(q * len(nn))) - 1])
+            assert gq == wq, (it, q, gq, wq)
