@@ -468,3 +468,21 @@ def test_fuzz_aggregate_and_quantile(spark, tmp_path):
             wq = (None if not nn
                   else nn[max(1, math.ceil(q * len(nn))) - 1])
             assert gq == wq, (it, q, gq, wq)
+
+
+def test_aggregate_time_travel_and_incremental(spark, tmp_path):
+    base = str(tmp_path / "tt")
+    e0 = spark.range(100).select(F.col("id").alias("k"),
+                                 F.col("id").alias("v"))
+    e1 = spark.range(100, 300).select(F.col("id").alias("k"),
+                                      (F.col("id") * 2).alias("v"))
+    write_encoded(e0, base, n_buckets=2, run_id="e0", epoch=0)
+    write_encoded(e1, base, n_buckets=2, run_id="e1", epoch=1,
+                  resume=True)
+    snap = aggregate_encoded(spark, base, "v", as_of_epoch=0)
+    assert snap["rows"] == 100 and int(snap["sum"]) == sum(range(100))
+    inc = aggregate_encoded(spark, base, "v", since_epoch=0)
+    assert inc["rows"] == 200
+    assert int(inc["sum"]) == sum(2 * i for i in range(100, 300))
+    q0 = quantile_encoded(spark, base, "v", 1.0, as_of_epoch=0)
+    assert q0 == 99
