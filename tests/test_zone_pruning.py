@@ -280,3 +280,39 @@ def test_nullable_zone_bounds_exclude_fill(spark, tmp_path):
     # residual
     got = read_encoded(spark, path, range_filter=("v", 100, 149))
     assert got.count() == df.filter("v is not null").count()
+
+
+def test_or_filter_disjunction(spark, enc):
+    """or_filter: disjunction of range slabs — rows match Spark's OR,
+    pruning = union of the branches' survivor sets (multi-slab
+    Z-order/cluster read shape)."""
+    path, df = enc
+    slabs = [("n_tok", 50, 120), ("n_tok", 400, 460)]
+    got = read_encoded(spark, path, or_filter=slabs)
+    want = df.filter(((F.col("n_tok") >= 50) & (F.col("n_tok") <= 120))
+                     | ((F.col("n_tok") >= 400)
+                        & (F.col("n_tok") <= 460)))
+    assert got.count() == want.count() > 0
+    assert got.agg(F.sum("n_tok")).collect()[0][0] \
+        == want.agg(F.sum("n_tok")).collect()[0][0]
+    # composes as ONE conjunct next to other filters
+    got2 = read_encoded(spark, path, or_filter=slabs,
+                        range_filter=("n_tok", 0, 110))
+    want2 = want.filter(F.col("n_tok") <= 110)
+    assert got2.count() == want2.count() > 0
+    # pruning: the two slabs' unioned survivors skip interior chunks
+    from tokcodec.io_tables import explain_scan
+
+    rep = explain_scan(spark, path, or_filter=slabs)
+    assert rep["chunks_scanned"] < rep["chunks_total"]
+    assert rep["filters"][0]["column"] == "n_tok|n_tok"
+    # mixed columns in one disjunction
+    got3 = read_encoded(
+        spark, path,
+        or_filter=[("n_tok", 50, 120), ("doc_id", "10", "199")])
+    want3 = df.filter(((F.col("n_tok") >= 50) & (F.col("n_tok") <= 120))
+                      | ((F.col("doc_id") >= "10")
+                         & (F.col("doc_id") <= "199")))
+    assert got3.count() == want3.count() > 0
+    with pytest.raises(ValueError, match="LIST"):
+        read_encoded(spark, path, or_filter=("n_tok", 1, 2))

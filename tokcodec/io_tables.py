@@ -1299,6 +1299,7 @@ def read_encoded(
     with_bucket_column: bool = False,
     since_epoch: int | None = None,
     as_of_tag: str | None = None,
+    or_filter: list[tuple] | None = None,
     _chunk_subset: DataFrame | None = None,
     _sample: tuple[float, int] | None = None,
 ) -> DataFrame:
@@ -1394,14 +1395,24 @@ def read_encoded(
         filts.append(("eq", tuple(eq_filter)))
     if contains_filter is not None:
         filts.append(("contains", tuple(contains_filter)))
+    if or_filter is not None:
+        if not or_filter or not isinstance(or_filter[0], (tuple, list)):
+            raise ValueError(
+                "or_filter takes a LIST of (col, lo, hi) triples "
+                "(disjunction); a single range belongs in "
+                "range_filter")
+        filts.append(("or", tuple(tuple(rf) for rf in or_filter)))
     names = {f.name for f in schema.fields}
     fcols: list[str] = []
-    for _, spec in filts:
-        if spec[0] not in names:
-            raise ValueError(
-                f"filter column {spec[0]!r} not in encoded table")
-        if spec[0] not in fcols:
-            fcols.append(spec[0])
+    for kind, spec in filts:
+        cols = ([rf[0] for rf in spec] if kind == "or"
+                else [spec[0]])
+        for c in cols:
+            if c not in names:
+                raise ValueError(
+                    f"filter column {c!r} not in encoded table")
+            if c not in fcols:
+                fcols.append(c)
     # pending equality deletes apply on EVERY read (merge-on-read):
     # their key columns join the decode set like filter columns do,
     # and are dropped from the output unless requested
@@ -1776,7 +1787,26 @@ def _filter_survivors(blocks: DataFrame, schema: T.StructType,
                       encryption_key: bytes | None = None
                       ) -> tuple[DataFrame, object]:
     """One filter -> (surviving (run_id, bucket, chunk) set, exact
-    residual predicate). Chunks with no stats always survive."""
+    residual predicate). Chunks with no stats always survive.
+
+    ``kind='or'``: spec is a LIST of (col, lo, hi) range triples with
+    DISJUNCTIVE semantics (the multi-slab Z-order read: "this window
+    OR that window", possibly over different columns). Survivors =
+    UNION of the branches' survivor sets; residual = OR of the exact
+    branch residuals. The whole disjunction stays ONE conjunct next
+    to the other filters."""
+    if kind == "or":
+        surv, residual = None, F.lit(False)
+        for rf in spec:
+            s, res = _filter_survivors(blocks, schema, manifest,
+                                       "range", tuple(rf),
+                                       encryption_key=encryption_key)
+            residual = residual | res
+            surv = s if surv is None else surv.unionByName(s)
+        # union can duplicate a chunk surviving several branches; the
+        # set is tiny metadata, so one distinct keeps the downstream
+        # intersection joins honest
+        return surv.distinct(), residual
     nf = _normalize_filter(schema, manifest, kind, spec)
     col = nf["col"]
     if nf["kind"] in ("eq", "contains"):
@@ -2781,6 +2811,7 @@ def explain_scan(
     contains_filter=None, encryption_key: bytes | None = None,
     as_of_epoch: int | None = None, as_of_ts=None,
     as_of_tag: str | None = None, since_epoch: int | None = None,
+    or_filter: list[tuple] | None = None,
 ) -> dict:
     """EXPLAIN for an encoded-table scan: how much the given filters
     would prune — per filter and combined — WITHOUT decoding any
@@ -2820,13 +2851,17 @@ def explain_scan(
         filts.append(("eq", tuple(eq_filter)))
     if contains_filter is not None:
         filts.append(("contains", tuple(contains_filter)))
+    if or_filter is not None:
+        filts.append(("or", tuple(tuple(rf) for rf in or_filter)))
     fcols: list[str] = []
-    for _, spec in filts:
-        if spec[0] not in schema.fieldNames():
-            raise ValueError(
-                f"filter column {spec[0]!r} not in encoded table")
-        if spec[0] not in fcols:
-            fcols.append(spec[0])
+    for kind, spec in filts:
+        for c in ([rf[0] for rf in spec] if kind == "or"
+                  else [spec[0]]):
+            if c not in schema.fieldNames():
+                raise ValueError(
+                    f"filter column {c!r} not in encoded table")
+            if c not in fcols:
+                fcols.append(c)
     if columns is not None:
         missing = set(columns) - set(schema.fieldNames())
         if missing:
@@ -2877,7 +2912,9 @@ def explain_scan(
                                         encryption_key=encryption_key)
             s = s.persist()
             out["filters"].append({
-                "kind": kind, "column": spec[0],
+                "kind": kind,
+                "column": ("|".join(rf[0] for rf in spec)
+                           if kind == "or" else spec[0]),
                 "chunks_surviving": int(s.count()),
             })
             surv = s if surv is None else surv.join(
