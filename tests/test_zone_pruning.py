@@ -316,3 +316,28 @@ def test_or_filter_disjunction(spark, enc):
     assert got3.count() == want3.count() > 0
     with pytest.raises(ValueError, match="LIST"):
         read_encoded(spark, path, or_filter=("n_tok", 1, 2))
+
+
+def test_or_filter_direct_reader(spark, enc):
+    """The shuffle-free direct reader prunes and filters the same
+    disjunction executor-side."""
+    from tokcodec.io_tables import read_encoded_direct
+
+    path, df = enc
+    slabs = [("n_tok", 50, 120), ("n_tok", 400, 460)]
+    got = read_encoded_direct(spark, path, or_filter=slabs)
+    want = df.filter(((F.col("n_tok") >= 50) & (F.col("n_tok") <= 120))
+                     | ((F.col("n_tok") >= 400)
+                        & (F.col("n_tok") <= 460)))
+    assert got.count() == want.count() > 0
+    assert got.agg(F.sum("n_tok")).collect()[0][0] \
+        == want.agg(F.sum("n_tok")).collect()[0][0]
+    mixed = read_encoded_direct(
+        spark, path,
+        or_filter=[("n_tok", 50, 120), ("doc_id", "10", "199")],
+        range_filter=("n_tok", 0, 450))
+    wantm = df.filter(
+        (((F.col("n_tok") >= 50) & (F.col("n_tok") <= 120))
+         | ((F.col("doc_id") >= "10") & (F.col("doc_id") <= "199")))
+        & (F.col("n_tok") <= 450))
+    assert mixed.count() == wantm.count() > 0

@@ -1473,6 +1473,13 @@ def read_encoded(
     fill_from = None
     if evolved:
         fill_from = fcols[0] if fcols else METRICS_COLUMN
+    if evolved and or_filter is not None:
+        # an OR branch can match rows of a run that predates the
+        # OTHER branch's column, but the fill anchor (fcols[0]) would
+        # drop that run's rows — refuse rather than silently lose rows
+        raise ValueError(
+            "or_filter over a table with pending evolution null-fill "
+            "is unsupported — compact_encoded first")
     needed = None if decode_cols is None else set(decode_cols)
     if fill_from == METRICS_COLUMN:
         needed = set(needed_names) | {METRICS_COLUMN}
@@ -1861,6 +1868,7 @@ def read_encoded_direct(
     encryption_key: bytes | None = None,
     since_epoch: int | None = None,
     as_of_tag: str | None = None,
+    or_filter: list[tuple] | None = None,
 ) -> DataFrame:
     """Shuffle-free decode: one task per committed bucket opens that
     bucket's block files directly with pyarrow.
@@ -1906,10 +1914,24 @@ def read_encoded_direct(
         filts.append(("contains", tuple(contains_filter)))
     nfs = [_normalize_filter(full_schema, manifest, k, s)
            for k, s in filts]
+    if or_filter is not None:
+        if not or_filter or not isinstance(or_filter[0],
+                                           (tuple, list)):
+            raise ValueError(
+                "or_filter takes a LIST of (col, lo, hi) triples")
+        subs = [_normalize_filter(full_schema, manifest, "range",
+                                  tuple(rf)) for rf in or_filter]
+        res = F.lit(False)
+        for s in subs:
+            res = res | s["residual"]
+        nfs.append({"kind": "or", "col": subs[0]["col"], "lane": "or",
+                    "residual": res, "subs": subs})
     fcols: list[str] = []
     for nf in nfs:
-        if nf["col"] not in fcols:
-            fcols.append(nf["col"])
+        for c in ([s["col"] for s in nf["subs"]]
+                  if nf["kind"] == "or" else [nf["col"]]):
+            if c not in fcols:
+                fcols.append(c)
     # pending equality deletes: their key columns join the decode set
     # like filter columns, and the merge-on-read anti-join runs after
     # the residual filters (same semantics as the grouped reader)
@@ -1972,6 +1994,10 @@ def read_encoded_direct(
     scan_cols = set(wanted)
     fill_from = None
     if _evolution_fill_columns(files, wanted):
+        if or_filter is not None:
+            raise ValueError(
+                "or_filter over a table with pending evolution "
+                "null-fill is unsupported — compact_encoded first")
         if fcols:
             # pruned read: anchor fill counts on a filter column's
             # surviving rows (metrics counts would be stale after
@@ -1989,9 +2015,14 @@ def read_encoded_direct(
                            fill_from=fill_from,
                            encryption_key=encryption_key)
     # executor-side pruning spec: picklable parts only (no Columns)
-    prune_specs = [
-        {k: v for k, v in nf.items() if k != "residual"} for nf in nfs
-    ]
+    def _strip(nf):
+        d = {k: v for k, v in nf.items()
+             if k not in ("residual", "subs")}
+        if "subs" in nf:
+            d["subs"] = [_strip(s) for s in nf["subs"]]
+        return d
+
+    prune_specs = [_strip(nf) for nf in nfs]
     acc_b = spark.sparkContext.broadcast(accepted)
 
     # broadcast the per-file bucket RANGES, O(files) — materializing a
@@ -2209,6 +2240,20 @@ def _prune_block_table(tbl, specs: list[dict],
     for nf in specs:
         col = nf["col"]
         surv: set = set()
+        if nf["kind"] == "or":
+            # disjunction: a chunk survives when ANY branch's zone
+            # hits (branches are range specs, possibly on different
+            # columns); the exact OR residual runs after decode
+            for sub in nf["subs"]:
+                scol = sub["col"]
+                for i, (c, cp) in enumerate(zip(colnames, comps)):
+                    if c != scol or cp != "values":
+                        continue
+                    meta = decrypt_block_meta(encryption_key, _row(i))
+                    if _meta_zone_hit(meta, sub):
+                        surv.add((runs[i], chunks[i]))
+            allowed = surv if allowed is None else (allowed & surv)
+            continue
         if nf["kind"] in ("eq", "contains"):
             vals = (nf["value"] if isinstance(nf["value"], list)
                     else [nf["value"]])
