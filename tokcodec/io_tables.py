@@ -1372,6 +1372,12 @@ def read_encoded(
     quality-score gates; strings/binary via truncated min/max
     bounds).
 
+    ``or_filter=[(col, lo, hi), ...]`` is a DISJUNCTION of range
+    slabs (branches may name different columns) — survivors are the
+    union of the branches' zone survivors and the exact OR residual
+    applies after decode; the whole disjunction composes as one
+    conjunct next to the other filters (the multi-slab Z-order read).
+
     A filter column missing from ``columns`` is decoded anyway and
     dropped from the output (round-2 ADVICE: the residual predicate
     used to fail with an opaque AnalysisException).
