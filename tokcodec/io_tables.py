@@ -3395,6 +3395,9 @@ def describe_encoded(spark: SparkSession, path: str) -> dict:
         "ddl": manifest["ddl"],
         "layout": manifest.get("layout", 1),
         "n_buckets": manifest["n_buckets"],
+        # the co-partitioning contract join_encoded validates
+        # ([] / absent = not content-bucketed)
+        "salt_cols": manifest.get("salt_cols", []),
         "uuid_columns": manifest.get("uuid_columns", []),
         "enum_columns": manifest.get("enum_columns", {}),
         "rows": n_rows,
