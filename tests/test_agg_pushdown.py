@@ -486,3 +486,20 @@ def test_aggregate_time_travel_and_incremental(spark, tmp_path):
     assert int(inc["sum"]) == sum(2 * i for i in range(100, 300))
     q0 = quantile_encoded(spark, base, "v", 1.0, as_of_epoch=0)
     assert q0 == 99
+
+
+def test_aggregate_or_filter(table):
+    spark, base, df = table
+    slabs = [("k", 0, 99), ("k", 800, 950)]
+    got = aggregate_encoded(spark, base, "v", or_filter=slabs)
+    want = _truth(df, "v", ((F.col("k") <= 99)
+                            | ((F.col("k") >= 800)
+                               & (F.col("k") <= 950))))
+    _check(got, want)
+    assert got["chunks_scanned"] < got["chunks_total"]  # slabs prune
+    g = aggregate_encoded_grouped(spark, base, "grp", "v",
+                                  or_filter=slabs)
+    wantg = _gtruth(df, "grp", "v", ((F.col("k") <= 99)
+                                     | ((F.col("k") >= 800)
+                                        & (F.col("k") <= 950))))
+    assert sorted((tuple(r) for r in g.collect()), key=repr) == wantg

@@ -99,7 +99,7 @@ def _decode_path(spark, path, column, filts_kw, scale,
 def aggregate_encoded(
     spark: SparkSession, path: str, column: str,
     range_filter=None, in_filter=None, eq_filter=None,
-    contains_filter=None,
+    contains_filter=None, or_filter=None,
     encryption_key: bytes | None = None,
     as_of_epoch: int | None = None, as_of_ts=None,
     as_of_tag: str | None = None, since_epoch: int | None = None,
@@ -161,15 +161,20 @@ def aggregate_encoded(
         filts.append(("eq", tuple(eq_filter)))
     if contains_filter is not None:
         filts.append(("contains", tuple(contains_filter)))
+    if or_filter is not None:
+        filts.append(("or", tuple(tuple(rf) for rf in or_filter)))
     fcols = []
-    for _, spec in filts:
-        if spec[0] not in by_name:
-            raise ValueError(
-                f"filter column {spec[0]!r} not in encoded table")
-        if spec[0] not in fcols:
-            fcols.append(spec[0])
+    for kind, spec in filts:
+        for c in ([rf[0] for rf in spec] if kind == "or"
+                  else [spec[0]]):
+            if c not in by_name:
+                raise ValueError(
+                    f"filter column {c!r} not in encoded table")
+            if c not in fcols:
+                fcols.append(c)
     filts_kw = dict(range_filter=range_filter, in_filter=in_filter,
                     eq_filter=eq_filter, contains_filter=contains_filter,
+                    or_filter=or_filter,
                     encryption_key=encryption_key,
                     as_of_epoch=as_of_epoch, since_epoch=since_epoch)
 
@@ -231,6 +236,9 @@ def aggregate_encoded(
         ]
         cov = F.lit(True)
         for i, (kind, spec) in enumerate(filts):
+            if kind == "or":
+                cov = cov & F.lit(False)  # disjunction: never covers
+                continue
             nf = _normalize_filter(schema, manifest, kind, spec,
                                    make_residual=False)
             c = nf["col"]
@@ -328,7 +336,7 @@ def aggregate_encoded(
 def aggregate_encoded_grouped(
     spark: SparkSession, path: str, group_col: str, column: str,
     range_filter=None, in_filter=None, eq_filter=None,
-    contains_filter=None,
+    contains_filter=None, or_filter=None,
     encryption_key: bytes | None = None,
     as_of_epoch: int | None = None, as_of_ts=None,
     as_of_tag: str | None = None, since_epoch: int | None = None,
@@ -389,16 +397,21 @@ def aggregate_encoded_grouped(
         filts.append(("eq", tuple(eq_filter)))
     if contains_filter is not None:
         filts.append(("contains", tuple(contains_filter)))
+    if or_filter is not None:
+        filts.append(("or", tuple(tuple(rf) for rf in or_filter)))
     fcols = []
-    for _, spec in filts:
-        if spec[0] not in by_name:
-            raise ValueError(
-                f"filter column {spec[0]!r} not in encoded table")
-        if spec[0] not in fcols:
-            fcols.append(spec[0])
+    for kind, spec in filts:
+        for c in ([rf[0] for rf in spec] if kind == "or"
+                  else [spec[0]]):
+            if c not in by_name:
+                raise ValueError(
+                    f"filter column {c!r} not in encoded table")
+            if c not in fcols:
+                fcols.append(c)
     filts_kw = dict(range_filter=range_filter, in_filter=in_filter,
                     eq_filter=eq_filter,
                     contains_filter=contains_filter,
+                    or_filter=or_filter,
                     encryption_key=encryption_key,
                     as_of_epoch=as_of_epoch, since_epoch=since_epoch)
 
@@ -465,6 +478,9 @@ def aggregate_encoded_grouped(
         ]
         cov = F.lit(True)
         for i, (kind, spec) in enumerate(filts):
+            if kind == "or":
+                cov = cov & F.lit(False)  # disjunction: never covers
+                continue
             nf = _normalize_filter(schema, manifest, kind, spec,
                                    make_residual=False)
             c = nf["col"]
