@@ -503,3 +503,91 @@ def test_aggregate_or_filter(table):
                                      | ((F.col("k") >= 800)
                                         & (F.col("k") <= 950))))
     assert sorted((tuple(r) for r in g.collect()), key=repr) == wantg
+
+
+# ------------------------------------------------- cached-meta planner
+# The driver-side values-meta cache (tokcodec.agg._values_meta_cached)
+# answers repeat aggregate/quantile planning with zero Spark jobs; the
+# distributed pivot is its fallback past the size cap. Both planners
+# must make the SAME covered/partial decision — telemetry included.
+
+import tokcodec.agg as _agg  # noqa: E402
+
+
+def _force_distributed(monkeypatch):
+    """Cap the cache at zero rows: every call stays on the
+    distributed plan (the 10^12-scale shape)."""
+    _agg.clear_meta_cache()
+    monkeypatch.setattr(_agg, "_META_CACHE_MAX_ROWS", 0)
+
+
+def test_cached_and_distributed_paths_agree(table, monkeypatch):
+    spark, base, df = table
+    cases = [
+        dict(),
+        dict(range_filter=("k", 100, 899)),
+        dict(range_filter=[("k", 0, 499), ("grp", 2, 2)]),
+        dict(in_filter=("grp", [3, 5])),
+        dict(range_filter=("v", 300, 2400)),
+        dict(range_filter=("k", 5000, 6000)),  # empty
+    ]
+    _agg.clear_meta_cache()
+    cached = [aggregate_encoded(spark, base, "v", **kw)
+              for kw in cases]
+    assert _agg._META_CACHE  # the cached planner actually ran
+    _force_distributed(monkeypatch)
+    for kw, want in zip(cases, cached):
+        got = aggregate_encoded(spark, base, "v", **kw)
+        assert got == want, (kw, got, want)
+    _agg.clear_meta_cache()
+
+
+def test_cached_quantile_agrees(qtable, monkeypatch):
+    spark, base, want_sorted = qtable
+    _agg.clear_meta_cache()
+    got_c = quantile_encoded(spark, base, "v", [0.1, 0.5, 0.99])
+    _force_distributed(monkeypatch)
+    got_d = quantile_encoded(spark, base, "v", [0.1, 0.5, 0.99])
+    assert got_c == got_d
+    _agg.clear_meta_cache()
+
+
+def test_meta_cache_invalidated_by_append(spark, tmp_path):
+    """A new commit changes the (bucket, run_id) key set — the next
+    aggregate must see the appended rows, not the cached snapshot."""
+    base = str(tmp_path / "inv")
+    e0 = spark.range(100).select(F.col("id").alias("k"),
+                                 F.col("id").alias("v"))
+    write_encoded(e0, base, n_buckets=2, run_id="e0", epoch=0)
+    _agg.clear_meta_cache()
+    first = aggregate_encoded(spark, base, "v")
+    assert first["rows"] == 100
+    e1 = spark.range(100, 250).select(F.col("id").alias("k"),
+                                      F.col("id").alias("v"))
+    write_encoded(e1, base, n_buckets=2, run_id="e1", epoch=1,
+                  resume=True)
+    after = aggregate_encoded(spark, base, "v")
+    assert after["rows"] == 250
+    assert int(after["sum"]) == sum(range(250))
+    # and the old snapshot is still answerable via time travel
+    snap = aggregate_encoded(spark, base, "v", as_of_epoch=0)
+    assert snap == first
+
+
+def test_cached_grouped_agrees(gtable, monkeypatch):
+    spark, base, df = gtable
+    cases = [dict(), dict(range_filter=("k", 50, 720)),
+             dict(in_filter=("day", [1, 4]))]
+    _agg.clear_meta_cache()
+    cached = [sorted((tuple(r) for r in
+                      aggregate_encoded_grouped(
+                          spark, base, "day", "v", **kw).collect()),
+                     key=repr) for kw in cases]
+    _force_distributed(monkeypatch)
+    for kw, want in zip(cases, cached):
+        got = sorted((tuple(r) for r in
+                      aggregate_encoded_grouped(
+                          spark, base, "day", "v", **kw).collect()),
+                     key=repr)
+        assert got == want, (kw, got, want)
+    _agg.clear_meta_cache()

@@ -41,12 +41,16 @@ encoded layout's native answer.
 
 from __future__ import annotations
 
+import os
+import posixpath
+from collections import OrderedDict
 from decimal import Decimal
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 from tokcodec.io_tables import (
+    METRICS_COLUMN,
     _active_deletes,
     _as_filter_list,
     _blocks_df,
@@ -54,13 +58,163 @@ from tokcodec.io_tables import (
     _filter_survivors,
     _load_table,
     _normalize_filter,
+    _paths,
     _resolve_as_of,
     _run_files,
     read_encoded,
 )
-from tokcodec.schema import manifest_schema
+from tokcodec.schema import BLOCK_DDL, manifest_schema
 
 _INT_LANES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+# ---------------------------------------------------------------- meta cache
+# Driver-side cache of every committed VALUES block's metadata, keyed
+# by the table's exact commit state (the winning (bucket, run_id)
+# set). The fixed cost of the metadata fast path is small-JOB latency,
+# not data — a dashboard firing five aggregate/quantile calls against
+# the same snapshot re-scans the same block metas five times. One
+# JVM-parsed scan (get_json_object executor-side, payload pages never
+# read thanks to parquet column pruning) feeds every subsequent call
+# until the next commit changes the key. SIZE-CAPPED: past
+# _META_CACHE_MAX_ROWS chunk-column rows the entry records None and
+# callers stay on the distributed plan — at 10^12 rows the meta scan
+# must be a cluster job; the cache exists only to kill repeat
+# planning latency on tables whose metadata fits on the driver.
+_META_CACHE: OrderedDict = OrderedDict()
+_META_CACHE_MAX_ROWS = 1_000_000
+_META_CACHE_ENTRIES = 4
+
+
+def clear_meta_cache() -> None:
+    _META_CACHE.clear()
+
+
+def _values_meta_cached(spark, path, lin_rows, files):
+    """{column: {(run_id, bucket, chunk): (n_rows, lo, hi, nulls,
+    sum)}} for every committed values block — exact Python ints (no
+    float64 round-trip: sums/bounds may exceed 2**53), or None when
+    the table's metadata exceeds the driver-side cap."""
+    key = (os.path.abspath(path), tuple(sorted(lin_rows)))
+    if key in _META_CACHE:
+        _META_CACHE.move_to_end(key)
+        return _META_CACHE[key]
+    blocks_p, _, _ = _paths(path)
+    use = [f for f in files if f["column"] != METRICS_COLUMN]
+    paths = [posixpath.join(blocks_p, f["path"]) for f in use]
+    by_col: dict = {}
+    if paths:
+        lin_df = spark.createDataFrame(sorted(set(lin_rows)),
+                                       "bucket int, run_id string")
+        rows = (
+            spark.read.schema(BLOCK_DDL).parquet(*paths)
+            .filter(F.col("component") == "values")
+            .join(F.broadcast(lin_df), ["bucket", "run_id"],
+                  "left_semi")
+            .select(
+                "run_id", "bucket", "chunk", "column", "n_rows",
+                F.get_json_object("meta", "$.lo").cast("long")
+                .alias("lo"),
+                F.get_json_object("meta", "$.hi").cast("long")
+                .alias("hi"),
+                F.get_json_object("meta", "$.nulls").cast("long")
+                .alias("nulls"),
+                F.get_json_object("meta", "$.sum").cast("long")
+                .alias("sum"),
+            )
+            .limit(_META_CACHE_MAX_ROWS + 1)
+            .collect()
+        )
+        if len(rows) > _META_CACHE_MAX_ROWS:
+            by_col = None
+        else:
+            for r in rows:
+                by_col.setdefault(r["column"], {})[
+                    (r["run_id"], int(r["bucket"]), int(r["chunk"]))
+                ] = (int(r["n_rows"]),
+                     None if r["lo"] is None else int(r["lo"]),
+                     None if r["hi"] is None else int(r["hi"]),
+                     None if r["nulls"] is None else int(r["nulls"]),
+                     None if r["sum"] is None else int(r["sum"]))
+    _META_CACHE[key] = by_col
+    while len(_META_CACHE) > _META_CACHE_ENTRIES:
+        _META_CACHE.popitem(last=False)
+    return by_col
+
+
+def _zone_int_filters(schema, manifest, filts):
+    """Normalize the filter list for the cached-meta planner: a list
+    of (kind, col, storage-int bounds) iff EVERY filter is an
+    int-lane zone range/in on an unencrypted column (the only shapes
+    the cached (lo, hi, nulls) tuple can answer) — else None and the
+    caller stays on the distributed plan (blooms, string/float zones,
+    disjunctions, encrypted envelopes)."""
+    enc = set(manifest.get("encrypted_columns", []))
+    out = []
+    for kind, spec in filts:
+        if kind not in ("range", "in"):
+            return None
+        nf = _normalize_filter(schema, manifest, kind, spec,
+                               make_residual=False)
+        if nf["kind"] != "zone" or nf["lane"] != "int" \
+                or nf["col"] in enc:
+            return None
+        out.append((kind, nf["col"],
+                    [(int(a), int(b)) for a, b in nf["bounds"]]))
+    return out
+
+
+def _agg_from_meta(by_col, column, zf):
+    """The covered/partial chunk split computed driver-side from the
+    cached meta — the same decision the distributed pivot makes,
+    expression for expression (survive = every filter's zone overlaps
+    a bound OR the filter column has no stats; covered = every
+    filter's zone sits inside a bound with zero nulls; meta-ok =
+    covered AND the agg column's nulls are known AND its sum is known
+    or the chunk is all-null). Exact Python-int arithmetic
+    throughout. Returns (meta-side totals, partial key list,
+    chunks_total)."""
+    acol = by_col.get(column, {})
+    n_total = len(acol)
+    rows = nonnull = total_sum = n_meta = 0
+    mn = mx = None
+    partial = []
+    for key, (n, lo, hi, nulls, s) in acol.items():
+        pruned = False
+        covered = True
+        for kind, fcol, bounds in zf:
+            fr = by_col.get(fcol, {}).get(key)
+            flo, fhi, fnl = (fr[1], fr[2], fr[3]) if fr \
+                else (None, None, None)
+            if flo is None or fhi is None:
+                covered = False  # no stats: survives, never covered
+                continue
+            if not any(fhi >= b_lo and flo <= b_hi
+                       for b_lo, b_hi in bounds):
+                pruned = True
+                break
+            if kind == "range":
+                (b_lo, b_hi), = bounds
+                c_ok = flo >= b_lo and fhi <= b_hi
+            else:  # in: single-valued chunk whose value is probed
+                c_ok = flo == fhi and flo in {b[0] for b in bounds}
+            covered = covered and c_ok and fnl == 0
+        if pruned:
+            continue
+        if covered and nulls is not None \
+                and (s is not None or nulls == n):
+            n_meta += 1
+            rows += n
+            nonnull += n - nulls
+            if s is not None:
+                total_sum += s
+            if lo is not None:
+                mn = lo if mn is None or lo < mn else mn
+                mx = hi if mx is None or hi > mx else mx
+        else:
+            partial.append(key)
+    return {"rows": rows, "nonnull": nonnull, "sum": total_sum,
+            "min": mn, "max": mx, "n_meta": n_meta,
+            "partial": partial, "n_total": n_total}
 
 
 def _storage_to_logical(col, dt):
@@ -201,6 +355,31 @@ def aggregate_encoded(
                    path="decode")
         return out
 
+    # ---- cached-meta planner: when every filter is an int-zone
+    # range/in and the table's values-block metadata fits the driver
+    # cache, the covered/partial split costs ZERO Spark jobs after
+    # the first call against this commit state (the repeat-dashboard
+    # pattern: many small aggregates over one snapshot)
+    zf = _zone_int_filters(schema, manifest, filts)
+    by_col = _values_meta_cached(spark, path, lin_rows, files) \
+        if zf is not None else None
+    if by_col is not None:
+        r2 = _agg_from_meta(by_col, column, zf)
+        m = {"c": r2["n_meta"], "rows": r2["rows"],
+             "nonnull": r2["nonnull"], "s": r2["sum"],
+             "mn": r2["min"], "mx": r2["max"]}
+        n_partial = len(r2["partial"])
+        n_total = r2["n_total"]
+        n_scanned = r2["n_meta"] + n_partial
+        if n_partial:
+            # a plain key list: read_encoded prunes the decode's FILE
+            # plan to the touched buckets before scanning
+            partial = sorted(r2["partial"])
+        return _finish_scalar_agg(
+            spark, path, column, filts_kw, scale, elements, m,
+            n_partial, partial if n_partial else None, n_total,
+            n_scanned, _to_logical)
+
     lin_local = spark.createDataFrame(lin_rows,
                                       "bucket int, run_id string")
     blocks = _blocks_df(spark, path, lin_local,
@@ -301,6 +480,19 @@ def aggregate_encoded(
         except NameError:
             pass
 
+    return _finish_scalar_agg(
+        spark, path, column, filts_kw, scale, elements, m, n_partial,
+        partial if n_partial else None, n_total, n_scanned,
+        _to_logical)
+
+
+def _finish_scalar_agg(spark, path, column, filts_kw, scale, elements,
+                       m, n_partial, partial, n_total, n_scanned,
+                       _to_logical):
+    """Shared tail of aggregate_encoded: merge the meta side with the
+    exact decode of the partial chunk set (if any) and assemble the
+    result dict. ``m`` is the meta-side totals (a collected Row on
+    the distributed plan, a plain dict on the cached one)."""
     rows = int(m["rows"] or 0)
     nonnull = int(m["nonnull"] or 0)
     total_sum = int(m["s"]) if m["s"] is not None else 0
@@ -441,6 +633,86 @@ def aggregate_encoded_grouped(
             stats_out.update(path="decode")
         return _finish(_group_agg(read_encoded(
             spark, path, columns=[group_col, column], **filts_kw)))
+
+    # ---- cached-meta planner (same gate as aggregate_encoded): the
+    # per-group covered/partial split runs driver-side, the surviving
+    # meta groups become a LocalRelation, and only straddler chunks
+    # cost a Spark job
+    zf = _zone_int_filters(schema, manifest, filts)
+    by_col = _values_meta_cached(spark, path, lin_rows, files) \
+        if zf is not None else None
+    if by_col is not None:
+        acol = by_col.get(column, {})
+        gmeta = by_col.get(group_col, {})
+        groups: dict = {}  # g storage-int -> [n, nonnull, sum, mn, mx]
+        partial_keys = []
+        n_meta = 0
+        for key, (n, lo, hi, nulls, s) in acol.items():
+            pruned = False
+            covered = True
+            for kind, fcol, bounds in zf:
+                fr = by_col.get(fcol, {}).get(key)
+                flo, fhi, fnl = (fr[1], fr[2], fr[3]) if fr \
+                    else (None, None, None)
+                if flo is None or fhi is None:
+                    covered = False
+                    continue
+                if not any(fhi >= b_lo and flo <= b_hi
+                           for b_lo, b_hi in bounds):
+                    pruned = True
+                    break
+                if kind == "range":
+                    (b_lo, b_hi), = bounds
+                    c_ok = flo >= b_lo and fhi <= b_hi
+                else:
+                    c_ok = flo == fhi and flo in {b[0] for b in bounds}
+                covered = covered and c_ok and fnl == 0
+            if pruned:
+                continue
+            g = gmeta.get(key)
+            g_ok = (g is not None and g[1] is not None
+                    and g[1] == g[2] and g[3] == 0)
+            if covered and g_ok and nulls is not None \
+                    and (s is not None or nulls == n):
+                n_meta += 1
+                acc = groups.setdefault(g[1], [0, 0, None, None, None])
+                acc[0] += n
+                acc[1] += n - nulls
+                if s is not None:
+                    acc[2] = s if acc[2] is None else acc[2] + s
+                if lo is not None:
+                    acc[3] = lo if acc[3] is None or lo < acc[3] \
+                        else acc[3]
+                    acc[4] = hi if acc[4] is None or hi > acc[4] \
+                        else acc[4]
+            else:
+                partial_keys.append(key)
+        if stats_out is not None:
+            stats_out.update(
+                chunks_total=len(acol), chunks_meta=n_meta,
+                chunks_decoded=len(partial_keys),
+                path="meta+decode" if partial_keys else "meta")
+        meta_g = spark.createDataFrame(
+            [(g, a[0], a[1],
+              None if a[2] is None else Decimal(a[2]), a[3], a[4])
+             for g, a in sorted(groups.items())],
+            "g_lo long, n_rows long, nonnull long, "
+            "sum decimal(38,0), min long, max long",
+        ).select(
+            _storage_to_logical(F.col("g_lo"), gdt).alias(group_col),
+            "n_rows", "nonnull", "sum", "min", "max")
+        if not partial_keys:
+            return _finish(meta_g)
+        dec_g = _group_agg(read_encoded(
+            spark, path, columns=[group_col, column],
+            **dict(filts_kw, _chunk_subset=sorted(partial_keys))))
+        merged = meta_g.unionByName(dec_g).groupBy(group_col).agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("nonnull").alias("nonnull"),
+            F.sum("sum").alias("sum"),
+            F.min("min").alias("min"), F.max("max").alias("max"),
+        )
+        return _finish(merged)
 
     lin_local = spark.createDataFrame(lin_rows,
                                       "bucket int, run_id string")
@@ -639,19 +911,32 @@ def quantile_encoded(
             or _evolution_fill_columns(files, {column}):
         return _fallback()
 
-    lin_local = spark.createDataFrame(lin_rows,
-                                      "bucket int, run_id string")
-    blocks = _blocks_df(spark, path, lin_local,
-                        columns_needed={column}, files=files)
-    stats = blocks.filter((F.col("component") == "values")
-                          & (F.col("column") == column)).select(
-        "run_id", "bucket", "chunk",
-        F.get_json_object("meta", "$.lo").cast("long").alias("lo"),
-        F.get_json_object("meta", "$.hi").cast("long").alias("hi"),
-        (F.col("n_rows")
-         - F.get_json_object("meta", "$.nulls").cast("long"))
-        .alias("nn"),
-    ).collect()
+    by_col = _values_meta_cached(spark, path, lin_rows, files)
+    if by_col is not None:
+        # cached-meta stats (shared with aggregate_encoded): the
+        # rank-search plan costs zero Spark jobs after the first
+        # call against this commit state
+        stats = [
+            {"run_id": k[0], "bucket": k[1], "chunk": k[2],
+             "lo": lo, "hi": hi,
+             "nn": None if nulls is None else n - nulls}
+            for k, (n, lo, hi, nulls, _s)
+            in by_col.get(column, {}).items()
+        ]
+    else:
+        lin_local = spark.createDataFrame(lin_rows,
+                                          "bucket int, run_id string")
+        blocks = _blocks_df(spark, path, lin_local,
+                            columns_needed={column}, files=files)
+        stats = blocks.filter((F.col("component") == "values")
+                              & (F.col("column") == column)).select(
+            "run_id", "bucket", "chunk",
+            F.get_json_object("meta", "$.lo").cast("long").alias("lo"),
+            F.get_json_object("meta", "$.hi").cast("long").alias("hi"),
+            (F.col("n_rows")
+             - F.get_json_object("meta", "$.nulls").cast("long"))
+            .alias("nn"),
+        ).collect()
     if any(r["nn"] is None for r in stats):
         return _fallback()  # pre-r5 chunks: null counts unknown
     n = sum(int(r["nn"]) for r in stats)
@@ -699,10 +984,8 @@ def quantile_encoded(
     cand = {(valued[i]["run_id"], int(valued[i]["bucket"]),
              int(valued[i]["chunk"]))
             for i in np.flatnonzero(decode_set)}
-    subset = spark.createDataFrame(
-        sorted(cand), "run_id string, bucket int, chunk int")
     dec = read_encoded(spark, path, columns=[column],
-                       _chunk_subset=subset, **read_kw) \
+                       _chunk_subset=sorted(cand), **read_kw) \
         .filter(F.col(column).isNotNull()).persist()
     try:
         if stats_out is not None:

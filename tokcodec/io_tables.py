@@ -1307,10 +1307,12 @@ def read_encoded(
     only those columns' block FILES enter the scan (reference P3).
 
     ``_chunk_subset`` (internal): a small (run_id, bucket, chunk)
-    DataFrame; when given, ONLY those chunks are decoded (broadcast
-    semi-join, same shape as filter pruning). aggregate_encoded uses
-    it to decode exactly the filter-boundary chunks its metadata fast
-    path could not answer.
+    DataFrame or plain key list; when given, ONLY those chunks are
+    decoded (broadcast semi-join, same shape as filter pruning) —
+    and the LIST form additionally prunes the file plan to the
+    touched (run, bucket)s before the scan opens anything.
+    aggregate_encoded uses it to decode exactly the filter-boundary
+    chunks its metadata fast path could not answer.
 
     ``buckets``: restrict the read to those storage buckets (planning-
     time pruning — other buckets' lineage rows never enter the file
@@ -1503,6 +1505,30 @@ def read_encoded(
         return out
 
     if _chunk_subset is not None:
+        if isinstance(_chunk_subset, (list, tuple, set, frozenset)):
+            keys = sorted({(str(r), int(b), int(c))
+                           for r, b, c in _chunk_subset})
+            if not evolved:
+                # prune the FILE plan to the touched (run, bucket)s
+                # before the scan even opens anything — the boundary
+                # decode of an aggregate touches ~2 buckets, not the
+                # whole table (file-level pruning is unsafe under
+                # evolution fill: a run with no surviving files would
+                # be misread as predating the column)
+                by_run: dict = {}
+                for r, b, _c in keys:
+                    by_run.setdefault(r, set()).add(b)
+                sub_files = [
+                    f for f in files
+                    if any(lo <= b <= hi
+                           for lo, hi in f["bucket_ranges"]
+                           for b in by_run.get(f["run_id"], ()))
+                ]
+                blocks = _blocks_df(spark, path, lin_local,
+                                    columns_needed=needed,
+                                    files=sub_files)
+            _chunk_subset = spark.createDataFrame(
+                keys, "run_id string, bucket int, chunk int")
         blocks = blocks.join(F.broadcast(_chunk_subset),
                              ["run_id", "bucket", "chunk"], "left_semi")
     if _sample is not None:
