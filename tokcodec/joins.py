@@ -349,3 +349,118 @@ def _arrow_type(dt):
     from pyspark.sql.pandas.types import to_arrow_type
 
     return to_arrow_type(dt)
+
+
+def join_runtime_filtered(
+    spark: SparkSession,
+    fact_path: str,
+    dim_df: DataFrame,
+    on,
+    how: str = "inner",
+    fact_columns: list[str] | None = None,
+    max_keys: int = 65_536,
+    bloom_max_keys: int = 4_096,
+    encryption_key: bytes | None = None,
+    as_of_epoch: int | None = None, as_of_ts=None,
+    as_of_tag: str | None = None, since_epoch: int | None = None,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """Runtime-filter join — the encoded layout's dynamic-partition-
+    pruning analogue (Spark DPP / Iceberg runtime filtering): join a
+    huge encoded FACT table to a small (usually pre-filtered)
+    dimension DataFrame, where the dim side's surviving join keys
+    prune fact CHUNKS before anything decodes.
+
+    One tiny job collects the dim's distinct non-null keys (bounded
+    by ``max_keys``); if they fit, the key set becomes the fact
+    scan's pruning predicate — ``in_filter`` zone probes on int/date/
+    timestamp/float/string lanes, plus ``eq_filter`` bloom probes
+    (string/binary/uuid, when the key count is within
+    ``bloom_max_keys`` — per-chunk probe cost is O(keys)) — then the
+    pruned fact broadcast-joins the dim. At 100 TB, "events for the
+    12 customers the dim filter kept" decodes ~12 key-clustered
+    chunk runs, not the table. Past ``max_keys`` distinct keys the
+    scan falls back to the plain read + broadcast join (the join is
+    correct either way; only the pruning is best-effort).
+
+    ``on``: fact key column name (same name on the dim), or a
+    ``(fact_col, dim_col)`` pair. ``how``: ``inner`` or
+    ``left_semi`` ONLY — pruning the fact side drops non-matching
+    fact rows, which any outer/anti shape must keep.
+
+    The reference has no join machinery (SURVEY §2.2); Spark's own
+    DPP needs partition columns, which the encoded layout replaces
+    with zone/bloom chunk pruning.
+    """
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            f"how={how!r}: runtime-filter pruning drops fact rows "
+            "without a dim match — only inner/left_semi are sound")
+    fcol, dcol = (on, on) if isinstance(on, str) else tuple(on)
+    manifest, _lin = _load_table(spark, fact_path,
+                                 as_of_epoch=_resolve_as_of(
+                                     spark, fact_path, as_of_epoch,
+                                     as_of_ts, as_of_tag))
+    schema = manifest_schema(manifest)
+    by_name = {f.name: f.dataType for f in schema.fields}
+    if fcol not in by_name:
+        raise ValueError(f"fact key {fcol!r} not in encoded table")
+    dt = by_name[fcol]
+    read_kw = dict(columns=fact_columns,
+                   encryption_key=encryption_key,
+                   as_of_epoch=as_of_epoch, as_of_ts=as_of_ts,
+                   as_of_tag=as_of_tag, since_epoch=since_epoch)
+
+    rows = (dim_df.select(F.col(dcol))
+            .filter(F.col(dcol).isNotNull())
+            .distinct().limit(max_keys + 1).collect())
+    keys = [r[0] for r in rows]
+    pruning = "none"
+    if len(keys) == 0:
+        # empty dim: an inner/semi join is empty — skip the scan
+        from tokcodec.io_tables import read_encoded as _re
+
+        fact = _re(spark, fact_path, **read_kw).limit(0)
+    elif len(keys) > max_keys:
+        from tokcodec.io_tables import read_encoded as _re
+
+        fact = _re(spark, fact_path, **read_kw)
+    else:
+        from tokcodec.io_tables import read_encoded as _re
+
+        is_uuid = fcol in manifest.get("uuid_columns", [])
+        enc = fcol in manifest.get("encrypted_columns", [])
+        kw = dict(read_kw)
+        if is_uuid or enc:
+            # uuid keys store as FIXED(16) (zone bounds are raw
+            # bytes, not the hyphenated text) and encrypted columns'
+            # stats live in the sealed envelope: bloom/envelope eq
+            # probes only
+            if len(keys) <= bloom_max_keys:
+                kw["eq_filter"] = (fcol, keys)
+                pruning = "bloom"
+        elif isinstance(dt, (T.StringType, T.BinaryType)):
+            kw["in_filter"] = (fcol, keys)
+            pruning = "zone"
+            if len(keys) <= bloom_max_keys:
+                kw["eq_filter"] = (fcol, keys)
+                pruning = "zone+bloom"
+        elif isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                             T.LongType, T.DateType, T.TimestampType,
+                             T.TimestampNTZType, T.TimeType,
+                             T.FloatType, T.DoubleType)):
+            kw["in_filter"] = (fcol, keys)
+            pruning = "zone"
+        # other lanes (decimal, nested): no pruning, plain scan
+        fact = _re(spark, fact_path, **kw)
+    if stats_out is not None:
+        stats_out.update(keys=min(len(keys), max_keys + 1),
+                         pruning=pruning)
+    dim = dim_df
+    if dcol != fcol:
+        if fcol in dim.columns:
+            raise ValueError(
+                f"dim already has a column named {fcol!r}; project "
+                "it away before joining")
+        dim = dim.withColumnRenamed(dcol, fcol)
+    return fact.join(F.broadcast(dim), on=[fcol], how=how)
