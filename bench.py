@@ -215,6 +215,7 @@ def main() -> None:
     # a host-stalled phase is self-evident in the artifact — same
     # shape the engine rows already have
     query_probes = [_memcpy_probe_gbps()]
+    query_reps: dict = {}
     for name in headline:
         # one UNTIMED warmup (plan compilation, query-local caches,
         # python worker reuse), then min-of-N timed reps: round 2's
@@ -222,12 +223,16 @@ def main() -> None:
         # warmup dominated rep 1 while rep 2 hit a host stall
         # (round-2 verdict #6)
         qs[name](spark, SF_DIR).collect()
-        best = float("inf")
+        reps = []
         for _rep in range(REPS.get(name, 2)):
             t0 = time.monotonic()
             qs[name](spark, SF_DIR).collect()
-            best = min(best, time.monotonic() - t0)
-        timings[name] = round(best, 3)
+            reps.append(round(time.monotonic() - t0, 3))
+        # per-query rep arrays ride in the artifact so a one-off JVM/
+        # GC phase (e.g. a 5 s variant row whose isolated re-measure
+        # was 1.5 s) is self-evident without a re-run
+        query_reps[name] = reps
+        timings[name] = min(reps)
         if name in REPS:
             query_probes.append(_memcpy_probe_gbps())
     query_probes.append(_memcpy_probe_gbps())
@@ -249,6 +254,7 @@ def main() -> None:
         "decode_direct_rep_secs": dd_times,
         "memcpy_probe_gbps": memcpy_gbps,
         "query_memcpy_probe_gbps": query_probes,
+        "query_rep_secs": query_reps,
         "compression_ratio_vs_snappy": round(ratio, 4),
         "fsst_vocab": {
             "msg_codecs_chosen": msg_codecs,
