@@ -430,12 +430,27 @@ def test_quantile_all_null_and_deletes(spark, tmp_path):
     assert got == _qtruth(list(range(50, 100)), 0.5)
 
 
-def test_fuzz_aggregate_and_quantile(spark, tmp_path):
+def test_fuzz_aggregate_and_quantile(spark, tmp_path, monkeypatch):
     """Randomized geometries: negatives, nulls, duplicates, clustered
     or not, random chunk sizes and random filter windows — aggregate
-    and quantile must equal Spark's own answers every time."""
+    and quantile must equal Spark's own answers every time, on BOTH
+    planners (cached driver-side meta and the distributed pivot)."""
     import math
     import random
+
+    import tokcodec.agg as agg_mod
+
+    def _both(fn):
+        agg_mod.clear_meta_cache()
+        monkeypatch.setattr(agg_mod, "_META_CACHE_MAX_ROWS", 1_000_000)
+        cached = fn()
+        agg_mod.clear_meta_cache()
+        monkeypatch.setattr(agg_mod, "_META_CACHE_MAX_ROWS", 0)
+        dist = fn()
+        assert cached == dist, (cached, dist)
+        agg_mod.clear_meta_cache()
+        monkeypatch.setattr(agg_mod, "_META_CACHE_MAX_ROWS", 1_000_000)
+        return cached
 
     rng = random.Random(1234)
     for it in range(4):
@@ -454,17 +469,17 @@ def test_fuzz_aggregate_and_quantile(spark, tmp_path):
                       chunk_max_rows=rng.choice([32, 97, 400]), **kw)
         a, b = sorted((rng.randrange(-span, span),
                        rng.randrange(-span, span)))
-        got = aggregate_encoded(spark, base, "v",
-                                range_filter=("k", 0, n // 2))
+        got = _both(lambda: aggregate_encoded(
+            spark, base, "v", range_filter=("k", 0, n // 2)))
         want = _truth(df, "v", F.col("k") <= n // 2)
         _check(got, want)
-        got = aggregate_encoded(spark, base, "v",
-                                range_filter=("v", a, b))
+        got = _both(lambda: aggregate_encoded(
+            spark, base, "v", range_filter=("v", a, b)))
         want = _truth(df, "v", (F.col("v") >= a) & (F.col("v") <= b))
         _check(got, want)
         nn = sorted(v for v in vals if v is not None)
         for q in (rng.random(), 0.5):
-            gq = quantile_encoded(spark, base, "v", q)
+            gq = _both(lambda: quantile_encoded(spark, base, "v", q))
             wq = (None if not nn
                   else nn[max(1, math.ceil(q * len(nn))) - 1])
             assert gq == wq, (it, q, gq, wq)
