@@ -30,7 +30,11 @@ and the key files a 100 TB table accumulates are the small side by
 construction. Deviation from Iceberg, documented: per-row change
 ordering inside the window is not exposed (no ``_epoch`` column) —
 the window is the granularity, matching the removal-list delete
-model.
+model. Rewrites inside the window (compact_encoded, upsert_encoded's
+copy-on-write buckets) inherit the incremental-read re-emission
+caveat: rewritten rows re-appear as inserts without pre-image
+deletes, so checkpoint BEFORE maintenance windows (the same advice
+Iceberg gives for rewrite_data_files vs changelog scans).
 
 Reference: Carpet has no table format, so no changelog; this is the
 engine-side completion of delete_encoded/since_epoch (SURVEY §2.1
