@@ -80,6 +80,12 @@ def main() -> None:
                    help="chunk-granular deterministic sample of the "
                         "table (sample_encoded) — composes with "
                         "projection/filters/time travel")
+    p.add_argument("--changes", action="store_true",
+                   help="write the NET changelog of (--since-epoch, "
+                        "--as-of-epoch] instead of a plain read: one "
+                        "row per change with a _change_type column "
+                        "(changes_encoded; without --since-epoch it "
+                        "is the bootstrap full-state read)")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -193,6 +199,26 @@ def main() -> None:
         return
     if not args.output:
         p.error("--output is required unless --explain")
+    if args.changes:
+        from pyspark.sql import functions as F
+
+        from tokcodec.cdc import changes_encoded
+
+        df = changes_encoded(spark, args.input, columns=columns,
+                             since_epoch=args.since_epoch,
+                             as_of_epoch=args.as_of_epoch,
+                             as_of_ts=args.as_of_ts,
+                             as_of_tag=args.as_of_tag)
+        df.write.mode("overwrite").parquet(args.output)
+        out = spark.read.parquet(args.output)
+        counts = {r["_change_type"]: int(r["n"]) for r in
+                  out.groupBy("_change_type")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+        print(json.dumps({"rows": sum(counts.values()),
+                          "changes": counts,
+                          "output": args.output}))
+        spark.stop()
+        return
     if args.sample:
         from tokcodec.io_tables import sample_encoded
 

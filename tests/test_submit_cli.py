@@ -353,3 +353,40 @@ def test_spark_submit_quantile(spark, tmp_path):
     assert int(res["quantiles"]["0.5"]) == vals[max(1, math.ceil(0.5 * 1000)) - 1]
     assert int(res["quantiles"]["0.99"]) == vals[max(1, math.ceil(0.99 * 1000)) - 1]
     assert res["chunks_decoded"] < res["chunks_total"]
+
+
+def test_spark_submit_changes(spark, tmp_path):
+    """--changes writes the NET changelog parquet and reports counts."""
+    enc = os.path.join(str(tmp_path), "enc_cdc")
+    out = os.path.join(str(tmp_path), "cdc_out")
+    from tokcodec.io_tables import delete_encoded, write_encoded
+
+    base = spark.range(40).select(F.col("id").alias("k"),
+                                  (F.col("id") * 3).alias("v"))
+    write_encoded(base, enc, n_buckets=2, run_id="a", epoch=0)
+    more = spark.range(40, 60).select(F.col("id").alias("k"),
+                                      (F.col("id") * 3).alias("v"))
+    write_encoded(more, enc, n_buckets=2, run_id="b", epoch=1,
+                  resume=True)
+    delete_encoded(spark, enc, "k", [1, 45])  # epoch 2
+
+    submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    env = dict(os.environ, PYTHONPATH="/root/repo",
+               SPARK_LOCAL_DIRS="/dev/shm")
+    r = subprocess.run(
+        [submit, "--master", "local[4]",
+         "scripts/submit_decode.py",
+         "--input", enc, "--output", out,
+         "--changes", "--since-epoch", "0"],
+        cwd="/root/repo", env=env, capture_output=True, text=True,
+        timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.loads([ln for ln in r.stdout.splitlines()
+                      if ln.startswith("{")][-1])
+    # window (0, 2]: 20 appended rows minus the deleted 45 -> 19
+    # inserts; k=1 was visible at epoch 0 -> 1 delete row
+    assert res["changes"] == {"insert": 19, "delete": 1}, res
+    chg = spark.read.parquet(out)
+    assert chg.filter((F.col("_change_type") == "delete")
+                      & (F.col("k") == 1)).count() == 1
