@@ -341,3 +341,79 @@ def test_or_filter_direct_reader(spark, enc):
          | ((F.col("doc_id") >= "10") & (F.col("doc_id") <= "199")))
         & (F.col("n_tok") <= 450))
     assert mixed.count() == wantm.count() > 0
+
+
+# ---------------------------------------------- merged in_filter bounds
+def test_in_filter_large_probe_list_merges(spark, tmp_path):
+    """A 10k-key in_filter (the runtime-filter join's shape) must not
+    build one Catalyst OR term per probe: probes merge into gap-free
+    ranges (adjacency=1) and past 64 ranges collapse to the convex
+    hull — pruning degrades, results never change."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from tokcodec.io_tables import (
+        _merge_zone_bounds,
+        explain_scan,
+        read_encoded,
+        write_encoded,
+    )
+
+    # merge behavior itself
+    b, exact = _merge_zone_bounds([(3, 3), (4, 4), (5, 5), (9, 9)],
+                                  adjacency=1)
+    assert b == [(3, 5), (9, 9)] and exact
+    scattered = [(i * 10, i * 10) for i in range(200)]
+    b, exact = _merge_zone_bounds(scattered, adjacency=1)
+    assert b == [(0, 1990)] and not exact  # hull collapse past 64
+
+    base = str(tmp_path / "bigin")
+    df = spark.range(5000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    write_encoded(df.repartition(1), base, n_buckets=2,
+                  chunk_max_rows=256, cluster_by="k")
+    # 10k probes, half of them hitting: contiguous run + scattered
+    probes = list(range(1000, 2000)) + list(range(0, 20000, 7))
+    t0 = time.monotonic()
+    got = read_encoded(spark, base, in_filter=("k", probes))
+    n = got.count()
+    wall = time.monotonic() - t0
+    want = df.filter(F.col("k").isin(probes)).count()
+    assert n == want
+    # plan compile + run stays sane (a 10k-term OR tree would not)
+    assert wall < 60, wall
+    ex = explain_scan(spark, base, in_filter=("k", probes))
+    assert ex["chunks_scanned"] <= ex["chunks_total"]
+
+
+def test_in_coverage_contiguous_range_exact(spark, tmp_path):
+    """Gap-free merged in-ranges COVER interior chunks (strictly
+    better than the old single-valued-chunk test); gapped probe lists
+    never over-cover."""
+    from pyspark.sql import functions as F
+
+    from tokcodec.agg import aggregate_encoded
+
+    from tokcodec.io_tables import write_encoded
+
+    base = str(tmp_path / "cov")
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+    write_encoded(df.repartition(1), base, n_buckets=1,
+                  chunk_max_rows=64, cluster_by="k")
+    # contiguous probe run spanning several chunks: interior chunks
+    # must be metadata-answered
+    got = aggregate_encoded(spark, base, "v",
+                            in_filter=("k", list(range(100, 400))))
+    want = df.filter(F.col("k").between(100, 399)) \
+        .agg(F.count(F.lit(1)), F.sum("v")).collect()[0]
+    assert got["rows"] == want[0] and int(got["sum"]) == int(want[1])
+    assert got["chunks_meta"] > 0
+    # gapped probes over the same span: same answer, no over-coverage
+    gapped = list(range(100, 400, 2))
+    got2 = aggregate_encoded(spark, base, "v",
+                             in_filter=("k", gapped))
+    want2 = df.filter(F.col("k").isin(gapped)) \
+        .agg(F.count(F.lit(1)), F.sum("v")).collect()[0]
+    assert got2["rows"] == want2[0] and int(got2["sum"]) == int(want2[1])

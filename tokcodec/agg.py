@@ -159,7 +159,8 @@ def _zone_int_filters(schema, manifest, filts):
                 or nf["col"] in enc:
             return None
         out.append((kind, nf["col"],
-                    [(int(a), int(b)) for a, b in nf["bounds"]]))
+                    [(int(a), int(b)) for a, b in nf["bounds"]],
+                    nf.get("in_exact", True)))
     return out
 
 
@@ -181,7 +182,7 @@ def _agg_from_meta(by_col, column, zf):
     for key, (n, lo, hi, nulls, s) in acol.items():
         pruned = False
         covered = True
-        for kind, fcol, bounds in zf:
+        for kind, fcol, bounds, exact in zf:
             fr = by_col.get(fcol, {}).get(key)
             flo, fhi, fnl = (fr[1], fr[2], fr[3]) if fr \
                 else (None, None, None)
@@ -192,11 +193,11 @@ def _agg_from_meta(by_col, column, zf):
                        for b_lo, b_hi in bounds):
                 pruned = True
                 break
-            if kind == "range":
-                (b_lo, b_hi), = bounds
-                c_ok = flo >= b_lo and fhi <= b_hi
-            else:  # in: single-valued chunk whose value is probed
-                c_ok = flo == fhi and flo in {b[0] for b in bounds}
+            # coverage = the chunk sits inside ONE bound; for "in"
+            # that is exact only while merged ranges are gap-free
+            # (every value inside was a probe — in_exact)
+            c_ok = exact and any(flo >= b_lo and fhi <= b_hi
+                                 for b_lo, b_hi in bounds)
             covered = covered and c_ok and fnl == 0
         if pruned:
             continue
@@ -433,9 +434,14 @@ def aggregate_encoded(
             if kind == "range":
                 (flo, fhi), = nf["bounds"]
                 c_ok = (lo >= F.lit(int(flo))) & (hi <= F.lit(int(fhi)))
-            else:  # in: single-valued chunk whose value is probed
-                probes = [int(zv) for zv, _ in nf["bounds"]]
-                c_ok = (lo == hi) & lo.isin(probes)
+            elif not nf.get("in_exact", True):
+                # hull-collapsed probe list: pruning only, no coverage
+                c_ok = F.lit(False)
+            else:  # in: chunk inside ONE gap-free merged probe range
+                c_ok = F.lit(False)
+                for b_lo, b_hi in nf["bounds"]:
+                    c_ok = c_ok | ((lo >= F.lit(int(b_lo)))
+                                   & (hi <= F.lit(int(b_hi))))
             cov = cov & lo.isNotNull() & c_ok & (nl == 0)
         per_chunk = vals.groupBy(*keys).agg(*aggs)
         # metadata-answerable: covered by every filter AND the agg
@@ -650,7 +656,7 @@ def aggregate_encoded_grouped(
         for key, (n, lo, hi, nulls, s) in acol.items():
             pruned = False
             covered = True
-            for kind, fcol, bounds in zf:
+            for kind, fcol, bounds, exact in zf:
                 fr = by_col.get(fcol, {}).get(key)
                 flo, fhi, fnl = (fr[1], fr[2], fr[3]) if fr \
                     else (None, None, None)
@@ -661,11 +667,8 @@ def aggregate_encoded_grouped(
                            for b_lo, b_hi in bounds):
                     pruned = True
                     break
-                if kind == "range":
-                    (b_lo, b_hi), = bounds
-                    c_ok = flo >= b_lo and fhi <= b_hi
-                else:
-                    c_ok = flo == fhi and flo in {b[0] for b in bounds}
+                c_ok = exact and any(flo >= b_lo and fhi <= b_hi
+                                     for b_lo, b_hi in bounds)
                 covered = covered and c_ok and fnl == 0
             if pruned:
                 continue
@@ -768,9 +771,14 @@ def aggregate_encoded_grouped(
             if kind == "range":
                 (flo, fhi), = nf["bounds"]
                 c_ok = (lo >= F.lit(int(flo))) & (hi <= F.lit(int(fhi)))
-            else:
-                probes = [int(zv) for zv, _ in nf["bounds"]]
-                c_ok = (lo == hi) & lo.isin(probes)
+            elif not nf.get("in_exact", True):
+                # hull-collapsed probe list: pruning only, no coverage
+                c_ok = F.lit(False)
+            else:  # in: chunk inside ONE gap-free merged probe range
+                c_ok = F.lit(False)
+                for b_lo, b_hi in nf["bounds"]:
+                    c_ok = c_ok | ((lo >= F.lit(int(b_lo)))
+                                   & (hi <= F.lit(int(b_hi))))
             cov = cov & lo.isNotNull() & c_ok & (nl == 0)
         meta_ok = (cov
                    & F.col("g_lo").isNotNull()

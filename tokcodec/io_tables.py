@@ -1141,6 +1141,39 @@ def _expand_uuid_cols(out: DataFrame, uuid_cols) -> DataFrame:
     return out
 
 
+_MAX_ZONE_TERMS = 64
+
+
+def _merge_zone_bounds(bounds, adjacency=0, cap=_MAX_ZONE_TERMS):
+    """Collapse a disjunctive probe list into sorted disjoint ranges
+    so an in_filter with thousands of keys (the runtime-filter join's
+    shape) doesn't become thousands of Catalyst OR terms or numpy
+    loop iterations per chunk. Probes within ``adjacency`` of each
+    other merge — adjacency=1 on the int lane keeps merged ranges
+    GAP-FREE (every value inside a merged range was a probe), which
+    is what lets aggregate coverage stay exact. Past ``cap`` ranges
+    the list collapses to its convex hull — a sound pruning SUPERSET
+    (residual predicates stay exact); the second return value is
+    False then, and coverage claims must not be made from the
+    bounds."""
+    bs = sorted(bounds)
+    merged = [list(bs[0])]
+    for lo, hi in bs[1:]:
+        last = merged[-1]
+        touch = (lo <= last[1] or
+                 (adjacency and isinstance(lo, int)
+                  and isinstance(last[1], int)
+                  and lo <= last[1] + adjacency))
+        if touch:
+            if hi > last[1]:
+                last[1] = hi
+        else:
+            merged.append([lo, hi])
+    if len(merged) > cap:
+        return [(bs[0][0], max(b[1] for b in merged))], False
+    return [tuple(b) for b in merged], True
+
+
 def _zone_value(v, dt: T.DataType) -> tuple[int, object]:
     """User-supplied zone-filter bound -> (int value in the column's
     STORAGE lane for zone-map comparison, typed value for the residual
@@ -1756,7 +1789,7 @@ def _normalize_filter(schema: T.StructType, manifest: dict,
         else:
             _, values = spec
             vals = [float(x) for x in values]
-            bounds = [(x, x) for x in vals]
+            bounds, _exact = _merge_zone_bounds([(x, x) for x in vals])
             residual = F.col(col).isin(vals) if make_residual else None
         return {"kind": "zone", "col": col, "lane": "float",
                 "bounds": bounds, "residual": residual}
@@ -1769,7 +1802,8 @@ def _normalize_filter(schema: T.StructType, manifest: dict,
                 if make_residual else None
         else:
             _, values = spec
-            bounds = [(_str_bytes(v), _str_bytes(v)) for v in values]
+            bounds, _exact = _merge_zone_bounds(
+                [(_str_bytes(v), _str_bytes(v)) for v in values])
             residual = F.col(col).isin(list(values)) \
                 if make_residual else None
         return {"kind": "zone", "col": col, "lane": "str",
@@ -1785,9 +1819,15 @@ def _normalize_filter(schema: T.StructType, manifest: dict,
     else:
         _, values = spec
         pairs = [_zone_value(v, fld) for v in values]
-        bounds = [(zv, zv) for zv, _ in pairs]
+        # adjacency=1: contiguous int probes merge into GAP-FREE
+        # ranges, so containment coverage stays exact downstream
+        bounds, in_exact = _merge_zone_bounds(
+            [(int(zv), int(zv)) for zv, _ in pairs], adjacency=1)
         residual = F.col(col).isin([rv for _, rv in pairs]) \
             if make_residual else None
+        return {"kind": "zone", "col": col, "lane": "int",
+                "bounds": bounds, "in_exact": in_exact,
+                "residual": residual}
     return {"kind": "zone", "col": col, "lane": "int",
             "bounds": bounds, "residual": residual}
 
