@@ -47,7 +47,8 @@ from tokcodec.agg import (  # noqa: F401
     aggregate_encoded_grouped,
     quantile_encoded,
 )
-from tokcodec.joins import join_encoded  # noqa: F401
+from tokcodec.cdc import changes_encoded  # noqa: F401
+from tokcodec.joins import join_encoded, join_runtime_filtered  # noqa: F401
 from tokcodec.naming import camel_to_snake, map_fields, snake_to_camel  # noqa: F401
 from tokcodec.pack import pack_sequences  # noqa: F401
 from tokcodec.stateful import stream_source_cap  # noqa: F401
