@@ -31,6 +31,21 @@ decrypted executor-side during planning); without the key a filtered
 scan fails fast at plan time. Table manifests and lineage stay
 plaintext — they carry byte counts and codec NAMES, never values.
 
+Mode boundary (documented deviation): this is parquet's
+PLAINTEXT-FOOTER mode only — there is no encrypted-footer analogue.
+A keyless observer of the table directory learns the schema (field
+names/types), bucket/chunk/row counts, per-block byte sizes, codec
+names, crc32s of stored bytes, epochs/timestamps, and delete-log KEY
+FILES' contents when deletes target a plaintext key column (delete
+keys on an ENCRYPTED column are refused at delete_encoded for
+exactly this reason) — never cell values, bounds, or bloom bits of
+encrypted columns. Parquet's encrypted-footer mode additionally
+hides schema and layout; users who need that should encrypt the
+enclosing filesystem/bucket — sealing the manifest would also seal
+it against every engine surface that plans Spark-free (the
+DataSource's planner, the driver-side lineage commit), which is the
+layout's core latency design.
+
 Nonces are derived deterministically (SP 800-38D §8.2.1
 construction): nonce = SHA-256(per-run random salt || AAD ||
 purpose)[:12]. Positions are unique within a run (and run_ids unique
