@@ -124,3 +124,22 @@ def test_as_of_bounds_the_window(table):
         .drop("_change_type")
     rebuilt = snap1.join(dkeys, ["k"], "left_anti").unionByName(ins)
     assert _rows(rebuilt, ["k", "v"]) == _rows(snap3, ["k", "v"])
+
+
+def test_changelog_across_compaction_reemits(spark, tmp_path):
+    """Documented caveat: a rewrite inside the window re-emits the
+    rewritten rows as inserts (incremental-read semantics) — pinned
+    so the behavior is intentional, not accidental."""
+    from tokcodec.io_tables import compact_encoded
+
+    base = str(tmp_path / "cmp")
+    write_encoded(spark.range(30).select(F.col("id").alias("k"),
+                                         F.col("id").alias("v")),
+                  base, n_buckets=2, run_id="a", epoch=0)
+    delete_encoded(spark, base, "k", [7])          # epoch 1
+    compact_encoded(spark, base)                   # rewrites at a new epoch
+    ch = changes_encoded(spark, base, since_epoch=0)
+    ins = ch.filter(F.col("_change_type") == "insert")
+    # the compacted table's full 29 rows re-emit; k=7 stays gone
+    assert ins.count() == 29
+    assert ch.filter(F.col("k") == 7).count() == 0

@@ -123,3 +123,37 @@ def test_projection_and_column_collision(fact):
                                 fact_columns=["cust", "k"])
     assert set(got.columns) == {"cust", "k"}
     assert got.count() == df.filter(F.col("cust") == 3).count()
+
+
+def test_date_key_runtime_filter(spark, tmp_path):
+    import datetime as dt
+
+    base = str(tmp_path / "dkey")
+    df = spark.range(365).select(
+        F.date_add(F.lit("2024-01-01").cast("date"),
+                   F.col("id").cast("int")).alias("day"),
+        (F.col("id") * 5).alias("v"))
+    write_encoded(df.repartition(1), base, n_buckets=2,
+                  chunk_max_rows=32, cluster_by="day")
+    dim = spark.createDataFrame(
+        [(dt.date(2024, 3, 1),), (dt.date(2024, 7, 4),)], "day date")
+    st = {}
+    got = join_runtime_filtered(spark, base, dim, "day", stats_out=st)
+    assert st["pruning"] == "zone"
+    want = df.join(dim, ["day"], "inner")
+    assert _sorted(got.select(*sorted(got.columns))) \
+        == _sorted(want.select(*sorted(got.columns)))
+    ex = explain_scan(spark, base,
+                      in_filter=("day", [dt.date(2024, 3, 1),
+                                         dt.date(2024, 7, 4)]))
+    assert ex["chunks_scanned"] < ex["chunks_total"]
+
+
+def test_string_probe_hull_collapse(fact):
+    """>64 scattered string probes collapse to the lexical hull —
+    pruning coarsens, results stay exact."""
+    spark, base, df = fact
+    probes = [f"u{i}" for i in range(0, 200)]  # > _MAX_ZONE_TERMS
+    got = read_encoded(spark, base, in_filter=("cust_s", probes))
+    want = df.filter(F.col("cust_s").isin(probes))
+    assert got.count() == want.count() > 0
