@@ -200,6 +200,10 @@ def main() -> None:
     if not args.output:
         p.error("--output is required unless --explain")
     if args.changes:
+        if rf or ef or cf:
+            p.error("--changes takes no filters (a changelog window "
+                    "is keyed by epochs; filter the written parquet "
+                    "instead)")
         from pyspark.sql import functions as F
 
         from tokcodec.cdc import changes_encoded

@@ -143,3 +143,56 @@ def test_changelog_across_compaction_reemits(spark, tmp_path):
     # the compacted table's full 29 rows re-emit; k=7 stays gone
     assert ins.count() == 29
     assert ch.filter(F.col("k") == 7).count() == 0
+
+
+def test_delete_on_evolved_key_with_requested_postdating_column(
+        spark, tmp_path):
+    """Review fix: a REQUESTED column that postdates the snapshot must
+    not swallow the window's delete rows (the old except caught the
+    wrong ValueError); delete rows carry NULL for such columns."""
+    base = str(tmp_path / "evk")
+    write_encoded(spark.range(20).select(F.col("id").alias("k"),
+                                         F.col("id").alias("v")),
+                  base, n_buckets=2, run_id="a", epoch=0)
+    # epoch 1 adds column w via evolution
+    e1 = spark.range(20, 30).select(F.col("id").alias("k"),
+                                    F.col("id").alias("v"),
+                                    (F.col("id") * 10).alias("w"))
+    write_encoded(e1, base, n_buckets=2, run_id="b", epoch=1,
+                  resume=True, schema_evolution=True)
+    delete_encoded(spark, base, "k", [3, 25])  # epoch 2
+    ch = changes_encoded(spark, base, since_epoch=0,
+                         columns=["k", "v", "w"])
+    dels = ch.filter(F.col("_change_type") == "delete").collect()
+    # k=3 was visible at epoch 0 -> exactly one delete row, with w NULL
+    assert [(r["k"], r["v"], r["w"]) for r in dels] == [(3, 3, None)]
+    # replay invariant still holds with the projection
+    snap = read_encoded(spark, base, as_of_epoch=0).select("k", "v")
+    dk = ch.filter(F.col("_change_type") == "delete").select("k")
+    ins = (ch.filter(F.col("_change_type") == "insert")
+           .select("k", "v"))
+    rebuilt = snap.join(dk, ["k"], "left_anti").unionByName(ins)
+    now = read_encoded(spark, base).select("k", "v")
+    assert _rows(rebuilt, ["k", "v"]) == _rows(now, ["k", "v"])
+
+
+def test_delete_key_postdating_snapshot_skipped_columns_none(
+        spark, tmp_path):
+    """Review fix: with columns=None, a delete keyed on a column the
+    snapshot predates is skipped (no AnalysisException from the
+    semi-join)."""
+    base = str(tmp_path / "postk")
+    write_encoded(spark.range(10).select(F.col("id").alias("k"),
+                                         F.col("id").alias("v")),
+                  base, n_buckets=1, run_id="a", epoch=0)
+    e1 = spark.range(10, 15).select(
+        F.col("id").alias("k"), F.col("id").alias("v"),
+        F.concat(F.lit("t"), F.col("id")).alias("tag"))
+    write_encoded(e1, base, n_buckets=1, run_id="b", epoch=1,
+                  resume=True, schema_evolution=True)
+    delete_encoded(spark, base, "tag", ["t12"])  # epoch 2
+    ch = changes_encoded(spark, base, since_epoch=0)
+    # no row visible at epoch 0 has a tag: zero delete rows
+    assert ch.filter(F.col("_change_type") == "delete").count() == 0
+    # and the insert side reflects the delete (t12 suppressed)
+    assert ch.filter(F.col("k") == 12).count() == 0

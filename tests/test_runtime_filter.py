@@ -157,3 +157,24 @@ def test_string_probe_hull_collapse(fact):
     got = read_encoded(spark, base, in_filter=("cust_s", probes))
     want = df.filter(F.col("cust_s").isin(probes))
     assert got.count() == want.count() > 0
+
+
+def test_fact_columns_without_key(fact):
+    """Review fix: projecting the key column away must not break the
+    join — the key is read internally and dropped from the output."""
+    spark, base, df = fact
+    dim = spark.createDataFrame([(3,), (41,)], "cust long")
+    got = join_runtime_filtered(spark, base, dim, "cust",
+                                fact_columns=["v", "k"])
+    assert set(got.columns) == {"v", "k"}
+    want = df.filter(F.col("cust").isin(3, 41))
+    assert got.count() == want.count() > 0
+    # the fallback (max_keys) and empty-dim branches too
+    got2 = join_runtime_filtered(spark, base, dim, "cust",
+                                 fact_columns=["v"], max_keys=1)
+    assert set(got2.columns) == {"v"}
+    assert got2.count() == want.count()
+    empty = spark.createDataFrame([], "cust long")
+    got3 = join_runtime_filtered(spark, base, empty, "cust",
+                                 fact_columns=["v"])
+    assert got3.count() == 0 and set(got3.columns) == {"v"}

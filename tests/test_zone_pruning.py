@@ -417,3 +417,45 @@ def test_in_coverage_contiguous_range_exact(spark, tmp_path):
     want2 = df.filter(F.col("k").isin(gapped)) \
         .agg(F.count(F.lit(1)), F.sum("v")).collect()[0]
     assert got2["rows"] == want2[0] and int(got2["sum"]) == int(want2[1])
+
+
+def test_empty_in_filter_returns_empty(spark, tmp_path):
+    """Review fix: in_filter with an empty probe list is an empty
+    result, not an IndexError (pre-merge behavior restored)."""
+    from pyspark.sql import functions as F
+
+    from tokcodec.io_tables import read_encoded, write_encoded
+
+    base = str(tmp_path / "emptyin")
+    df = spark.range(100).select(F.col("id").alias("k"),
+                                 (F.col("id") * 1.5).alias("x"),
+                                 F.concat(F.lit("s"), F.col("id"))
+                                 .alias("s"))
+    write_encoded(df.repartition(1), base, n_buckets=1,
+                  chunk_max_rows=32)
+    for col in ("k", "x", "s"):
+        assert read_encoded(spark, base,
+                            in_filter=(col, [])).count() == 0
+
+
+def test_nan_float_probes_sound(spark, tmp_path):
+    """Review fix: NaN probes in a float in_filter must not scramble
+    the merged zone bounds — finite probes keep matching, and NaN
+    rows (which live in no-stats chunks) are still found."""
+    from pyspark.sql import functions as F
+
+    from tokcodec.io_tables import read_encoded, write_encoded
+
+    base = str(tmp_path / "nanin")
+    rows = [(i, float(i)) for i in range(200)] + [(999, float("nan"))]
+    df = spark.createDataFrame(rows, "k long, x double")
+    write_encoded(df.repartition(1), base, n_buckets=1,
+                  chunk_max_rows=32)
+    # >64 scattered finite probes + NaN: hull must stay finite
+    probes = [float(i) for i in range(0, 200, 3)] + [float("nan")]
+    got = read_encoded(spark, base, in_filter=("x", probes))
+    want = df.filter(F.col("x").isin(probes))
+    assert sorted(r["k"] for r in got.collect()) \
+        == sorted(r["k"] for r in want.collect())
+    # Spark NaN semantics: the NaN row itself matches isin(NaN)
+    assert 999 in {r["k"] for r in got.collect()}

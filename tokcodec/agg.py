@@ -164,6 +164,31 @@ def _zone_int_filters(schema, manifest, filts):
     return out
 
 
+def _chunk_filter_state(by_col, key, zf):
+    """(pruned, covered) for one chunk under the normalized int-zone
+    filters — THE shared prune/cover decision of the cached planners
+    (scalar and grouped), so the rule can never diverge between them.
+    survive = every filter's zone overlaps a bound OR the filter
+    column has no stats; covered = every filter's zone sits inside
+    one gap-free bound with zero nulls (in_exact gates the hull
+    case)."""
+    covered = True
+    for kind, fcol, bounds, exact in zf:
+        fr = by_col.get(fcol, {}).get(key)
+        flo, fhi, fnl = (fr[1], fr[2], fr[3]) if fr \
+            else (None, None, None)
+        if flo is None or fhi is None:
+            covered = False  # no stats: survives, never covered
+            continue
+        if not any(fhi >= b_lo and flo <= b_hi
+                   for b_lo, b_hi in bounds):
+            return True, False
+        c_ok = exact and any(flo >= b_lo and fhi <= b_hi
+                             for b_lo, b_hi in bounds)
+        covered = covered and c_ok and fnl == 0
+    return False, covered
+
+
 def _agg_from_meta(by_col, column, zf):
     """The covered/partial chunk split computed driver-side from the
     cached meta — the same decision the distributed pivot makes,
@@ -180,25 +205,7 @@ def _agg_from_meta(by_col, column, zf):
     mn = mx = None
     partial = []
     for key, (n, lo, hi, nulls, s) in acol.items():
-        pruned = False
-        covered = True
-        for kind, fcol, bounds, exact in zf:
-            fr = by_col.get(fcol, {}).get(key)
-            flo, fhi, fnl = (fr[1], fr[2], fr[3]) if fr \
-                else (None, None, None)
-            if flo is None or fhi is None:
-                covered = False  # no stats: survives, never covered
-                continue
-            if not any(fhi >= b_lo and flo <= b_hi
-                       for b_lo, b_hi in bounds):
-                pruned = True
-                break
-            # coverage = the chunk sits inside ONE bound; for "in"
-            # that is exact only while merged ranges are gap-free
-            # (every value inside was a probe — in_exact)
-            c_ok = exact and any(flo >= b_lo and fhi <= b_hi
-                                 for b_lo, b_hi in bounds)
-            covered = covered and c_ok and fnl == 0
+        pruned, covered = _chunk_filter_state(by_col, key, zf)
         if pruned:
             continue
         if covered and nulls is not None \
@@ -654,22 +661,7 @@ def aggregate_encoded_grouped(
         partial_keys = []
         n_meta = 0
         for key, (n, lo, hi, nulls, s) in acol.items():
-            pruned = False
-            covered = True
-            for kind, fcol, bounds, exact in zf:
-                fr = by_col.get(fcol, {}).get(key)
-                flo, fhi, fnl = (fr[1], fr[2], fr[3]) if fr \
-                    else (None, None, None)
-                if flo is None or fhi is None:
-                    covered = False
-                    continue
-                if not any(fhi >= b_lo and flo <= b_hi
-                           for b_lo, b_hi in bounds):
-                    pruned = True
-                    break
-                c_ok = exact and any(flo >= b_lo and fhi <= b_hi
-                                     for b_lo, b_hi in bounds)
-                covered = covered and c_ok and fnl == 0
+            pruned, covered = _chunk_filter_state(by_col, key, zf)
             if pruned:
                 continue
             g = gmeta.get(key)

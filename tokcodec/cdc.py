@@ -43,18 +43,31 @@ maintenance set).
 
 from __future__ import annotations
 
-import posixpath
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from tokcodec.io_tables import (
-    DELETE_BROADCAST_MAX_KEYS,
     _active_deletes,
+    _as_of_schema,
+    _delete_keys_df,
+    _load_table,
     _resolve_as_of,
+    _run_files,
     read_encoded,
 )
+from tokcodec.schema import manifest_schema
 
 CHANGE_COL = "_change_type"
+
+
+def _snapshot_names(spark, path, epoch) -> set[str]:
+    """Column names visible in the ``as_of_epoch=epoch`` snapshot
+    (the same snapshot-schema projection read_encoded applies)."""
+    manifest, lin = _load_table(spark, path, as_of_epoch=epoch)
+    run_ids = sorted({r.run_id for r in lin.collect()})
+    _files, run_schemas = _run_files(spark, path, run_ids,
+                                     with_schemas=True)
+    snap = _as_of_schema(manifest_schema(manifest), run_schemas)
+    return {f.name for f in snap.fields}
 
 
 def changes_encoded(
@@ -86,31 +99,28 @@ def changes_encoded(
     by_col: dict[str, list[dict]] = {}
     for d in win:
         by_col.setdefault(d["key_column"], []).append(d)
+    snap_names = _snapshot_names(spark, path, since_epoch)
     for col, ds in sorted(by_col.items()):
-        keys = None
-        for d in ds:
-            k = spark.read.parquet(posixpath.join(path, d["file"]))
-            keys = k if keys is None else keys.unionByName(k)
-        if len(ds) > 1:
-            keys = keys.distinct()
+        if col not in snap_names:
+            # the key column postdates the snapshot: no visible row
+            # can match the equality delete — nothing to emit
+            continue
+        # read only snapshot-visible columns; requested columns the
+        # snapshot predates come back as NULLs on the delete rows
+        # (the pre-image had no value), via allowMissingColumns below
         snap_cols = columns
-        if columns is not None and col not in columns:
-            snap_cols = list(columns) + [col]
-        try:
-            snap = read_encoded(spark, path, columns=snap_cols,
-                                as_of_epoch=since_epoch,
-                                encryption_key=encryption_key)
-        except ValueError as e:
-            if "does not exist as of epoch" in str(e):
-                # the key column postdates the snapshot: no visible
-                # row can match the equality delete
-                continue
-            raise
-        if sum(d["n_keys"] for d in ds) <= DELETE_BROADCAST_MAX_KEYS:
-            keys = F.broadcast(keys)
-        deleted = snap.join(keys, [col], "left_semi")
+        if columns is not None:
+            snap_cols = [c for c in columns if c in snap_names]
+            if col not in snap_cols:
+                snap_cols = snap_cols + [col]
+        snap = read_encoded(spark, path, columns=snap_cols,
+                            as_of_epoch=since_epoch,
+                            encryption_key=encryption_key)
+        deleted = snap.join(_delete_keys_df(spark, path, ds),
+                            [col], "left_semi")
         if columns is not None and col not in columns:
             deleted = deleted.drop(col)
         out = out.unionByName(
-            deleted.select(F.lit("delete").alias(CHANGE_COL), "*"))
+            deleted.select(F.lit("delete").alias(CHANGE_COL), "*"),
+            allowMissingColumns=True)
     return out

@@ -1155,7 +1155,22 @@ def _merge_zone_bounds(bounds, adjacency=0, cap=_MAX_ZONE_TERMS):
     the list collapses to its convex hull — a sound pruning SUPERSET
     (residual predicates stay exact); the second return value is
     False then, and coverage claims must not be made from the
-    bounds."""
+    bounds.
+
+    Empty input -> ([], True): no zone bound overlaps anything, so
+    only no-stats chunks survive and the (empty-IN) residual drops
+    the rest — the pre-merge behavior. Non-finite float probes are
+    excluded from the BOUNDS (NaN breaks sort/max total order and
+    would scramble merged ranges): rows matching a NaN/inf probe can
+    only live in chunks with non-finite values, which write no stats
+    and always survive; the exact residual still carries every
+    probe."""
+    import math
+
+    bounds = [b for b in bounds
+              if not isinstance(b[0], float) or math.isfinite(b[0])]
+    if not bounds:
+        return [], True
     bs = sorted(bounds)
     merged = [list(bs[0])]
     for lo, hi in bs[1:]:
@@ -2559,6 +2574,23 @@ def _active_deletes(spark: SparkSession, path: str,
     return out
 
 
+def _delete_keys_df(spark: SparkSession, path: str, ds: list[dict]):
+    """One key column's removal lists -> a (possibly broadcast) keys
+    DataFrame: union the parquet key files, distinct across lists,
+    broadcast under the cap. Shared by the merge-on-read anti-joins
+    and the changelog's delete-row semi-join so the two paths can't
+    diverge."""
+    keys = None
+    for d in ds:
+        k = spark.read.parquet(posixpath.join(path, d["file"]))
+        keys = k if keys is None else keys.unionByName(k)
+    if len(ds) > 1:
+        keys = keys.distinct()
+    if sum(d["n_keys"] for d in ds) <= DELETE_BROADCAST_MAX_KEYS:
+        keys = F.broadcast(keys)
+    return keys
+
+
 def _apply_deletes(spark: SparkSession, path: str, out: DataFrame,
                    dels: list[dict]) -> DataFrame:
     """Merge-on-read: anti-join the decoded rows against each pending
@@ -2570,15 +2602,8 @@ def _apply_deletes(spark: SparkSession, path: str, out: DataFrame,
     for d in dels:
         by_col.setdefault(d["key_column"], []).append(d)
     for col, ds in sorted(by_col.items()):
-        keys = None
-        for d in ds:
-            k = spark.read.parquet(posixpath.join(path, d["file"]))
-            keys = k if keys is None else keys.unionByName(k)
-        if len(ds) > 1:
-            keys = keys.distinct()
-        if sum(d["n_keys"] for d in ds) <= DELETE_BROADCAST_MAX_KEYS:
-            keys = F.broadcast(keys)
-        out = out.join(keys, on=col, how="left_anti")
+        out = out.join(_delete_keys_df(spark, path, ds),
+                       on=col, how="left_anti")
     return out
 
 

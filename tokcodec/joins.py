@@ -406,7 +406,12 @@ def join_runtime_filtered(
     if fcol not in by_name:
         raise ValueError(f"fact key {fcol!r} not in encoded table")
     dt = by_name[fcol]
-    read_kw = dict(columns=fact_columns,
+    # the join needs the key column even when the caller's projection
+    # omits it — read it, join on it, drop it afterwards
+    key_added = fact_columns is not None and fcol not in fact_columns
+    read_cols = (list(fact_columns) + [fcol]) if key_added \
+        else fact_columns
+    read_kw = dict(columns=read_cols,
                    encryption_key=encryption_key,
                    as_of_epoch=as_of_epoch, as_of_ts=as_of_ts,
                    as_of_tag=as_of_tag, since_epoch=since_epoch)
@@ -463,4 +468,5 @@ def join_runtime_filtered(
                 f"dim already has a column named {fcol!r}; project "
                 "it away before joining")
         dim = dim.withColumnRenamed(dcol, fcol)
-    return fact.join(F.broadcast(dim), on=[fcol], how=how)
+    out = fact.join(F.broadcast(dim), on=[fcol], how=how)
+    return out.drop(fcol) if key_added else out
