@@ -107,7 +107,8 @@ def _decoded_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     key = os.path.abspath(sf_dir)
     if key not in _DECODED_CACHE:
-        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        docs = _spread(
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet")))
         seq = documents_to_sequences(docs)
         path = _entry_table_path(sf_dir)
         import shutil
@@ -134,6 +135,34 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # driver session's default
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a narrow scan out to the session's parallelism before
+    CPU-heavy per-row work. The test tables are single-row-group
+    parquet files — unsplittable, so their scans run as ONE task no
+    matter how maxPartitionBytes is set, and every expression chained
+    onto the scan (md5 folds, parse_json, regexp) runs single-core
+    (guide §2.5 "input skew: one huge unsplittable file … repartition
+    immediately after the read"). No-op when the scan already has
+    enough partitions, so a production multi-file table keeps its
+    natural splits and never pays the extra exchange; the shuffle
+    ships only the scan's projected columns.
+
+    Partition COUNT is the wrong signal: Spark plans byte-range splits
+    (bytesPerCore) even for a single-row-group file, so the scan
+    REPORTS ~defaultParallelism partitions while every row decodes in
+    the one split that contains the row-group midpoint. File count is
+    the honest signal — a scan over fewer files than ~half the cores
+    cannot parallelize, whatever the planner claims."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        return df
+    if n_files >= max(2, target // 2):
+        return df
+    return df.repartition(target)
 
 
 # aggregate helpers over the tokens array (JVM-side, no Python UDF)
@@ -560,7 +589,9 @@ def q_roundtrip_time_of_day(spark, sf_dir):
     spark.conf.set("spark.sql.timeType.enabled", "true")
     key = f"timeofday::{sf_dir}"
     if key not in _DECODED_CACHE:
-        e = _t(spark, sf_dir, "events").select(
+        e = _spread(
+            _t(spark, sf_dir, "events").select("ts", "user_id")
+        ).select(
             F.expr("make_time(hour(ts), minute(ts), "
                    "extract(SECOND FROM ts))").alias("t"),
             "user_id",
@@ -597,8 +628,8 @@ def q_zorder_user_time_slab(spark, sf_dir):
 
     key = f"zorder::{sf_dir}"
     if key not in _DECODED_CACHE:
-        e = _t(spark, sf_dir, "events").select(
-            "event_id", "ts", "user_id", "event_type", "value")
+        e = _spread(_t(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"))
         path = os.path.join(
             tempfile.gettempdir(),
             "tokcodec_zorder_" + os.path.abspath(sf_dir).replace(os.sep, "_"))
@@ -619,7 +650,10 @@ def q_zorder_user_time_slab(spark, sf_dir):
 
 
 def q_join_topcustomers(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
+    # NOT spread: the per-row work (broadcast probe + partial agg) is
+    # cheap enough that an extra exchange of 1.5M rows costs more than
+    # the 2-task scan stage saves (measured 0.91 -> 1.21 s at sf1.0)
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     return (
@@ -699,7 +733,8 @@ def q_events_daily_pushdown(spark, sf_dir):
             tempfile.gettempdir(), "tokcodec_entry_gday",
             os.path.abspath(sf_dir).replace(os.sep, "_"))
         shutil.rmtree(path, ignore_errors=True)
-        e = _t(spark, sf_dir, "events").select(
+        e = _spread(_t(spark, sf_dir, "events").select("ts", "value")
+                    ).select(
             F.col("ts").cast("date").alias("day"),
             F.round(F.col("value") * 100).cast("long").alias("cents"),
         )
@@ -758,7 +793,7 @@ def q_cobucket_join_stats(spark, sf_dir):
             tempfile.gettempdir(), "tokcodec_entry_cbj",
             os.path.abspath(sf_dir).replace(os.sep, "_"))
         shutil.rmtree(base, ignore_errors=True)
-        docs = _t(spark, sf_dir, "documents")
+        docs = _spread(_t(spark, sf_dir, "documents"))
         seq = documents_to_sequences(docs)
         meta = docs.select(
             F.col("doc_id").cast("string").alias("doc_id"),
@@ -790,7 +825,9 @@ def q_string_date_funcs(spark, sf_dir):
 
 
 def q_events_json_extract(spark, sf_dir):
-    e = _t(spark, sf_dir, "events")
+    # NOT spread: the single anchored regexp per row is cheaper than
+    # shuffling the 1M props strings (measured 0.40 -> 1.00 s at sf1.0)
+    e = _t(spark, sf_dir, "events").select("event_type", "props")
     return (
         e.withColumn("k", F.regexp_extract("props", r'"k": (\d+)', 1).cast("long"))
         .groupBy("event_type")
@@ -805,14 +842,17 @@ def q_docs_text_quality(spark, sf_dir):
     — same operators, one (source, lang) result): word counting,
     length gating and stopword-ratio quality flags, all JVM array
     exprs, one shuffle on the grouping keys."""
-    d = _t(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    stop = F.size(F.expr(
-        "filter(split(text, ' '), w -> w in ('the','a','of','and','to'))"
-    ))
+    # one split per row (ws feeds both the word count and the stopword
+    # filter) over a spread scan — same shape fix as
+    # docs_repetition_stats
+    d = _spread(
+        _t(spark, sf_dir, "documents")
+        .select("source", "lang", "n_chars", "text")
+    ).withColumn("ws", F.split(F.col("text"), " "))
     return (
-        d.withColumn("n_words", F.size(words))
-        .withColumn("n_stop", stop)
+        d.withColumn("n_words", F.size("ws"))
+        .withColumn("n_stop", F.size(F.expr(
+            "filter(ws, w -> w in ('the','a','of','and','to'))")))
         .groupBy("source", "lang")
         .agg(
             F.count("*").alias("n_docs"),
@@ -838,9 +878,15 @@ def q_docs_repetition_stats(spark, sf_dir):
     one row per word occurrence, this ships one row per doc. The
     DuckDB oracle recomputes it relationally (unnest + two GROUP BYs),
     so the fold's semantics are pinned against an independent shape."""
-    d = _t(spark, sf_dir, "documents")
+    # split once per row (ws referenced 3x below — the baseline re-ran
+    # the regex split for the fold, the word count AND the distinct
+    # count), and spread the unsplittable single-file scan before the
+    # sort/fold work (guide §1.2, §2.5)
+    d = _spread(
+        _t(spark, sf_dir, "documents").select("source", "text")
+    ).select("source", F.split(F.col("text"), " ").alias("ws"))
     top_run = F.expr("""
-        aggregate(sort_array(split(text, ' ')),
+        aggregate(sort_array(ws),
           named_struct('prev', cast(null as string),
                        'run', 0L, 'best', 0L),
           (a, x) -> named_struct(
@@ -851,9 +897,8 @@ def q_docs_repetition_stats(spark, sf_dir):
           a -> a.best)""")
     return (
         d.withColumn("top_w", top_run)
-        .withColumn("n_words", F.size(F.split(F.col("text"), " ")))
-        .withColumn("n_distinct",
-                    F.expr("size(array_distinct(split(text, ' ')))"))
+        .withColumn("n_words", F.size("ws"))
+        .withColumn("n_distinct", F.expr("size(array_distinct(ws))"))
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
@@ -882,7 +927,8 @@ def q_delete_roundtrip(spark, sf_dir):
 
         from tokcodec.io_tables import delete_encoded
 
-        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        docs = _spread(
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet")))
         seq = documents_to_sequences(docs)
         path = _entry_table_path(sf_dir) + "_del"
         shutil.rmtree(path, ignore_errors=True)
@@ -916,12 +962,16 @@ def q_docs_langid(spark, sf_dir):
     vocabulary across lang labels, so accuracy is data-limited — the
     operator shape, scoring + deterministic argmax + confusion matrix,
     is what's exercised and oracle-checked.)"""
-    d = _t(spark, sf_dir, "documents")
+    # one split per row shared by the five language scorers (the
+    # baseline re-split the text once per language), spread scan
+    d = _spread(
+        _t(spark, sf_dir, "documents").select("lang", "text")
+    ).withColumn("ws", F.split(F.col("text"), " "))
     for lg in _LANG_ORDER:
         marks = ",".join(f"'{m}'" for m in _LANG_MARKERS[lg])
         d = d.withColumn(
             f"s_{lg}",
-            F.expr(f"size(filter(split(text, ' '), w -> w in ({marks})))"),
+            F.expr(f"size(filter(ws, w -> w in ({marks})))"),
         )
     best = "greatest(" + ",".join(f"s_{lg}" for lg in _LANG_ORDER) + ")"
     guess = "CASE "
@@ -936,7 +986,7 @@ def q_docs_langid(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents").select("source", "text"))
     return (
         d.withColumn("fp", F.md5("text"))
         .groupBy("source")
@@ -956,8 +1006,10 @@ def q_docs_fingerprints(spark, sf_dir):
     rolling-hash shingle stream), keep the minimum under two salts — a
     2-element winnowing-style fingerprint stable under small edits
     elsewhere in the document. Pure JVM array exprs; no shuffle."""
-    d = _t(spark, sf_dir, "documents").filter(
-        F.col("doc_id").cast("long") % 13 == 0
+    d = _spread(
+        _t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+            F.col("doc_id").cast("long") % 13 == 0
+        )
     )
     grams = ("transform(sequence(1, greatest(length(text) - 7, 1)), "
              "i -> substring(text, i, 8))")
@@ -974,8 +1026,8 @@ def q_docs_fingerprints(spark, sf_dir):
 
 
 def q_emb_cosine_topk(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
-    qv = e.filter(F.col("vec_id") == 0).select(
+    e = _spread(_t(spark, sf_dir, "embeddings"))
+    qv = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q")
     )
     dot = "aggregate(zip_with(embedding, q, (a, b) -> cast(a as double) * b), 0D, (s, x) -> s + x)"
@@ -1074,8 +1126,8 @@ def q_vocab_remap_roundtrip(spark, sf_dir):
 
         from tokcodec.remap import remap_tokens
 
-        docs = spark.read.parquet(
-            os.path.join(sf_dir, "documents.parquet"))
+        docs = _spread(spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")))
         seq = documents_to_sequences(docs).filter(
             F.col("doc_id").cast("long") % 5 == 0)
         path = _entry_table_path(sf_dir) + "_remap"
@@ -1107,7 +1159,7 @@ def q_emb_quantized_roundtrip(spark, sf_dir):
     if key not in _DECODED_CACHE:
         import shutil
 
-        e = _t(spark, sf_dir, "embeddings")
+        e = _spread(_t(spark, sf_dir, "embeddings"))
         q = e.select(
             "vec_id", "label",
             F.expr(
@@ -1412,7 +1464,7 @@ def q_media_feature_stats(spark, sf_dir):
 
     key = f"media::{sf_dir}"
     if key not in _DECODED_CACHE:
-        media = synth_media_real(_t(spark, sf_dir, "documents"))
+        media = synth_media_real(_spread(_t(spark, sf_dir, "documents")))
         path = os.path.join(
             tempfile.gettempdir(),
             "tokcodec_media_" + os.path.abspath(sf_dir).replace(os.sep, "_"))
@@ -1438,16 +1490,25 @@ def _minhash_pairs(spark, sf_dir):
     signature is computed PER ROW with JVM array expressions — no
     explode, no shuffle of shingles. md5 (identical hex in DuckDB)
     makes the signature oracle-checkable."""
-    d = (
+    d = _spread(
         _t(spark, sf_dir, "documents")
         .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
-        .filter(F.size(F.split(F.col("text"), " ")) >= 3)
+    )
+    # split ONCE per row, outside the lambda: a higher-order-function
+    # lambda body is re-evaluated per element, so slice(split(text), i,
+    # 3) re-ran the regex split once PER SHINGLE — O(words^2) per
+    # document (guide §1.2: fix the per-task work). `ws` is referenced
+    # twice below, which blocks projection collapse, so the split runs
+    # once per row.
+    ws = (
+        d.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+        .filter(F.size("ws") >= 3)
     )
     sh = (
-        "transform(sequence(1, size(split(text, ' ')) - 2),"
-        " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+        "transform(sequence(1, size(ws) - 2),"
+        " i -> concat_ws(' ', slice(ws, i, 3)))"
     )
-    shdf = d.select("doc_id", F.expr(sh).alias("sh"))
+    shdf = ws.select("doc_id", F.expr(sh).alias("sh"))
     # ONE md5 per shingle: 60 bits of the digest become the base hash
     # b; the 16 minhash functions are affine combos of b's two halves
     # (Carter-Wegman style). b is referenced 16x below, which blocks
@@ -1661,13 +1722,14 @@ def q_pipeline_keep_set(spark, sf_dir):
     many drop as duplicates, how many reps fail quality, how many
     (and how many chars) make the training set. Every stage is the
     same oracle-checked machinery the standalone queries use."""
-    d = _t(spark, sf_dir, "documents").select(
+    d = _spread(_t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "text", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+    ).withColumn("ws", F.split(F.col("text"), " "))
     labeled = d.join(_dedup_labels(spark, sf_dir), "doc_id")
-    words = F.size(F.split(F.col("text"), " "))
+    words = F.size("ws")
     stop = F.size(F.expr(
-        "filter(split(text, ' '), w -> w in ('the','a','of','and','to'))"
+        "filter(ws, w -> w in ('the','a','of','and','to'))"
     ))
     quality = ((F.col("n_chars") >= 100) & (words >= 10)
                & (stop * 100 >= words * 2))
@@ -1697,8 +1759,11 @@ def q_simhash_hamming_hist(spark, sf_dir):
     recompute it); the word hash is now the md5-derived 60-bit value
     minhash already uses, so the whole signature is oracle-checkable
     (round-2 verdict #5)."""
-    d = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("long").alias("doc_id"),
+    d = _spread(
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    ).select(
+        "doc_id",
         F.expr(
             "transform(split(text, ' '), "
             "w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint))"
@@ -1848,7 +1913,10 @@ def q_roundtrip_variant_extract(spark, sf_dir):
     strings."""
     key = os.path.abspath(sf_dir)
     if key not in _VARIANT_CACHE:
-        e = _t(spark, sf_dir, "events").select(
+        e = _spread(
+            _t(spark, sf_dir, "events")
+            .select("event_id", "event_type", "props")
+        ).select(
             "event_id", "event_type",
             F.parse_json("props").alias("v"),
         )
