@@ -54,16 +54,30 @@ def test_decode_projection_prunes_block_partitions(spark, tmp_path):
     )
     path = os.path.join(str(tmp_path), "t")
     write_encoded(df, path, n_buckets=1, run_id="p")
-    proj = read_encoded(spark, path, columns=["doc_id", "a"])
-    # layout v2 plans an explicit file list from the run manifests:
-    # unrequested column b's files must not even enter the scan
+    # grouped plan (with_bucket_column keeps it off the shuffle-free
+    # route): explicit file list from the run manifests — unrequested
+    # column b's files must not even enter the scan
+    proj = read_encoded(spark, path, columns=["doc_id", "a"],
+                        with_bucket_column=True)
     files = [f for f in proj.inputFiles() if "/blocks/" in f]
     assert files and all("/col-doc_id/" in f or "/col-a/" in f
                          for f in files), files
-    full = read_encoded(spark, path)
+    full = read_encoded(spark, path, with_bucket_column=True)
     assert any("/col-b/" in f for f in full.inputFiles())
     # and the committed-buckets semi join stays a broadcast
     assert "BroadcastHashJoin" in _plan(proj)
+    # direct-routed plan (read_encoded's default since r6): the
+    # executor-side file plan must carry only the requested columns'
+    # files — same pruning, enforced in the broadcast payload
+    from tokcodec.io_tables import _direct_file_rows, _paths, _run_files
+
+    frows = _direct_file_rows(_run_files(spark, path, ["p"]),
+                              {"doc_id", "a"}, _paths(path)[0])
+    assert frows and all("/col-doc_id/" in fp or "/col-a/" in fp
+                         for _, _, fp, _, _ in frows), frows
+    # the routed read itself returns exactly the projection
+    assert read_encoded(spark, path, columns=["doc_id", "a"]).columns \
+        == ["doc_id", "a"]
 
 
 def test_zone_filter_prunes_before_decode(spark, tmp_path):
@@ -79,10 +93,17 @@ def test_zone_filter_prunes_before_decode(spark, tmp_path):
     path = os.path.join(str(tmp_path), "z")
     write_encoded(df, path, n_buckets=1, run_id="z", chunk_max_rows=100,
                   cluster_by="n")
+    # direct-routed plan (the default): zone pruning runs executor-side
+    # from the bucket's own metas — no join, no payload exchange at all
     narrow = read_encoded(spark, path, range_filter=("n", 0, 99))
     assert narrow.count() == 100
-    # the zone semi-join must broadcast (tiny surviving-chunk list)
-    assert _plan(narrow).count("BroadcastHashJoin") >= 2
+    assert "Exchange hashpartitioning" not in _plan(narrow)
+    # the grouped plan (kept for chunk-subset/sample/bucket reads):
+    # its zone semi-join must broadcast (tiny surviving-chunk list)
+    grouped = read_encoded(spark, path, range_filter=("n", 0, 99),
+                           with_bucket_column=True)
+    assert grouped.count() == 100
+    assert _plan(grouped).count("BroadcastHashJoin") >= 2
 
 
 def test_zorder_multirange_plan_broadcasts(spark, tmp_path):
@@ -100,13 +121,23 @@ def test_zorder_multirange_plan_broadcasts(spark, tmp_path):
     path = os.path.join(str(tmp_path), "zo")
     write_encoded(df, path, n_buckets=1, run_id="z",
                   cluster_by=["x", "y"], chunk_max_rows=128)
+    # direct-routed plan: both range conjuncts prune executor-side,
+    # nothing shuffles and nothing sort-merges
     q = read_encoded(spark, path,
                      range_filter=[("x", 0, 7), ("y", 0, 7)])
     plan = _plan(q)
     assert "SortMergeJoin" not in plan
-    # committed-lineage semi-join + one zone semi-join per range filter
-    assert plan.count("BroadcastHashJoin") >= 3
+    assert "Exchange hashpartitioning" not in plan
     assert q.count() == 8 * 8
+    # grouped plan: committed-lineage semi-join + one zone semi-join
+    # per range filter, all broadcast
+    g = read_encoded(spark, path,
+                     range_filter=[("x", 0, 7), ("y", 0, 7)],
+                     with_bucket_column=True)
+    gplan = _plan(g)
+    assert "SortMergeJoin" not in gplan
+    assert gplan.count("BroadcastHashJoin") >= 3
+    assert g.count() == 8 * 8
 
 
 def test_media_decode_plan_no_extra_shuffle(spark):

@@ -141,6 +141,145 @@ def _values_meta_cached(spark, path, lin_rows, files):
     return by_col
 
 
+# Driver-side decode cap for the partial-chunk fallback: past this
+# many stored values the boundary decode is real data work and belongs
+# in a Spark job; under it, the job's fixed scheduling latency (~0.3 s
+# for a 2-stage broadcast-join plan) dwarfs the decode itself, so the
+# driver reads the handful of block payloads with pyarrow and runs the
+# SAME codec decoders the executors would (the _commit_lineage_local
+# argument applied to reads).
+_DRIVER_DECODE_MAX_VALUES = 1 << 21
+
+
+def _driver_chunk_values(path, files, columns, keys):
+    """Driver-side decode of the ``values`` component of a SMALL chunk
+    set for int-lane columns: {column: {key: int64 ndarray}} with key =
+    (run_id, bucket, chunk). Caller guarantees (via the cached meta)
+    that every requested chunk has zero nulls — the null-fill defaults
+    inside ``values`` are then real data and no validity component is
+    needed. Returns None when any requested chunk's block row cannot
+    be found (caller falls back to the distributed decode)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from tokcodec.blocks import decode_int_component
+    from tokcodec.io_tables import _paths, _task_fs
+
+    blocks_p, _, _ = _paths(path)
+    by_run_bucket: dict[str, set[int]] = {}
+    for rid, b, _c in keys:
+        by_run_bucket.setdefault(rid, set()).add(int(b))
+    want = {(c, k) for c in columns for k in keys}
+    out: dict[str, dict] = {c: {} for c in columns}
+
+    def _read_one(args):
+        fp, buckets = args
+        fs, root = _task_fs(posixpath.join(blocks_p, fp))
+        with fs.open_input_file(root) as f:
+            return pq.read_table(
+                f, filters=[("bucket", "in", sorted(buckets)),
+                            ("component", "=", "values")])
+
+    plan = []
+    for f in files:
+        if f["column"] not in columns:
+            continue
+        buckets = {
+            b for lo, hi in f["bucket_ranges"]
+            for b in by_run_bucket.get(f["run_id"], ())
+            if lo <= b <= hi
+        }
+        if buckets:
+            plan.append((f["path"], buckets))
+    if len(plan) > 8:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            tables = list(ex.map(_read_one, plan))
+    else:
+        tables = [_read_one(p) for p in plan]
+    keyset = set(keys)
+    for t in tables:
+        for r in t.to_pylist():
+            k = (r["run_id"], int(r["bucket"]), int(r["chunk"]))
+            if k not in keyset or r["column"] not in columns:
+                continue
+            out[r["column"]][k] = decode_int_component(
+                r, out_dtype=np.int64)
+            want.discard((r["column"], k))
+    if want:
+        return None
+    return out
+
+
+def _driver_partial_keys_ok(by_col, involved, keys):
+    """Can the driver decode these partial chunks exactly? Every
+    involved column's chunk must be present in the cached meta with a
+    KNOWN ZERO null count (values are then null-fill-free), and the
+    total stored values must stay under the driver cap. Returns the
+    total row count, or None when ineligible."""
+    total = 0
+    for k in keys:
+        for c in involved:
+            r = by_col.get(c, {}).get(k)
+            if r is None or r[3] != 0:
+                return None
+        total += by_col[next(iter(involved))][k][0]
+    if total > _DRIVER_DECODE_MAX_VALUES:
+        return None
+    return total
+
+
+def _driver_partial_agg(path, files, column, by_col, zf, keys):
+    """Driver-side exact (rows, nonnull, sum, min, max) over the
+    partial chunk set — the same residual-filtered aggregate the
+    distributed _decode_path computes, minus the Spark job. Only for
+    pure range-filter reads (the residual is then exactly the stored
+    [lo, hi] window test); None -> caller uses the Spark path."""
+    import numpy as np
+
+    if any(kind != "range" or len(bounds) != 1 for kind, _c, bounds, _e
+           in zf):
+        return None
+    involved = {column} | {c for _k, c, _b, _e in zf}
+    total = _driver_partial_keys_ok(by_col, involved, keys)
+    if total is None:
+        return None
+    # int64-sum overflow guard, same bound as blocks.int_sum_stat
+    mag = 0
+    for k in keys:
+        _n, lo, hi, _nl, _s = by_col[column][k]
+        if lo is not None:
+            mag = max(mag, abs(int(lo)), abs(int(hi)))
+    if mag and mag.bit_length() + max(total - 1, 1).bit_length() + 1 >= 63:
+        return None
+    vals = _driver_chunk_values(path, files, involved, keys)
+    if vals is None:
+        return None
+    rows = nonnull = s = 0
+    mn = mx = None
+    for k in keys:
+        mask = None
+        for _kind, c, bounds, _e in zf:
+            (flo, fhi), = bounds
+            v = vals[c][k]
+            m = (v >= flo) & (v <= fhi)
+            mask = m if mask is None else (mask & m)
+        av = vals[column][k]
+        if mask is not None:
+            av = av[mask]
+        if not len(av):
+            continue
+        rows += len(av)
+        nonnull += len(av)
+        s += int(av.sum(dtype=np.int64))
+        lo, hi = int(av.min()), int(av.max())
+        mn = lo if mn is None or lo < mn else mn
+        mx = hi if mx is None or hi > mx else mx
+    return {"rows": rows, "nonnull": nonnull, "s": s, "mn": mn,
+            "mx": mx}
+
+
 def _zone_int_filters(schema, manifest, filts):
     """Normalize the filter list for the cached-meta planner: a list
     of (kind, col, storage-int bounds) iff EVERY filter is an
@@ -383,6 +522,29 @@ def aggregate_encoded(
             # a plain key list: read_encoded prunes the decode's FILE
             # plan to the touched buckets before scanning
             partial = sorted(r2["partial"])
+            if not elements:
+                # SMALL boundary sets decode driver-side: the same
+                # codec decoders, pyarrow file reads, exact residual —
+                # zero Spark jobs instead of a 2-stage decode job
+                # whose fixed latency dwarfs the handful of chunks
+                # (size-capped; anything big stays distributed)
+                d = _driver_partial_agg(path, files, column, by_col,
+                                        zf, partial)
+                if d is not None:
+                    m = {"c": m["c"], "rows": m["rows"] + d["rows"],
+                         "nonnull": m["nonnull"] + d["nonnull"],
+                         "s": (m["s"] or 0) + d["s"],
+                         "mn": d["mn"] if m["mn"] is None or (
+                             d["mn"] is not None and d["mn"] < m["mn"])
+                         else m["mn"],
+                         "mx": d["mx"] if m["mx"] is None or (
+                             d["mx"] is not None and d["mx"] > m["mx"])
+                         else m["mx"]}
+                    return _finish_scalar_agg(
+                        spark, path, column, filts_kw, scale, elements,
+                        dict(m, c=r2["n_meta"]), 0, None, n_total,
+                        n_scanned, _to_logical,
+                        chunks_decoded=n_partial)
         return _finish_scalar_agg(
             spark, path, column, filts_kw, scale, elements, m,
             n_partial, partial if n_partial else None, n_total,
@@ -501,11 +663,14 @@ def aggregate_encoded(
 
 def _finish_scalar_agg(spark, path, column, filts_kw, scale, elements,
                        m, n_partial, partial, n_total, n_scanned,
-                       _to_logical):
+                       _to_logical, chunks_decoded=None):
     """Shared tail of aggregate_encoded: merge the meta side with the
     exact decode of the partial chunk set (if any) and assemble the
     result dict. ``m`` is the meta-side totals (a collected Row on
-    the distributed plan, a plain dict on the cached one)."""
+    the distributed plan, a plain dict on the cached one).
+    ``chunks_decoded``: already-merged driver-side decode count (the
+    partial set was folded into ``m`` with zero Spark jobs; telemetry
+    still reports those chunks as decoded)."""
     rows = int(m["rows"] or 0)
     nonnull = int(m["nonnull"] or 0)
     total_sum = int(m["s"]) if m["s"] is not None else 0
@@ -527,14 +692,15 @@ def _finish_scalar_agg(spark, path, column, filts_kw, scale, elements,
                     else mn
                 mx = sv if pick is max and (mx is None or sv > mx) \
                     else mx
+    dec_n = n_partial if chunks_decoded is None else chunks_decoded
     return {
         "rows": rows, "nonnull": nonnull,
         "sum": _to_logical(total_sum) if nonnull else None,
         "min": _to_logical(mn) if nonnull else None,
         "max": _to_logical(mx) if nonnull else None,
         "chunks_total": n_total, "chunks_scanned": n_scanned,
-        "chunks_meta": int(m["c"] or 0), "chunks_decoded": n_partial,
-        "path": "meta+decode" if n_partial else "meta",
+        "chunks_meta": int(m["c"] or 0), "chunks_decoded": dec_n,
+        "path": "meta+decode" if dec_n else "meta",
     }
 
 
@@ -687,6 +853,52 @@ def aggregate_encoded_grouped(
                 chunks_total=len(acol), chunks_meta=n_meta,
                 chunks_decoded=len(partial_keys),
                 path="meta+decode" if partial_keys else "meta")
+        if partial_keys and not any(
+                kind != "range" or len(b) != 1 for kind, _c, b, _e
+                in zf):
+            # SMALL straddler sets (the day-boundary chunks of a
+            # clustered table) decode driver-side and fold straight
+            # into the meta group map — zero Spark jobs instead of a
+            # decode job plus a merge shuffle (size-capped; big
+            # straddler sets stay distributed)
+            pk = sorted(partial_keys)
+            involved2 = {group_col, column} | {c for _k, c, _b, _e
+                                               in zf}
+            total = _driver_partial_keys_ok(by_col, involved2, pk)
+            mag = max((max(abs(int(r[1])), abs(int(r[2])))
+                       for r in (by_col[column][k] for k in pk)
+                       if r[1] is not None), default=0)
+            if total is not None and not (
+                    mag and mag.bit_length()
+                    + max(total - 1, 1).bit_length() + 1 >= 63):
+                vals = _driver_chunk_values(path, files, involved2, pk)
+                if vals is not None:
+                    import numpy as np
+                    for k in pk:
+                        mask = None
+                        for _kind, c, bounds, _e in zf:
+                            (flo, fhi), = bounds
+                            v = vals[c][k]
+                            mm = (v >= flo) & (v <= fhi)
+                            mask = mm if mask is None else (mask & mm)
+                        gv = vals[group_col][k]
+                        av = vals[column][k]
+                        if mask is not None:
+                            gv, av = gv[mask], av[mask]
+                        for g in np.unique(gv):
+                            sel = av[gv == g]
+                            acc = groups.setdefault(
+                                int(g), [0, 0, None, None, None])
+                            acc[0] += len(sel)
+                            acc[1] += len(sel)
+                            s = int(sel.sum(dtype=np.int64))
+                            acc[2] = s if acc[2] is None else acc[2] + s
+                            lo2, hi2 = int(sel.min()), int(sel.max())
+                            if acc[3] is None or lo2 < acc[3]:
+                                acc[3] = lo2
+                            if acc[4] is None or hi2 > acc[4]:
+                                acc[4] = hi2
+                    partial_keys = []
         meta_g = spark.createDataFrame(
             [(g, a[0], a[1],
               None if a[2] is None else Decimal(a[2]), a[3], a[4])
@@ -984,6 +1196,31 @@ def quantile_encoded(
     cand = {(valued[i]["run_id"], int(valued[i]["bucket"]),
              int(valued[i]["chunk"]))
             for i in np.flatnonzero(decode_set)}
+    if by_col is not None and isinstance(dt, _INT_LANES):
+        # SMALL candidate windows of a plain int column decode
+        # driver-side (same cap and decoders as aggregate_encoded's
+        # boundary path): the whole rank search then costs zero Spark
+        # jobs — sort the decoded values once and index every rank,
+        # instead of one sort-limit job per rank. Date/timestamp/
+        # decimal stay distributed (their storage ints need the
+        # logical conversion the decode path provides).
+        ck = sorted(cand)
+        if _driver_partial_keys_ok(by_col, {column}, ck) is not None:
+            vals = _driver_chunk_values(path, files, {column}, ck)
+            if vals is not None:
+                dec_v = (np.sort(np.concatenate(
+                    [vals[column][k] for k in ck])) if ck
+                    else np.zeros(0, dtype=np.int64))
+                if stats_out is not None:
+                    stats_out.update(chunks_decoded=len(cand),
+                                     path="meta+decode")
+                out = {}
+                for k in ks:
+                    kk = k - below_k[k]
+                    # mirror of sort(column).limit(kk).agg(max)
+                    out[k] = (int(dec_v[min(kk, len(dec_v)) - 1])
+                              if len(dec_v) and kk >= 1 else None)
+                return _one([out[max(1, math.ceil(x * n))] for x in qs])
     dec = read_encoded(spark, path, columns=[column],
                        _chunk_subset=sorted(cand), **read_kw) \
         .filter(F.col(column).isNotNull()).persist()

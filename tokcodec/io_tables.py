@@ -1436,6 +1436,24 @@ def read_encoded(
     epoch (see _load_table). Schema-evolved tables (columns added by
     ``write_encoded(schema_evolution=True)``) decode transparently:
     rows from runs written before a column existed come back NULL."""
+    # Shuffle-free routing: the groupBy(bucket) plan ships every block
+    # payload byte through an exchange and caps decode parallelism at
+    # the bucket count of one shuffle round; the direct plan opens each
+    # bucket's files in its own task and moves no block data at all
+    # (guide §2.4: remove shuffles outright). Route every read the
+    # direct planner supports through it — the grouped plan remains for
+    # the shapes that need the blocks DataFrame itself (chunk-subset
+    # decodes, chunk sampling, bucket-restricted copy-on-write reads,
+    # and the provenance bucket column).
+    if (_chunk_subset is None and _sample is None and buckets is None
+            and not with_bucket_column):
+        return read_encoded_direct(
+            spark, path, columns=columns, range_filter=range_filter,
+            in_filter=in_filter, eq_filter=eq_filter,
+            contains_filter=contains_filter, or_filter=or_filter,
+            verify_checksums=verify_checksums, as_of_epoch=as_of_epoch,
+            as_of_ts=as_of_ts, as_of_tag=as_of_tag,
+            since_epoch=since_epoch, encryption_key=encryption_key)
     as_of_epoch = _resolve_as_of(spark, path, as_of_epoch, as_of_ts,
                                  as_of_tag)
     manifest, lin = _load_table(spark, path, as_of_epoch=as_of_epoch,
