@@ -114,8 +114,13 @@ def _decoded_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         import shutil
 
         shutil.rmtree(path, ignore_errors=True)
-        write_encoded(seq, path, n_buckets=8, run_id="entry",
-                      bloom_columns=["doc_id", "tokens"])
+        # buckets follow session parallelism (min 8): every timed read
+        # of this table (contains_token_scan, point lookups, the
+        # DataSource range scan) decodes one bucket per task
+        write_encoded(seq, path,
+                      n_buckets=max(8,
+                                    spark.sparkContext.defaultParallelism),
+                      run_id="entry", bloom_columns=["doc_id", "tokens"])
         # materialize once: every roundtrip_* query reuses the decoded
         # rows instead of re-running the full decode per query
         _DECODED_CACHE[key] = read_encoded(spark, path).persist()
@@ -634,8 +639,13 @@ def q_zorder_user_time_slab(spark, sf_dir):
             tempfile.gettempdir(),
             "tokcodec_zorder_" + os.path.abspath(sf_dir).replace(os.sep, "_"))
         shutil.rmtree(path, ignore_errors=True)
-        write_encoded(e, path, n_buckets=4, run_id="zo",
-                      cluster_by=["user_id", "ts"], chunk_max_rows=1024)
+        # buckets follow session parallelism (see variant): the timed
+        # slab read decodes surviving chunks one bucket per task
+        write_encoded(e, path,
+                      n_buckets=max(4,
+                                    spark.sparkContext.defaultParallelism),
+                      cluster_by=["user_id", "ts"], run_id="zo",
+                      chunk_max_rows=1024)
         _DECODED_CACHE[key] = path
     dec = read_encoded(
         spark, _DECODED_CACHE[key],
@@ -986,7 +996,9 @@ def q_docs_langid(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
-    d = _spread(_t(spark, sf_dir, "documents").select("source", "text"))
+    # NOT spread: one md5 per row is cheaper than exchanging the text
+    # column (measured 0.32 -> 0.48 s at sf1.0 with the repartition)
+    d = _t(spark, sf_dir, "documents").select("source", "text")
     return (
         d.withColumn("fp", F.md5("text"))
         .groupBy("source")
@@ -1927,7 +1939,12 @@ def q_roundtrip_variant_extract(spark, sf_dir):
         import shutil
 
         shutil.rmtree(enc, ignore_errors=True)
-        write_encoded(e, enc, n_buckets=8, run_id="variant")
+        # bucket count follows the session's parallelism (min 8): the
+        # timed read decodes one bucket per task, so 8 buckets used
+        # only a quarter of a 32-core session (guide §2: partitioning
+        # must scale with the resources, not a constant)
+        write_encoded(e, enc, n_buckets=max(
+            8, spark.sparkContext.defaultParallelism), run_id="variant")
         _VARIANT_CACHE[key] = enc
     dec = read_encoded(spark, _VARIANT_CACHE[key])
     return (

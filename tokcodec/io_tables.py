@@ -204,10 +204,26 @@ def _make_block_writer(blocks_p: str, run_id: str,
                        f"-{part:03d}.parquet")
                 full = posixpath.join(root, rel)
                 fs.create_dir(posixpath.dirname(full), recursive=True)
-                pq.write_table(sub, full, filesystem=fs,
-                               compression="none",
-                               write_statistics=["bucket", "run_id"])
                 bs = sorted(set(sub.column("bucket").to_pylist()))
+                if len(bs) <= 1:
+                    pq.write_table(sub, full, filesystem=fs,
+                                   compression="none",
+                                   write_statistics=["bucket", "run_id"])
+                else:
+                    # several buckets share this writer task's file:
+                    # one ROW GROUP per bucket, so the direct reader's
+                    # ("bucket", "=", b) row-group filter reads only
+                    # that bucket's payload bytes instead of the whole
+                    # file once per bucket it covers. Bucket-grained
+                    # files (production sizing) take the single-group
+                    # branch above.
+                    with pq.ParquetWriter(
+                            full, sub.schema, filesystem=fs,
+                            compression="none",
+                            write_statistics=["bucket", "run_id"]) as w:
+                        for bkt in bs:
+                            w.write_table(sub.filter(
+                                pc.equal(sub.column("bucket"), bkt)))
                 rows.append({
                     "path": rel,
                     "column": col,
