@@ -108,19 +108,25 @@ def test_direct_filters_match_grouped(spark, tmp_path):
     assert a == b and len(a) == 11
 
 
-def test_shared_file_one_row_group_per_bucket(spark, tmp_path):
+def test_shared_file_one_row_group_per_bucket(spark, tmp_path,
+                                              monkeypatch):
     """A writer task holding several buckets must emit one parquet ROW
-    GROUP per bucket, so the direct reader's ("bucket", "=", b) filter
-    reads only that bucket's payload bytes instead of re-reading the
-    whole shared file once per bucket it covers (r6)."""
+    GROUP per bucket (for LARGE files — small ones keep a single group
+    so footer overhead stays off the compression ratio), so the direct
+    reader's ("bucket", "=", b) filter reads only that bucket's
+    payload bytes instead of re-reading the whole shared file once per
+    bucket it covers (r6)."""
     import glob
     import os
 
     import pyarrow.parquet as pq
     from pyspark.sql import Row
 
+    from tokcodec import io_tables
     from tokcodec.io_tables import read_encoded_direct, write_encoded
 
+    # lower the size gate so the fixture-sized file exercises the split
+    monkeypatch.setattr(io_tables, "_SPLIT_GROUP_MIN_BYTES", 1)
     df = spark.createDataFrame(
         [Row(doc_id=f"d{i:04d}", k=i) for i in range(2000)],
         "doc_id string, k int",
