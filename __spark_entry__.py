@@ -430,7 +430,8 @@ def q_roundtrip_lineitem_pricing(spark, sf_dir):
         import shutil
 
         shutil.rmtree(path, ignore_errors=True)
-        write_encoded(li, path, n_buckets=8, run_id="li")
+        write_encoded(li, path, run_id="li", n_buckets=max(
+            8, spark.sparkContext.defaultParallelism))
         _DECODED_CACHE[key] = read_encoded(spark, path).persist()
     dec = _DECODED_CACHE[key]
     return (
@@ -471,6 +472,11 @@ def q_roundtrip_lineitem_daterange(spark, sf_dir):
         import shutil
 
         shutil.rmtree(path, ignore_errors=True)
+        # 8 buckets kept on purpose: each bucket clusters by shipdate
+        # independently, so range-boundary (partially-covered) chunks
+        # scale with bucket count — more buckets would defeat the very
+        # pruning this table exists to exercise (same reasoning as the
+        # day-clustered events_daily table)
         write_encoded(li, path, n_buckets=8, run_id="lidate",
                       cluster_by="l_shipdate")
         _DECODED_CACHE[key] = path
@@ -565,7 +571,8 @@ def q_roundtrip_events_hourly(spark, sf_dir):
         import shutil
 
         shutil.rmtree(path, ignore_errors=True)
-        write_encoded(e, path, n_buckets=4, run_id="ev")
+        write_encoded(e, path, run_id="ev", n_buckets=max(
+            4, spark.sparkContext.defaultParallelism))
         _DECODED_CACHE[key] = read_encoded(spark, path).persist()
     dec = _DECODED_CACHE[key]
     return (
@@ -605,7 +612,8 @@ def q_roundtrip_time_of_day(spark, sf_dir):
             tempfile.gettempdir(),
             "tokcodec_timeq_" + os.path.abspath(sf_dir).replace(os.sep, "_"))
         shutil.rmtree(path, ignore_errors=True)
-        write_encoded(e, path, n_buckets=4, run_id="tod")
+        write_encoded(e, path, run_id="tod", n_buckets=max(
+            4, spark.sparkContext.defaultParallelism))
         _DECODED_CACHE[key] = read_encoded(spark, path).persist()
     dec = _DECODED_CACHE[key]
     return (
@@ -808,6 +816,9 @@ def q_cobucket_join_stats(spark, sf_dir):
         meta = docs.select(
             F.col("doc_id").cast("string").alias("doc_id"),
             "lang", F.col("n_chars").cast("long").alias("n_chars"))
+        # 8 buckets kept on purpose: the per-bucket join work here is
+        # small, so more buckets only add per-task fixed cost
+        # (measured no win from parallelism-scaled buckets)
         write_encoded(seq, os.path.join(base, "seq"), n_buckets=8,
                       run_id="l", salt_cols=("doc_id",))
         write_encoded(meta, os.path.join(base, "meta"), n_buckets=8,
@@ -1481,7 +1492,8 @@ def q_media_feature_stats(spark, sf_dir):
             tempfile.gettempdir(),
             "tokcodec_media_" + os.path.abspath(sf_dir).replace(os.sep, "_"))
         shutil.rmtree(path, ignore_errors=True)
-        write_encoded(media, path, n_buckets=4, run_id="media")
+        write_encoded(media, path, run_id="media", n_buckets=max(
+            4, spark.sparkContext.defaultParallelism))
         _DECODED_CACHE[key] = read_encoded(spark, path).persist()
     feats = decode_media(_DECODED_CACHE[key])
     return feats.groupBy("kind").agg(
