@@ -1528,9 +1528,16 @@ def _minhash_pairs(spark, sf_dir):
         d.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
         .filter(F.size("ws") >= 3)
     )
+    # Indexed concat instead of concat_ws(' ', slice(ws, i, 3)): the
+    # slice form allocates a 3-element array per shingle inside the
+    # interpreted lambda and measured 0.93 s at sf1.0 — the dominant
+    # cost of this query after the other round-6 fixes. ws[i] access
+    # is 0-based, so sequence(0, size-3) makes shingle i = words
+    # i, i+1, i+2 — byte-identical strings to the slice form (split
+    # never yields null words, so concat == concat_ws here).
     sh = (
-        "transform(sequence(1, size(ws) - 2),"
-        " i -> concat_ws(' ', slice(ws, i, 3)))"
+        "transform(sequence(0, size(ws) - 3),"
+        " i -> concat(ws[i], ' ', ws[i + 1], ' ', ws[i + 2]))"
     )
     shdf = ws.select("doc_id", F.expr(sh).alias("sh"))
     # ONE md5 per shingle: 60 bits of the digest become the base hash
