@@ -75,3 +75,41 @@ def test_write_commit_jobs_are_encode_only(spark, tmp_path):
             if si is not None:
                 assert "io_tables" in si.name, si.name
     assert info["rows"] == 2 and info["buckets"] == 1
+
+
+def test_manifest_io_local_fast_path(spark, tmp_path):
+    # local paths route manifest text IO through plain open() (no
+    # py4j round trips — ~30 ms of fixed planning latency per call
+    # through the Hadoop FileSystem API); remote schemes keep the
+    # Hadoop branch
+    from tokcodec.io_tables import _local_fs_path, _read_text, _write_text
+
+    p = str(tmp_path / "m" / "manifest.json")
+    assert _local_fs_path(spark, p) == p
+    assert _local_fs_path(spark, "file://" + p) == p
+    assert _local_fs_path(spark, "s3://bucket/k.json") is None
+    assert _local_fs_path(spark, "hdfs://nn:9000/k.json") is None
+
+    _write_text(spark, p, '{"a": 1}')
+    assert _read_text(spark, p) == '{"a": 1}'
+    _write_text(spark, p, '{"a": 2}')  # overwrite, like fs.create(p, True)
+    assert _read_text(spark, p) == '{"a": 2}'
+    with pytest.raises(FileNotFoundError):
+        _read_text(spark, str(tmp_path / "absent.json"))
+
+
+def test_manifest_fast_path_interops_with_hadoop_branch(spark, tmp_path):
+    # a manifest written through the Hadoop FileSystem API (pre-change
+    # tables) reads back identically through the fast path, and vice
+    # versa — the two branches share bytes-on-disk semantics
+    from tokcodec.io_tables import _hadoop_fs, _read_text
+
+    p = str(tmp_path / "hadoop_written.json")
+    fs, jp = _hadoop_fs(spark, p)
+    assert fs is not None
+    out = fs.create(jp, True)
+    try:
+        out.write(bytearray('{"via": "hadoop"}'.encode("utf-8")))
+    finally:
+        out.close()
+    assert _read_text(spark, p) == '{"via": "hadoop"}'

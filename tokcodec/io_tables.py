@@ -75,6 +75,43 @@ def _run_manifest_path(path: str, run_id: str) -> str:
     return posixpath.join(path, "_runs", f"{run_id}.json")
 
 
+# id(SparkContext) -> whether fs.defaultFS is the local filesystem
+# (one cached JVM config read per context; see _local_fs_path)
+_DEFAULT_FS_LOCAL: dict[int, bool] = {}
+
+
+def _local_fs_path(spark: SparkSession, path: str) -> str | None:
+    """Plain-filesystem path when ``path`` resolves to the driver's
+    LOCAL fs — an explicit file: URI, or a scheme-less path while
+    ``fs.defaultFS`` is file: (the Spark default outside real
+    clusters) — else None. Manifest reads/writes through the Hadoop
+    FileSystem API cost ~30 ms of py4j round trips EACH on the driver
+    (Path + getFileSystem + exists/open/create + stream close), pure
+    fixed planning latency at any table size; the local fast path
+    replaces them with one plain open(). HDFS/S3/abfs paths (and
+    scheme-less paths on a cluster whose defaultFS is remote) keep
+    the Hadoop API unchanged."""
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", path):
+        if path.startswith("file:"):
+            from urllib.parse import urlparse
+
+            return urlparse(path).path or None
+        return None
+    sc = spark.sparkContext
+    key = id(sc)
+    loc = _DEFAULT_FS_LOCAL.get(key)
+    if loc is None:
+        try:
+            loc = str(
+                sc._jsc.hadoopConfiguration().get("fs.defaultFS")
+                or "file:///"
+            ).startswith("file:")
+        except Exception:
+            loc = False
+        _DEFAULT_FS_LOCAL[key] = loc
+    return path if loc else None
+
+
 def _hadoop_fs(spark: SparkSession, path: str):
     """(fs, jvm_path) via Hadoop's FileSystem API, or (None, None) when
     the JVM gateway isn't reachable (the only case where the local-FS
@@ -92,7 +129,15 @@ def _hadoop_fs(spark: SparkSession, path: str):
 def _write_text(spark: SparkSession, path: str, content: str) -> None:
     """Write a manifest through Hadoop's FileSystem API so the table
     layout works on HDFS/S3 paths, not just the local FS (plain open()
-    was a real-cluster gap flagged in round 1)."""
+    was a real-cluster gap flagged in round 1). Local paths take the
+    plain-open() fast path (same bytes, same overwrite semantics as
+    RawLocalFileSystem.create; neither fsyncs) — see _local_fs_path."""
+    lp = _local_fs_path(spark, path)
+    if lp is not None:
+        os.makedirs(os.path.dirname(lp), exist_ok=True)
+        with open(lp, "w") as f:
+            f.write(content)
+        return
     fs, p = _hadoop_fs(spark, path)
     if fs is None:
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -107,6 +152,10 @@ def _write_text(spark: SparkSession, path: str, content: str) -> None:
 
 
 def _read_text(spark: SparkSession, path: str) -> str:
+    lp = _local_fs_path(spark, path)
+    if lp is not None:
+        with open(lp) as f:  # raises FileNotFoundError like the FS API
+            return f.read()
     fs, p = _hadoop_fs(spark, path)
     if fs is None:
         with open(path) as f:
